@@ -1,0 +1,93 @@
+"""MinHash / LSH banding / SimHash — deterministic, numpy-vectorized.
+
+The Ray-native replacement for the reference's inverted-index candidate
+retrieval (ES queries over analyzer sub-fields, SURVEY.md §2.5 J1): the
+engine generates LSH band keys per document, groups by band key
+(one shuffle), and emits candidate pairs inside each block.
+
+All permutation parameters are derived from a pinned seed so signatures
+are identical in every worker and the sequential oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from merge_machine_ray.functions.hashing import crc_hash64, hash_tokens_u64
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+_SEED = 42
+
+
+def _permutations(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^31 and 32-bit hash values keep a*h < 2^63: no uint64 overflow.
+    rng = np.random.RandomState(_SEED)
+    a = rng.randint(1, (1 << 31) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 31) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_PERM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _perms(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _permutations(num_perm)
+    return _PERM_CACHE[num_perm]
+
+
+def token_shingles(tokens: list[str], width: int = 3) -> list[str]:
+    """w-token shingles joined by space; falls back to the tokens
+    themselves when the doc is shorter than the shingle width."""
+    if len(tokens) < width:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + width]) for i in range(len(tokens) - width + 1)]
+
+
+def minhash_signature(shingles: list[str], num_perm: int = 128) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set.
+
+    h_i(x) = (a_i * h(x) + b_i) mod 2^61-1, min over shingles — the
+    classic universal-hash construction; empty input → all MAX."""
+    hashes = hash_tokens_u64(shingles)
+    if hashes.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = _perms(num_perm)
+    # fold to 32 bits (xor-fold keeps full entropy of the 64-bit hash)
+    h32 = (hashes ^ (hashes >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
+    # (num_perm, n) outer product; a<2^31, h<2^32 → a*h+b < 2^63, no overflow
+    sigs = (a[:, None] * h32[None, :] + b[:, None]) % _MERSENNE61
+    return sigs.min(axis=1).astype(np.uint64)
+
+
+def band_keys(sig: np.ndarray, num_bands: int = 16, prefix: str = "") -> list[str]:
+    """LSH band keys: split the signature into ``num_bands`` rows and
+    hash each band. Two docs share a key iff a whole band matches."""
+    rows = sig.size // num_bands
+    keys = []
+    for b in range(num_bands):
+        band = sig[b * rows : (b + 1) * rows]
+        keys.append(f"{prefix}{b}:{crc_hash64(band.tobytes()):016x}")
+    return keys
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash of a token multiset (weighted bit-vote)."""
+    if not tokens:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for tok, w in Counter(tokens).items():
+        h = crc_hash64(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes += np.where(bits.astype(bool), w, -w)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

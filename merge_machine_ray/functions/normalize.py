@@ -1,0 +1,109 @@
+"""Text normalization + HTML extraction.
+
+Ray-native equivalent of the reference's pre-analysis normalization:
+``_my_unidecode`` (reference ``merge_machine/helpers.py:18-23``), the
+``special_keyword`` analyzer's char-map + accent folding (reference
+``merge_machine/analyzers/no_resource_analyzer_definitions.py:105-119``)
+and insert-time stripping (``merge_machine/es_insert.py:22-27``).
+
+Two implementations of the same semantics exist on purpose:
+
+* :func:`normalize_text` — the canonical pure-Python per-row definition
+  (used by the sequential oracle);
+* :func:`normalize_column` — a vectorized ``pyarrow.compute`` chain used
+  inside ``map_batches`` by the pipeline.
+
+The pytest suite asserts byte-identity between the two on fixture and
+property-generated inputs (the BASELINE.json per-row invariant).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Fixed transliteration table (Latin-1 Supplement + common Latin
+# Extended-A). Applied AFTER lowercasing, so only lowercase keys are
+# needed. Pinned here — never derived from the environment — so the
+# mapping is identical in every worker and in the oracle.
+TRANSLIT: dict[str, str] = {
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a", "æ": "ae",
+    "ç": "c", "è": "e", "é": "e", "ê": "e", "ë": "e", "ì": "i", "í": "i",
+    "î": "i", "ï": "i", "ñ": "n", "ò": "o", "ó": "o", "ô": "o", "õ": "o",
+    "ö": "o", "ø": "o", "ù": "u", "ú": "u", "û": "u", "ü": "u", "ý": "y",
+    "ÿ": "y", "œ": "oe", "š": "s", "ž": "z", "ß": "ss", "ā": "a", "ē": "e",
+    "ī": "i", "ō": "o", "ū": "u", "ć": "c", "č": "c", "ł": "l", "ń": "n",
+    "ś": "s", "ř": "r", "ż": "z", "đ": "d", "ğ": "g", "ș": "s", "ț": "t",
+    "'": "'", "’": "'", "‘": "'", "“": '"', "”": '"', "–": "-", "—": "-",
+    " ": " ",
+}
+
+_TRANSLIT_TABLE = str.maketrans(TRANSLIT)
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_text(s: str | None) -> str:
+    """Canonical normalization: lower → transliterate → collapse ws → strip.
+
+    Non-strings map to '' (reference ``helpers.py:21-22`` returns '' for
+    non-str input).
+    """
+    if not isinstance(s, str):
+        return ""
+    s = s.lower().translate(_TRANSLIT_TABLE)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def normalize_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized Arrow equivalent of :func:`normalize_text`.
+
+    Chain of C-speed kernels: utf8_lower → one replace_substring pass
+    per transliteration entry → whitespace collapse → trim. Nulls → ''.
+    """
+    arr = pc.fill_null(arr, "")
+    arr = pc.utf8_lower(arr)
+    for src, dst in TRANSLIT.items():
+        arr = pc.replace_substring(arr, src, dst)
+    arr = pc.replace_substring_regex(arr, r"\s+", " ")
+    return pc.utf8_trim_whitespace(arr)
+
+
+# --- HTML extraction ---------------------------------------------------------
+# The reference never parses HTML (its inputs are CSVs); the graft input
+# (BASELINE.json input_hint) carries `html:binary` pages. Extraction is
+# defined here as the canonical deterministic function the fixture
+# generator inverts: drop script/style subtrees, strip tags, unescape
+# entities, collapse whitespace.
+
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_text_from_html(html: bytes | str | None) -> str:
+    """Extract visible text from an HTML page, byte-deterministically."""
+    if html is None:
+        return ""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", "replace")
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    html = _COMMENT_RE.sub(" ", html)
+    html = _TAG_RE.sub(" ", html)
+    html = _html.unescape(html)
+    return _WS_RE.sub(" ", html).strip()
+
+
+_HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)")
+
+
+def url_host(url: str | None) -> str:
+    """Lowercased host part of a url ('' when unparseable)."""
+    if not isinstance(url, str):
+        return ""
+    m = _HOST_RE.match(url.lower())
+    return m.group(1) if m else ""

@@ -1,0 +1,177 @@
+"""Tokenizers ("analyzers") — pure-function re-implementations of the
+reference's Elasticsearch analyzers (SURVEY.md §2.3).
+
+Each analyzer maps one string → list of tokens, deterministically. The
+reference executes these inside ES/Lucene as JSON configs
+(``merge_machine/analyzers/no_resource_analyzer_definitions.py``,
+``resource_analyzer_definitions.py``); here they are plain Python used
+by blocking-key generation and by the pairwise scorer's features.
+
+Registry: :data:`ANALYZERS` name → fn, mirroring the reference's
+``ANALYZERS`` dict (``merge_machine/analyzers/__init__.py:13-26``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from merge_machine_ray.functions.normalize import normalize_text
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+_WORD_ACCENT_RE = re.compile(r"[^\W_]+", re.UNICODE)
+_INT_RE = re.compile(r"\d+")
+_ELISION_RE = re.compile(r"^(l|d|j|m|t|s|c|n|qu|jusqu|lorsqu|puisqu)'")
+
+# French stopwords (subset of Lucene's french stop set — pinned).
+FRENCH_STOP = frozenset(
+    "au aux avec ce ces dans de des du elle en et eux il ils je la le les leur lui "
+    "ma mais me meme mes moi mon ne nos notre nous on ou par pas pour qu que qui sa "
+    "se ses son sur ta te tes toi ton tu un une vos votre vous".split()
+)
+ENGLISH_STOP = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such that "
+    "the their then there these they this to was will with".split()
+)
+# Domain stopwords of the reference's french_estab analyzer
+# (no_resource_analyzer_definitions.py:16-97).
+ESTAB_STOP = frozenset("cedex sas sarl sa eurl sasu snc scop ste societe".split())
+# Abbreviation + acronym synonym rules of french_estab (same citation);
+# one-way canonicalization abbreviation → expansion.
+ESTAB_SYNONYMS: dict[str, str] = {
+    "lyc": "lycee", "lyc.": "lycee", "lp": "lycee", "lgt": "lycee",
+    "col": "college", "coll": "college", "clg": "college",
+    "ec": "ecole", "elem": "elementaire", "mat": "maternelle",
+    "univ": "universite", "fac": "universite", "iut": "institut",
+    "assoc": "association", "asso": "association",
+    "st": "saint", "ste": "sainte", "gal": "general", "gd": "grand",
+    "av": "avenue", "bd": "boulevard", "pl": "place", "rte": "route",
+    "cnrs": "centre national de la recherche scientifique",
+    "inra": "institut national de la recherche agronomique",
+    "cea": "commissariat a l energie atomique",
+    "inserm": "institut national de la sante et de la recherche medicale",
+    "inria": "institut national de recherche en informatique et en automatique",
+}
+_STEM_SUFFIXES = ("issements", "issement", "ements", "ement", "euses", "euse",
+                  "istes", "iste", "ives", "ive", "es", "s")
+
+
+def special_keyword(s: str) -> list[str]:
+    """A1 (default analyzer): '-'→space, accent fold, lowercase, one
+    token = whole field (reference no_resource_analyzer_definitions.py:105-119)."""
+    t = normalize_text(s.replace("-", " ") if isinstance(s, str) else s)
+    return [t] if t else []
+
+
+def standard(s: str) -> list[str]:
+    """A7 'standard': unicode word tokens, lowercased (accents kept,
+    as ES standard does not fold)."""
+    if not isinstance(s, str):
+        return []
+    return _WORD_ACCENT_RE.findall(s.lower())
+
+
+def whitespace(s: str) -> list[str]:
+    if not isinstance(s, str):
+        return []
+    return s.split()
+
+
+def n_grams(s: str, n: int = 3) -> list[str]:
+    """A2: char n-grams over letter+digit runs of the normalized string
+    (reference no_resource_analyzer_definitions.py:125-144: token_chars
+    letters+digits, min=max=3, lowercase)."""
+    out: list[str] = []
+    for run in _WORD_RE.findall(normalize_text(s)):
+        if len(run) < n:
+            out.append(run)
+        else:
+            out.extend(run[i : i + n] for i in range(len(run) - n + 1))
+    return out
+
+
+def integers(s: str, max_shingle: int = 5) -> list[str]:
+    """A3: digit runs → trim leading zeros → shingles up to 5 joined by ''
+    (reference no_resource_analyzer_definitions.py:152-182)."""
+    if not isinstance(s, str):
+        return []
+    ints = [run.lstrip("0") or "0" for run in _INT_RE.findall(s)]
+    out: list[str] = []
+    for size in range(1, max_shingle + 1):
+        if len(ints) < size:
+            break
+        out.extend("".join(ints[i : i + size]) for i in range(len(ints) - size + 1))
+    return out
+
+
+def _light_stem_fr(tok: str) -> str:
+    for suf in _STEM_SUFFIXES:
+        if tok.endswith(suf) and len(tok) - len(suf) >= 3:
+            return tok[: -len(suf)]
+    return tok
+
+
+def french_estab(s: str) -> list[str]:
+    """A4: standard tokens → elision → stop (french + domain) →
+    abbreviation/acronym synonyms → light french stem
+    (reference no_resource_analyzer_definitions.py:16-97)."""
+    out: list[str] = []
+    for tok in _WORD_RE.findall(normalize_text(s).replace("'", "' ")):
+        tok = _ELISION_RE.sub("", tok)
+        if not tok or tok in FRENCH_STOP or tok in ESTAB_STOP:
+            continue
+        expanded = ESTAB_SYNONYMS.get(tok, tok)
+        for part in expanded.split():
+            if part not in FRENCH_STOP:
+                out.append(_light_stem_fr(part))
+    return out
+
+
+def french(s: str) -> list[str]:
+    """A7 stock 'french': normalized word tokens minus stopwords, light stem."""
+    return [
+        _light_stem_fr(t)
+        for t in _WORD_RE.findall(normalize_text(s))
+        if t not in FRENCH_STOP
+    ]
+
+
+def english(s: str) -> list[str]:
+    return [t for t in _WORD_RE.findall(normalize_text(s)) if t not in ENGLISH_STOP]
+
+
+def city(s: str, keep: frozenset[str] | None = None,
+         synonyms: dict[str, str] | None = None) -> list[str]:
+    """A5/A6 resource analyzers: shingled tokens filtered by a keep list,
+    canonicalized by a synonym table (reference
+    resource_analyzer_definitions.py:116-233). Resource tables are
+    injected (loaded once per actor), not fetched from the network."""
+    toks = _WORD_RE.findall(normalize_text(s))
+    shingles = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    out = []
+    for sh in shingles:
+        if len(sh) < 4:
+            continue
+        if keep is not None and sh not in keep:
+            continue
+        out.append((synonyms or {}).get(sh, sh))
+    return out
+
+
+ANALYZERS: dict[str, Callable[[str], list[str]]] = {
+    "special_keyword": special_keyword,
+    "standard": standard,
+    "whitespace": whitespace,
+    "n_grams": n_grams,
+    "integers": integers,
+    "french_estab": french_estab,
+    "french": french,
+    "english": english,
+    "city": city,
+}
+
+
+def analyze(name: str, s: str) -> list[str]:
+    """Apply analyzer `name` (reference field addressing
+    ``ref_col + '.analyzer'``, es_labeller.py:67-96)."""
+    return ANALYZERS[name](s)

@@ -1,0 +1,99 @@
+"""Flagship pipeline: pages → extract/normalize → LSH blocking →
+pairwise scoring → transitive clustering (SURVEY.md §7.1).
+
+The end-to-end Ray-Data-native re-expression of the reference's
+index + learn + link lifecycle (SURVEY.md §3) with entity-cluster output
+per the north rule. Every stage is a Dataset transform; shuffles are the
+explicit groupbys in blocking, pair dedup, the feature joins and
+clustering; nothing materializes the full corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from merge_machine_ray.stages.blocking import candidate_pairs
+from merge_machine_ray.stages.clustering import connected_components
+from merge_machine_ray.stages.idf import build_idf_table
+from merge_machine_ray.stages.normalize_stage import featurize
+from merge_machine_ray.stages.scoring import score_pairs
+from merge_machine_ray.state.params import MatchParams
+
+
+def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
+                          id_col: str = "url", text_col: str = "text",
+                          concurrency=None, num_partitions: int = 32):
+    """pages/documents Dataset → scored candidate-pair Dataset.
+
+    Returns (scored_pairs_ds, features_ds). ``scored`` has per-field
+    similarities + weighted score + is_match. The candidate pairs carry
+    both sides' compact features out of the band shuffle, so no join is
+    needed before scoring.
+    """
+    import ray
+
+    p = MatchParams.from_any(params)
+    features = featurize(ds, analyzer=p.analyzer, id_col=id_col,
+                         text_col=text_col)
+    features = features.materialize()  # reused by IDF job + blocking + output
+    idf = build_idf_table(features)
+    idf_ref = ray.put(idf)
+    pairs = candidate_pairs(
+        features, num_perm=p.num_perm, num_bands=p.num_bands,
+        shingle_width=p.shingle_width, block_cap=p.block_cap,
+        include_host=(id_col == "url"))
+    scored = score_pairs(pairs, idf_ref=idf_ref, params=p,
+                         concurrency=concurrency)
+    return scored, features
+
+
+def resolve_entities(ds, params=None, id_col: str = "url",
+                     text_col: str = "text", concurrency=None,
+                     num_partitions: int = 32, cc_mode: str = "auto"):
+    """Full ER: returns Dataset[(url?, doc_id, cluster_id)] covering every
+    input row (singletons get cluster_id = own doc_id)."""
+    import ray
+
+    scored, features = score_candidate_pairs(
+        ds, params, id_col=id_col, text_col=text_col,
+        concurrency=concurrency, num_partitions=num_partitions)
+    # Materialize the (small) edge list once: clustering consumes it
+    # repeatedly and must not re-run the scoring actor pool per pass —
+    # with few CPUs, piled-up actor pools from repeated executions can
+    # starve each other.
+    schema = features.schema()
+    if schema is None or features.count() == 0:  # empty input
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    edges = scored.filter(expr="is_match").select_columns(["a", "b"]).materialize()
+    assign = connected_components(edges, mode=cc_mode)
+    keep = ["url", "doc_id"] if "url" in schema.names else ["doc_id"]
+    docs = features.select_columns(keep)
+
+    # The assignment table covers only docs in the match graph (≪ corpus:
+    # one row per duplicated doc). Broadcast it once (ray.put) and fill
+    # cluster_id = own doc_id for singletons map-side — the J6
+    # "re-duplication join" pattern without a corpus-wide shuffle. If the
+    # match graph ever outgrew driver memory, swap for a hash join keyed
+    # on doc_id bucket.
+    assign_map = {}
+    for b in assign.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for d, c in zip(b["doc_id"].to_pylist(), b["cluster_id"].to_pylist()):
+            assign_map[d] = c
+    assign_ref = ray.put(assign_map)
+
+    class FillCluster:
+        def __init__(self, ref):
+            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            cl = [self.map.get(d, d) for d in ids]
+            return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
+
+    return docs.map_batches(FillCluster, fn_constructor_kwargs={"ref": assign_ref},
+                            batch_format="pyarrow", concurrency=2)

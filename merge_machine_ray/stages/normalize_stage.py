@@ -1,0 +1,98 @@
+"""Stage [1]: extract + normalize + featurize (SURVEY.md §7.1).
+
+One ``map_batches`` pass over zero-copy Arrow blocks that
+
+* extracts visible text from ``html`` (when present) — byte-identical to
+  the sequential oracle (BASELINE.json per-row invariant);
+* normalizes text with the canonical vectorized chain;
+* derives ``doc_id`` (stable 64-bit hash of the url), ``host`` and the
+  hashed token array used by blocking + scoring;
+* **drops ``html`` immediately** so downstream shuffles never move the
+  heavy binary column (SURVEY.md §7.4).
+
+Replaces the reference's insert-time pre-processing + ES analysis chain
+(``merge_machine/es_insert.py:22-27,113-167``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from merge_machine_ray.functions.hashing import crc_hash64, stable_hash64
+from merge_machine_ray.functions.normalize import (
+    extract_text_from_html,
+    normalize_column,
+    url_host,
+)
+from merge_machine_ray.functions.tokenize import ANALYZERS
+
+
+def _to_i64(u: int) -> int:
+    """uint64 → int64 two's-complement view (Arrow int64-friendly)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+class Featurize:
+    """Callable for ``map_batches(..., batch_format="pyarrow")``.
+
+    Stateless per batch, but defined as a class so analyzer selection is
+    resolved once. Input columns: ``url`` (+ ``html`` or ``text`` +
+    optional ``lang``). Output: url, doc_id, host, lang, n_tokens,
+    tok_hashes(list<int64>), norm_text (optionally dropped).
+    """
+
+    def __init__(self, analyzer: str = "standard", keep_norm_text: bool = False,
+                 id_col: str = "url", text_col: str = "text"):
+        self._tokenize = ANALYZERS[analyzer]
+        self.keep_norm_text = keep_norm_text
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        if "html" in names:
+            raw = [extract_text_from_html(h) for h in batch["html"].to_pylist()]
+            text = pa.array(raw, pa.string())
+        else:
+            text = batch[self.text_col]
+        norm = normalize_column(text)
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+
+        ids = batch[self.id_col].to_pylist()
+        if self.id_col == "url":
+            doc_id = [_to_i64(stable_hash64(u)) for u in ids]
+            hosts = [url_host(u) for u in ids]
+        else:
+            doc_id = [int(i) for i in ids]
+            hosts = [""] * len(ids)
+
+        tok_hash_lists = []
+        n_tokens = []
+        for s in norm.to_pylist():
+            toks = self._tokenize(s)
+            n_tokens.append(len(toks))
+            tok_hash_lists.append([_to_i64(crc_hash64(t)) for t in toks])
+
+        cols: dict[str, pa.Array] = {}
+        if "url" in names:
+            cols["url"] = batch["url"]
+        cols["doc_id"] = pa.array(doc_id, pa.int64())
+        cols["host"] = pa.array(hosts, pa.string())
+        cols["lang"] = batch["lang"] if "lang" in names else pa.array(
+            [""] * batch.num_rows, pa.string())
+        cols["n_tokens"] = pa.array(n_tokens, pa.int32())
+        cols["tok_hashes"] = pa.array(tok_hash_lists, pa.list_(pa.int64()))
+        if self.keep_norm_text:
+            cols["norm_text"] = norm
+        return pa.table(cols)
+
+
+def featurize(ds, analyzer: str = "standard", keep_norm_text: bool = False,
+              id_col: str = "url", text_col: str = "text", batch_size: int = 4096):
+    return ds.map_batches(
+        Featurize(analyzer=analyzer, keep_norm_text=keep_norm_text,
+                  id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", batch_size=batch_size,
+    )

@@ -1,0 +1,134 @@
+"""End-to-end ER pipeline vs sequential oracle on the tiny fixture
+(SURVEY.md §5 plan items 2-3; the F1 ≥ 0.99 gate lives in
+test_f1_gate.py on the small corpus)."""
+
+import pyarrow as pa
+import pytest
+
+from merge_machine_ray.oracle import sequential as oracle
+from merge_machine_ray.state.params import MatchParams
+
+
+@pytest.fixture(scope="module")
+def params():
+    return MatchParams()
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session, tiny_pages):
+    import ray.data as rd
+
+    return rd.from_arrow(tiny_pages)
+
+
+def _partition_signature(mapping: dict) -> set[frozenset]:
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for k, v in mapping.items():
+        groups[v].add(k)
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_featurize_byte_identity(ray_session, pages_ds, tiny_pages, params):
+    """Per-row invariant: normalized extracted text identical to oracle."""
+    from merge_machine_ray.stages.normalize_stage import featurize
+
+    feats = featurize(pages_ds, analyzer=params.analyzer, keep_norm_text=True)
+    got = {r["url"]: r["norm_text"] for r in feats.take_all()}
+    docs = oracle.featurize_rows(tiny_pages, params)
+    assert len(got) == len(docs)
+    for d in docs:
+        assert got[d.url] == d.norm_text
+
+
+def test_candidate_pairs_match_oracle(ray_session, pages_ds, tiny_pages, params):
+    from merge_machine_ray.stages.blocking import candidate_pairs
+    from merge_machine_ray.stages.normalize_stage import featurize
+
+    feats = featurize(pages_ds, analyzer=params.analyzer)
+    pairs = candidate_pairs(feats, num_perm=params.num_perm,
+                            num_bands=params.num_bands,
+                            shingle_width=params.shingle_width,
+                            block_cap=params.block_cap)
+    got = {(r["a"], r["b"]) for r in pairs.take_all()}
+    docs = oracle.featurize_rows(tiny_pages, params)
+    want = oracle.candidate_pairs_oracle(docs, params)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_idf_matches_oracle(ray_session, pages_ds, tiny_pages, params):
+    import numpy as np
+
+    from merge_machine_ray.stages.idf import build_idf_table
+    from merge_machine_ray.stages.normalize_stage import featurize
+
+    feats = featurize(pages_ds, analyzer=params.analyzer)
+    got = build_idf_table(feats)
+    docs = oracle.featurize_rows(tiny_pages, params)
+    want = oracle.build_idf(docs)
+    assert got["n_docs"] == want["n_docs"]
+    np.testing.assert_array_equal(got["keys"], want["keys"])
+    np.testing.assert_allclose(got["vals"], want["vals"], rtol=1e-12)
+    assert got["default"] == pytest.approx(want["default"])
+
+
+def test_end_to_end_clusters_match_oracle(ray_session, pages_ds, tiny_pages,
+                                          tiny_entities, params):
+    from merge_machine_ray.pipelines.entity_resolution import resolve_entities
+
+    out = resolve_entities(pages_ds, params).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    want = oracle.resolve_oracle(tiny_pages, params)
+    assert len(got) == len(want)
+    assert _partition_signature(got) == _partition_signature(want)
+
+    # quality vs planted entities: clusters should largely agree
+    url_to_cluster = {r["url"]: r["cluster_id"] for r in out}
+    truth = {r["url"]: r["entity_id"] for r in tiny_entities.to_pylist()}
+    # pairwise precision/recall over all fixture pairs
+    from itertools import combinations
+
+    urls = sorted(truth)
+    tp = fp = fn = 0
+    for u, v in combinations(urls, 2):
+        same_true = truth[u] == truth[v]
+        same_pred = url_to_cluster[u] == url_to_cluster[v]
+        if same_pred and same_true:
+            tp += 1
+        elif same_pred:
+            fp += 1
+        elif same_true:
+            fn += 1
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    assert precision > 0.9, (tp, fp, fn)
+    assert recall > 0.8, (tp, fp, fn)
+
+
+def test_distributed_cc_matches_driver(ray_session):
+    import random
+
+    import ray.data as rd
+
+    from merge_machine_ray.stages.clustering import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    # several ring/star components
+    for comp in range(10):
+        base = comp * 100
+        nodes = [base + i for i in range(rng.randint(2, 12))]
+        for i in range(len(nodes) - 1):
+            a, b = nodes[i], nodes[i + 1]
+            if rng.random() < 0.5:
+                a, b = b, a
+            edges.append({"a": a, "b": b})
+    ds = rd.from_items(edges)
+    drv = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(ds, mode="driver").take_all()}
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(ds, mode="distributed").take_all()}
+    assert drv == dist
+    assert _partition_signature(drv) == _partition_signature(dist)
