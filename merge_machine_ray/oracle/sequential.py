@@ -36,7 +36,8 @@ def _to_i64(u: int) -> int:
 
 
 class OracleDoc:
-    __slots__ = ("url", "doc_id", "host", "lang", "norm_text", "tok_hashes")
+    __slots__ = ("url", "doc_id", "host", "lang", "norm_text", "tok_hashes",
+                 "int_hashes")
 
 
 def featurize_rows(table: pa.Table, params: MatchParams,
@@ -61,6 +62,8 @@ def featurize_rows(table: pa.Table, params: MatchParams,
             d.host = ""
         d.lang = row.get("lang", "")
         d.tok_hashes = [_to_i64(crc_hash64(t)) for t in tokenize(d.norm_text)]
+        d.int_hashes = sorted({_to_i64(crc_hash64(t))
+                               for t in ANALYZERS["integers"](d.norm_text)})
         docs.append(d)
     return docs
 
@@ -139,10 +142,14 @@ def score_pair(da: OracleDoc, db: OracleDoc, idf: dict, params: MatchParams) -> 
     if na > 0 and nb > 0:
         dot = sum(v * wb[h] for h, v in wa.items() if h in wb)
         sim_text = dot / (na * nb)
+    sa, sb = set(da.int_hashes), set(db.int_hashes)
+    sim_ints = (len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+                if sa and sb else 0.0)
     sim_host = jaro_winkler(da.host, db.host) if (da.host and db.host) else 0.0
     sim_url = jaro_winkler(da.url, db.url) if (da.url and db.url) else 0.0
     sim_lang = 1.0 if (da.lang == db.lang and da.lang) else 0.0
-    return (params.w_text * sim_text + params.w_host * sim_host
+    return (params.w_text * sim_text + params.w_ints * sim_ints
+            + params.w_host * sim_host
             + params.w_url * sim_url + params.w_lang * sim_lang)
 
 

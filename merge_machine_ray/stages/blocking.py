@@ -36,7 +36,7 @@ from merge_machine_ray.functions.minhash import minhash_signature, token_shingle
 
 _MASK63 = (1 << 63) - 1
 
-_FEATURE_COLS = ("url", "host", "lang", "tok_hashes")
+_FEATURE_COLS = ("url", "host", "lang", "tok_hashes", "int_hashes")
 
 
 def band_hashes_for(tok_hashes: list[int], host: str, num_perm: int,
@@ -147,7 +147,8 @@ def _emit_pairs_fn(block_cap: int, feature_cols: tuple[str, ...]):
         }
         for c in feature_cols:
             for suf in ("_a", "_b"):
-                typ = (pa.list_(pa.int64()) if c == "tok_hashes" else pa.string())
+                typ = (pa.list_(pa.int64()) if c in ("tok_hashes", "int_hashes")
+                       else pa.string())
                 arrays[f"{c}{suf}"] = pa.array(out_cols[f"{c}{suf}"], typ)
         return pa.table(arrays)
 

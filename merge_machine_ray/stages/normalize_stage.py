@@ -68,12 +68,18 @@ class Featurize:
             doc_id = [int(i) for i in ids]
             hosts = [""] * len(ids)
 
+        integers = ANALYZERS["integers"]
         tok_hash_lists = []
+        int_hash_lists = []
         n_tokens = []
         for s in norm.to_pylist():
             toks = self._tokenize(s)
             n_tokens.append(len(toks))
             tok_hash_lists.append([_to_i64(crc_hash64(t)) for t in toks])
+            # integers-analyzer feature set (reference A3): ids/codes
+            # buried in text are strong per-entity discriminators
+            int_hash_lists.append(
+                sorted({_to_i64(crc_hash64(t)) for t in integers(s)}))
 
         cols: dict[str, pa.Array] = {}
         if "url" in names:
@@ -84,6 +90,7 @@ class Featurize:
             [""] * batch.num_rows, pa.string())
         cols["n_tokens"] = pa.array(n_tokens, pa.int32())
         cols["tok_hashes"] = pa.array(tok_hash_lists, pa.list_(pa.int64()))
+        cols["int_hashes"] = pa.array(int_hash_lists, pa.list_(pa.int64()))
         if self.keep_norm_text:
             cols["norm_text"] = norm
         return pa.table(cols)

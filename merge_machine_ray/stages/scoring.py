@@ -69,11 +69,13 @@ class PairScorer:
             return batch[name].to_pylist() if name in names else None
 
         toks_a, toks_b = col("tok_hashes_a"), col("tok_hashes_b")
+        ints_a, ints_b = col("int_hashes_a"), col("int_hashes_b")
         url_a, url_b = col("url_a"), col("url_b")
         host_a, host_b = col("host_a"), col("host_b")
         lang_a, lang_b = col("lang_a"), col("lang_b")
 
         sim_text = np.zeros(n)
+        sim_ints = np.zeros(n)
         sim_host = np.zeros(n)
         sim_url = np.zeros(n)
         sim_lang = np.zeros(n)
@@ -96,20 +98,27 @@ class PairScorer:
                 small, large = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
                 dot = sum(v * large[h] for h, v in small.items() if h in large)
                 sim_text[i] = dot / (na * nb)
+            if ints_a is not None:
+                sa, sb = set(ints_a[i]), set(ints_b[i])
+                if sa and sb:
+                    inter = len(sa & sb)
+                    sim_ints[i] = inter / (len(sa) + len(sb) - inter)
             if host_a is not None and host_a[i] and host_b[i]:
                 sim_host[i] = jaro_winkler(host_a[i], host_b[i])
             if url_a is not None and url_a[i] and url_b[i]:
                 sim_url[i] = jaro_winkler(url_a[i], url_b[i])
             if lang_a is not None and lang_a[i] and lang_a[i] == lang_b[i]:
                 sim_lang[i] = 1.0
-        score = (p.w_text * sim_text + p.w_host * sim_host
+        score = (p.w_text * sim_text + p.w_ints * sim_ints
+                 + p.w_host * sim_host
                  + p.w_url * sim_url + p.w_lang * sim_lang)
         out = {"a": batch["a"], "b": batch["b"]}
         if url_a is not None:
             out["url_a"] = batch["url_a"]
             out["url_b"] = batch["url_b"]
         out.update({
-            "sim_text": pa.array(sim_text), "sim_host": pa.array(sim_host),
+            "sim_text": pa.array(sim_text), "sim_ints": pa.array(sim_ints),
+            "sim_host": pa.array(sim_host),
             "sim_url": pa.array(sim_url), "sim_lang": pa.array(sim_lang),
             "score": pa.array(score),
             "is_match": pa.array(score >= p.threshold),

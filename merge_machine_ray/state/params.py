@@ -17,13 +17,15 @@ from dataclasses import asdict, dataclass, field
 
 @dataclass
 class MatchParams:
-    # field weights (ES template boost analog)
-    w_text: float = 0.6
-    w_host: float = 0.1
-    w_url: float = 0.1
-    w_lang: float = 0.2
+    # field weights (ES template boost analog); sim_ints is the
+    # integers-analyzer Jaccard (reference A3 — ids/codes in text)
+    w_text: float = 0.55
+    w_ints: float = 0.30
+    w_host: float = 0.03
+    w_url: float = 0.10
+    w_lang: float = 0.02
     # decision threshold on the weighted score (per-template best_thresh analog)
-    threshold: float = 0.62
+    threshold: float = 0.54
     # blocking configuration (the "index mapping" analog)
     analyzer: str = "standard"
     num_perm: int = 128
