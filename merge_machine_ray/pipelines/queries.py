@@ -1,0 +1,586 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2)
+with a DuckDB oracle-SQL twin where the semantics are SQL-expressible.
+
+Naming contract: every computed column is named IDENTICALLY in the Ray
+implementation and the SQL string (the driver hash-compares values after
+sorting columns by name). Money sums are rounded to 2 decimals and
+ratios/idf to 6 on BOTH sides so distributed float summation order can
+never flip the hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pc.round(t[col], ndigits=nd))
+
+
+def _quantize(t: pa.Table, col: str, out: str, scale: int) -> pa.Table:
+    """double → BIGINT fixed-point (cents/micro). Rounded doubles are not
+    bitwise-identical across engines (1-ulp round() differences break
+    value-hash comparison); integers are."""
+    q = pc.round(pc.multiply(t[col], pa.scalar(float(scale)))).cast(pa.int64())
+    i = t.column_names.index(col)
+    return t.set_column(i, out, q).rename_columns(
+        [out if c == col else c for c in t.column_names])
+
+
+# --------------------------------------------------------------- relational
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered grouped aggregates over lineitem
+    (SURVEY.md §2.6 aggregation family)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1997-09-02", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "revenue": rev,
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Sum("l_extendedprice", alias_name="sum_base_price"),
+                   Sum("revenue", alias_name="sum_revenue"),
+                   Mean("l_quantity", alias_name="avg_qty"),
+                   Count(alias_name="count_order"))
+
+    def post(t: pa.Table) -> pa.Table:
+        t = _round_col(t, "sum_qty", 2)   # integral quantities: exact double
+        t = _quantize(t, "sum_base_price", "base_price_cents", 100)
+        t = _quantize(t, "sum_revenue", "revenue_cents", 100)
+        t = _quantize(t, "avg_qty", "avg_qty_micro", 1_000_000)
+        return t.set_column(t.column_names.index("count_order"), "count_order",
+                            t["count_order"].cast(pa.int64()))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)  AS base_price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                                                          AS revenue_cents,
+       CAST(round(avg(l_quantity) * 1000000) AS BIGINT)   AS avg_qty_micro,
+       CAST(count(*) AS BIGINT)                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_segment(sf_dir: str):
+    """Broadcast hash join (small dim side via ray.put) + grouped sum —
+    the J5/J6 lookup-join pattern (SURVEY.md §2.5)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ref = ray.put(seg_map)
+
+    class AttachSegment:
+        def __init__(self, r):
+            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.m.get(k) for k in t["o_custkey"].to_pylist()]
+            t = t.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            return t.filter(pc.is_valid(t["c_mktsegment"]))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = orders.map_batches(AttachSegment, fn_constructor_kwargs={"r": ref},
+                             batch_format="pyarrow", concurrency=(1, 2)) \
+        .groupby("c_mktsegment") \
+        .aggregate(Sum("o_totalprice", alias_name="total_revenue"),
+                   Count(alias_name="n_orders"))
+
+    def post(t: pa.Table) -> pa.Table:
+        t = _quantize(t, "total_revenue", "revenue_cents", 100)
+        return t.set_column(t.column_names.index("n_orders"), "n_orders",
+                            t["n_orders"].cast(pa.int64()))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT)    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def nation_region_counts(sf_dir: str):
+    """Two-level broadcast dimension join: customer → nation → region."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"],
+                   nation["n_regionkey"].map(
+                       dict(zip(region["r_regionkey"], region["r_name"])))))
+    ref = ray.put(n2r)
+    from ray.data.aggregate import Count
+
+    class AttachRegion:
+        def __init__(self, r):
+            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = [self.m.get(k) for k in t["c_nationkey"].to_pylist()]
+            return t.append_column("r_name", pa.array(vals, pa.string()))
+
+    out = _read(sf_dir, "customer", ["c_nationkey"]) \
+        .map_batches(AttachRegion, fn_constructor_kwargs={"r": ref},
+                     batch_format="pyarrow", concurrency=(1, 2)) \
+        .groupby("r_name").aggregate(Count(alias_name="n_customers"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_customers"),
+                               "n_customers", t["n_customers"].cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+NATION_REGION_SQL = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def top10_orders(sf_dir: str):
+    """Global sort + limit (SURVEY.md §2.7 top-k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(10)
+
+
+TOP10_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def topk_per_priority(sf_dir: str, k: int = 3):
+    """Per-group top-k via groupby().map_groups (SURVEY.md §2.7 K1 —
+    the reference's per-query hit-list truncation)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def topk(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.groupby("o_orderpriority").map_groups(topk, batch_format="pyarrow")
+
+
+TOPK_PER_PRIORITY_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+WHERE rank <= 3
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped workload on the batch
+    engine): bucket = hour(ts), grouped counts + sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"hour": h, "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["hour", "event_type"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+
+    def post(t: pa.Table) -> pa.Table:
+        t = _quantize(t, "sum_value", "value_cents", 100)
+        return t.set_column(t.column_names.index("n_events"), "n_events",
+                            t["n_events"].cast(pa.int64()))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def distinct_types_per_user(sf_dir: str):
+    """count(distinct) via two-level groupby (pre-aggregation pattern)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = ds.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="_c"))
+    out = pairs.groupby("user_id").aggregate(Count(alias_name="n_types"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_types"), "n_types",
+                               t["n_types"].cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+DISTINCT_TYPES_SQL = """
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- documents
+def normalize_documents(sf_dir: str):
+    """M1-M4 normalization as a vectorized Arrow chain."""
+    from merge_machine_ray.functions.normalize import normalize_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "norm_text": normalize_column(t["text"])})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def doc_token_count(sf_dir: str):
+    from merge_machine_ray.stages.textstats import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lambda t: token_count(t), batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+FROM documents
+"""
+
+
+def doc_quality(sf_dir: str):
+    from merge_machine_ray.stages.textstats import add_quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def q(t: pa.Table) -> pa.Table:
+        t = add_quality_scores(t)
+        t = _quantize(t, "punct_ratio", "punct_micro", 1_000_000)
+        t = _quantize(t, "digit_ratio", "digit_micro", 1_000_000)
+        return t.select(["doc_id", "n_chars_q", "n_tokens_q",
+                         "punct_micro", "digit_micro"])
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens_q,
+       CAST(round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * 1000000) AS BIGINT) AS punct_micro,
+       CAST(round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * 1000000) AS BIGINT) AS digit_micro
+FROM documents
+"""
+
+
+def exact_dedup_docs(sf_dir: str):
+    """D1 exact dedup: min-id row per distinct text."""
+    from merge_machine_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def dedup_reinflate(sf_dir: str):
+    """D1 representative map (__SOURCE_GROUP analog)."""
+    from merge_machine_ray.stages.dedup import dedup_representatives
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_representatives(ds)
+
+
+DEDUP_REINFLATE_SQL = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM documents
+"""
+
+
+def idf_table(sf_dir: str):
+    """G7 corpus IDF with string tokens (partial-agg + groupby sum)."""
+    import re
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    word = re.compile(r"[a-z0-9]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for tok in set(word.findall((s or "").lower())):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"tok": pa.array(list(counts.keys()), pa.string()),
+                         "pdf": pa.array(list(counts.values()), pa.int64())})
+
+    dfs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("pdf", alias_name="df"))
+
+    def add_idf(t: pa.Table) -> pa.Table:
+        df = t["df"].cast(pa.int64())
+        idf = pc.round(pc.multiply(
+            pc.add(pc.ln(pc.divide(pa.scalar(float(n_docs + 1)),
+                                   pc.add(df.cast(pa.float64()),
+                                          pa.scalar(1.0)))),
+                   pa.scalar(1.0)),
+            pa.scalar(1e6))).cast(pa.int64())
+        return pa.table({"tok": t["tok"], "df": df, "idf_micro": idf})
+
+    return dfs.map_batches(add_idf, batch_format="pyarrow")
+
+
+IDF_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       CAST(round((ln(((SELECT count(*) FROM documents) + 1.0)
+                      / (count(*) + 1.0)) + 1.0) * 1000000) AS BIGINT)
+           AS idf_micro
+FROM toks GROUP BY tok
+"""
+
+
+def lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = _read(sf_dir, "documents", ["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_docs"), "n_docs",
+                               t["n_docs"].cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+LANG_DIST_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+"""
+
+
+def filter_must_not(sf_dir: str):
+    """M6 must/must_not token filter: contains 'spark' AND NOT 'slow'."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        must = pc.match_substring_regex(low, r"\bspark\b")
+        must_not = pc.match_substring_regex(low, r"\bslow\b")
+        keep = pc.and_(must, pc.invert(must_not))
+        return pa.table({"doc_id": t["doc_id"]}).filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+FILTER_SQL = """
+SELECT doc_id FROM documents
+WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'spark')
+  AND NOT list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'slow')
+"""
+
+
+def unique_langs(sf_dir: str):
+    import ray.data as rd
+
+    vals = _read(sf_dir, "documents", ["lang"]).unique("lang")
+    return rd.from_items([{"lang": v} for v in sorted(vals)])
+
+
+UNIQUE_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
+
+
+# --------------------------------------------- non-SQL (rows-only checked)
+def doc_fingerprints(sf_dir: str):
+    from merge_machine_ray.stages.textstats import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lambda t: fingerprint(t), batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+
+
+def lang_id_pred(sf_dir: str):
+    from merge_machine_ray.stages.textstats import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=(1, 2)) \
+        .select_columns(["doc_id", "lang_pred"])
+
+
+def minhash_near_dups(sf_dir: str):
+    from merge_machine_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, jaccard_threshold=0.5)
+
+
+def simhash_near_dups(sf_dir: str):
+    from merge_machine_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=8)
+
+
+def embedding_near_dups(sf_dir: str):
+    from merge_machine_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, cosine_threshold=0.9)
+
+
+def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
+    """Exact brute-force cosine top-k (query matrix broadcast once)."""
+    from merge_machine_ray.stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(ds.limit(64).take_all(), key=lambda r: r["vec_id"])
+    qrows = [r for r in qrows if r["vec_id"] < n_queries]
+    queries = {"ids": [r["vec_id"] for r in qrows],
+               "matrix": [list(r["embedding"]) for r in qrows]}
+    out = brute_force_topk(ds, queries, k=k)
+    return out.select_columns(["query_id", "vec_id", "rank"]).map_batches(
+        lambda t: t.set_column(t.column_names.index("rank"), "rank",
+                               t["rank"].cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+ANN_TOPK_SQL = """
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 5)
+WHERE rank <= 5
+"""
+
+
+def er_documents(sf_dir: str):
+    """Flagship ER on the documents table (text-only features)."""
+    from merge_machine_ray.pipelines.entity_resolution import resolve_entities
+    from merge_machine_ray.state.params import MatchParams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    p = MatchParams(w_text=0.9, w_ints=0.0, w_url=0.0, w_host=0.0,
+                    w_lang=0.1, threshold=0.8)
+    return resolve_entities(ds, p, id_col="doc_id", text_col="text")
+
+
+def build_queries() -> dict:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_by_segment": revenue_by_segment,
+        "nation_region_counts": nation_region_counts,
+        "top10_orders": top10_orders,
+        "topk_per_priority": topk_per_priority,
+        "events_hourly": events_hourly,
+        "distinct_types_per_user": distinct_types_per_user,
+        "normalize_documents": normalize_documents,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "exact_dedup_docs": exact_dedup_docs,
+        "dedup_reinflate": dedup_reinflate,
+        "idf_table": idf_table,
+        "lang_distribution": lang_distribution,
+        "filter_must_not": filter_must_not,
+        "unique_langs": unique_langs,
+        "ann_topk": ann_topk,
+        # rows-only (non-SQL-expressible distributed ops)
+        "doc_fingerprints": doc_fingerprints,
+        "lang_id_pred": lang_id_pred,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_near_dups": embedding_near_dups,
+        "er_documents": er_documents,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
+        "nation_region_counts": NATION_REGION_SQL,
+        "top10_orders": TOP10_ORDERS_SQL,
+        "topk_per_priority": TOPK_PER_PRIORITY_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "distinct_types_per_user": DISTINCT_TYPES_SQL,
+        "normalize_documents": NORMALIZE_SQL,
+        "doc_token_count": TOKEN_COUNT_SQL,
+        "doc_quality": DOC_QUALITY_SQL,
+        "exact_dedup_docs": EXACT_DEDUP_SQL,
+        "dedup_reinflate": DEDUP_REINFLATE_SQL,
+        "idf_table": IDF_SQL,
+        "lang_distribution": LANG_DIST_SQL,
+        "filter_must_not": FILTER_SQL,
+        "unique_langs": UNIQUE_LANGS_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+    }

@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast ONCE via ``ray.put``; every batch does one numpy matmul and
+  emits its local top-k per query; a final small
+  ``groupby(query_id).map_groups`` reduces to the global top-k. Shuffle
+  volume = O(num_queries × k × num_batches), never the corpus.
+* :func:`ivf_topk` — IVF scale path: k-means-lite centroids (sampled,
+  driver-side, seeded) assign every vector to a cell in one
+  ``map_batches`` pass; queries probe only ``nprobe`` cells, so the
+  matmul touches a fraction of the corpus. Exactness degrades gracefully
+  with nprobe — the standard IVF trade-off.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class _BatchTopK:
+    def __init__(self, q_ref, col: str, id_col: str, k: int):
+        import ray
+
+        q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.qids = q["ids"]
+        qm = np.asarray(q["matrix"], dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        self.q = qm / qn
+        self.col = col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        V = np.asarray(batch[self.col].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        V = V / n
+        S = self.q @ V.T  # (nq, nb)
+        k = min(self.k, S.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            top = np.argpartition(-S[qi], k - 1)[:k]
+            for t in top:
+                out_q.append(self.qids[qi])
+                out_v.append(int(ids[t]))
+                out_s.append(float(S[qi, t]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def _reduce_topk(k: int):
+    def reduce(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]).head(k)
+        df["rank"] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return reduce
+
+
+def brute_force_topk(ds, queries: dict, col: str = "embedding",
+                     id_col: str = "vec_id", k: int = 5):
+    """queries = {"ids": [int], "matrix": [[float]]} — exact cosine top-k.
+    Returns (query_id, vec_id, cosine, rank), k rows per query."""
+    import ray
+
+    q_ref = ray.put(queries)
+    partial = ds.map_batches(
+        _BatchTopK, fn_constructor_kwargs={
+            "q_ref": q_ref, "col": col, "id_col": id_col, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    return partial.groupby("query_id").map_groups(
+        _reduce_topk(k), batch_format="pyarrow")
+
+
+def train_centroids(ds, col: str = "embedding", n_cells: int = 16,
+                    sample_rows: int = 4096, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Driver-side k-means-lite on a bounded sample (seeded, numpy)."""
+    sample = ds.limit(sample_rows).to_pandas()[col].tolist()
+    X = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(C.shape[0]):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(0)
+    return C
+
+
+def ivf_topk(ds, queries: dict, col: str = "embedding",
+             id_col: str = "vec_id", k: int = 5, n_cells: int = 16,
+             nprobe: int = 4, centroids: np.ndarray | None = None):
+    """IVF-style ANN: restrict the matmul to the ``nprobe`` cells nearest
+    each query. One extra map_batches (cell assignment + filter)."""
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(ds, col=col, n_cells=n_cells)
+    qm = np.asarray(queries["matrix"], dtype=np.float64)
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe_cells = set()
+    for qi in range(qm.shape[0]):
+        probe_cells.update(np.argsort(qd[qi])[:nprobe].tolist())
+    c_ref = ray.put({"centroids": centroids, "cells": sorted(probe_cells)})
+
+    class CellFilter:
+        def __init__(self, ref):
+            got = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.C = got["centroids"]
+            self.cells = set(got["cells"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+            if V.size == 0:
+                return batch
+            d = ((V[:, None, :] - self.C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            mask = pa.array([int(x) in self.cells for x in a])
+            return batch.filter(mask)
+
+    filtered = ds.map_batches(CellFilter, fn_constructor_kwargs={"ref": c_ref},
+                              batch_format="pyarrow", concurrency=(1, 4))
+    return brute_force_topk(filtered, queries, col=col, id_col=id_col, k=k)

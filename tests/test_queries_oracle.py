@@ -1,0 +1,92 @@
+"""Driver-style conformance: every queries() entry with an oracle_sql()
+twin must match DuckDB row-for-row (order-insensitive) at sf0.01."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
+    assert list(sorted(got.columns)) == list(sorted(want.columns)), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = _canon(got), _canon(want)
+    for c in g.columns:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if np.issubdtype(g[c].dtype, np.floating):
+            np.testing.assert_allclose(
+                gv.astype(float), wv.astype(float), rtol=0, atol=1e-9,
+                err_msg=f"{name}.{c}")
+        else:
+            mismatch = (gv != wv)
+            assert not mismatch.any(), (
+                f"{name}.{c}: first diff at row {np.argmax(mismatch)}: "
+                f"{gv[np.argmax(mismatch)]} != {wv[np.argmax(mismatch)]}")
+
+
+def _query_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+
+    got = _to_pandas(e.queries()[name](SF_DIR))
+    want = _duck(e.oracle_sql()[name])
+    _compare(name, got, want)
+
+
+def test_rows_only_queries_run(ray_session):
+    """Non-SQL queries must at least run and return stable row counts."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    sqls = set(e.oracle_sql())
+    for name in sorted(set(q) - sqls):
+        df = _to_pandas(q[name](SF_DIR))
+        assert df is not None
+        assert len(df) >= 0
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = _to_pandas(e.entry())
+    assert len(df) > 0
+    assert {"doc_id", "cluster_id"} <= set(df.columns)
