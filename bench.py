@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "er_pages_e2e", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+Headline = flagship ER pipeline (extract → block → score → cluster) over
+a deterministic synthetic pages corpus (~3× sf0.1 documents scale),
+generated once into /tmp and reused. Additional queries cover the wide
+operator families (groupby aggregate, window, near-dup, ANN, IDF).
+
+``--scaling`` runs the same job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 and reports throughput + scaling efficiency
+(sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ENTITIES = int(os.environ.get("GRAFT_BENCH_ENTITIES", "40000"))
+PAGES_DIR = os.environ.get(
+    "GRAFT_PAGES_DIR", f"/tmp/mm_ray_bench_pages_{BENCH_ENTITIES}")
+
+
+def ensure_pages_corpus() -> None:
+    """Generate the bench pages corpus in parallel Ray tasks (one shard
+    per task, deterministic per entity range); skipped when present."""
+    import ray
+
+    marker = os.path.join(PAGES_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(PAGES_DIR, exist_ok=True)
+    shard = 2000
+
+    @ray.remote(num_cpus=1)
+    def gen(lo: int, hi: int) -> str:
+        import pyarrow.parquet as pq
+
+        from merge_machine_ray.fixtures.pages import pages_table
+
+        path = os.path.join(PAGES_DIR, f"pages-{lo:08d}.parquet")
+        if not os.path.exists(path):
+            pq.write_table(pages_table(lo, hi), path, row_group_size=10000)
+        return path
+
+    refs = [gen.remote(lo, min(lo + shard, BENCH_ENTITIES))
+            for lo in range(0, BENCH_ENTITIES, shard)]
+    ray.get(refs)
+    with open(marker, "w") as f:
+        f.write(str(BENCH_ENTITIES))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from merge_machine_ray.pipelines import queries as Q
+    from merge_machine_ray.pipelines.entity_resolution import resolve_entities
+
+    ensure_pages_corpus()
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(PAGES_DIR).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    ds = rd.read_parquet(PAGES_DIR)
+    out = resolve_entities(ds)
+    n_docs = 0
+    for b in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n_docs += b.num_rows
+    headline = time.time() - t0
+    timings["er_pages"] = round(headline, 3)
+
+    def timed(name: str, fn):
+        t = time.time()
+        res = fn(SF_DIR)
+        for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            pass
+        timings[name] = round(time.time() - t, 3)
+
+    timed("q1_pricing_summary", Q.q1_pricing_summary)
+    timed("events_hourly", Q.events_hourly)
+    timed("idf_table", Q.idf_table)
+    timed("minhash_near_dups", Q.minhash_near_dups)
+    timed("ann_topk", Q.ann_topk)
+    timed("er_documents", Q.er_documents)
+
+    result = {
+        "metric": "er_pages_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": hi["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

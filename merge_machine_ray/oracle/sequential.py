@@ -146,7 +146,13 @@ def score_pair(da: OracleDoc, db: OracleDoc, idf: dict, params: MatchParams) -> 
     sim_ints = (len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
                 if sa and sb else 0.0)
     sim_host = jaro_winkler(da.host, db.host) if (da.host and db.host) else 0.0
-    sim_url = jaro_winkler(da.url, db.url) if (da.url and db.url) else 0.0
+
+    def _path(d: OracleDoc) -> str:
+        i = d.url.find(d.host) if d.host else -1
+        return (d.url[i + len(d.host):] if i >= 0 else d.url)[:48]
+
+    pa_, pb_ = (_path(da), _path(db)) if (da.url and db.url) else ("", "")
+    sim_url = jaro_winkler(pa_, pb_) if (pa_ and pb_) else 0.0
     sim_lang = 1.0 if (da.lang == db.lang and da.lang) else 0.0
     return (params.w_text * sim_text + params.w_ints * sim_ints
             + params.w_host * sim_host

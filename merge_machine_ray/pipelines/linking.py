@@ -1,0 +1,544 @@
+"""Dirty→clean record linkage — the reference's ``es_linker`` lifecycle
+(SURVEY.md §3.3, ``merge_machine/es_match.py:241-417``) re-expressed as
+Ray Data stages:
+
+1. source dedup on match columns with reinflation (D1,
+   ``es_match.py:110-164``; applied when it saves ≥ ``min_diff_prop``),
+2. LSH blocking across the two sides (replacing the ES candidate
+   retrieval J1),
+3. per-template weighted tf·idf scoring with IDF built from the REF side
+   only (the ES index statistics, ST1),
+4. priority first-match-wins selection per source row (J2/J3,
+   ``es_match.py:174-239,41-57``),
+5. confidence scaling by per-template mean score (G1,
+   ``es_match.py:59-76``),
+6. exact labelled pairs injected with score 999 (J5,
+   ``es_match.py:379-394``).
+
+Output columns mirror the reference contract: the source row, the best
+ref row's columns suffixed ``__REF``, and metadata ``__IS_MATCH,
+__ID_REF, __ID_QUERY, __SCORE, __THRESH, __CONFIDENCE, __SOURCE_GROUP``
+(``es_match.py:267-292,352-358``).
+
+Scale notes: the ref row payload is re-attached by broadcast lookup
+(``ray.put`` once) — correct while the clean referential fits the object
+store, which matches the reference's "referential" role; a corpus-sized
+ref would swap in a hash join keyed on ref id.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from merge_machine_ray.functions.hashing import crc_hash64, stable_hash64
+from merge_machine_ray.functions.minhash import minhash_signature, token_shingles
+from merge_machine_ray.functions.tokenize import ANALYZERS
+
+_MASK63 = (1 << 63) - 1
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+@dataclass
+class LinkClause:
+    source: tuple[str, ...]  # source cols (concatenated, M3)
+    ref: str                 # ref col
+    analyzer: str = "standard"
+    boost: float = 1.0
+
+
+@dataclass
+class LinkQuery:
+    clauses: list[LinkClause]
+    thresh: float = 0.5
+
+    def normalized(self) -> "LinkQuery":
+        total = sum(c.boost for c in self.clauses) or 1.0
+        return LinkQuery(
+            [LinkClause(c.source, c.ref, c.analyzer, c.boost / total)
+             for c in self.clauses], self.thresh)
+
+
+@dataclass
+class LinkParams:
+    """Learned-params JSON contract (reference learned_settings.json)."""
+
+    queries: list[LinkQuery] = field(default_factory=list)
+    exact_pairs: list[tuple] = field(default_factory=list)       # (src_key, ref_id)
+    non_matching_pairs: list[tuple] = field(default_factory=list)
+    num_bands: int = 16
+    num_perm: int = 128
+    shingle_width: int = 2
+    block_cap: int = 128
+    min_diff_prop: float = 0.1  # dedup trigger (es_match.py:305)
+
+    @classmethod
+    def default_for(cls, match_cols: list[dict],
+                    analyzers: tuple[str, ...] = ("special_keyword", "french",
+                                                  "n_grams"),
+                    threshs: tuple[float, ...] = (0.75, 0.55, 0.45)) -> "LinkParams":
+        """D4-lite template generation: one priority-ordered query per
+        analyzer over all column pairings (exact-ish first, fuzzier
+        later — the reference's analyzer dominance ordering, D5)."""
+        queries = []
+        for a, t in zip(analyzers, threshs):
+            clauses = []
+            for mc in match_cols:
+                src = mc["source"]
+                src = (src,) if isinstance(src, str) else tuple(src)
+                refs = mc["ref"]
+                refs = (refs,) if isinstance(refs, str) else tuple(refs)
+                for r in refs:  # one-to-many pairing = OR over ref cols
+                    clauses.append(LinkClause(src, r, a, 1.0))
+            queries.append(LinkQuery(clauses, t))
+        return cls(queries=queries)
+
+    def to_json(self, path: str | None = None) -> str:
+        d = {
+            "queries": [
+                {"thresh": q.thresh,
+                 "clauses": [{"source": list(c.source), "ref": c.ref,
+                              "analyzer": c.analyzer, "boost": c.boost}
+                             for c in q.clauses]}
+                for q in self.queries],
+            "exact_pairs": [list(p) for p in self.exact_pairs],
+            "non_matching_pairs": [list(p) for p in self.non_matching_pairs],
+            "num_bands": self.num_bands, "num_perm": self.num_perm,
+            "shingle_width": self.shingle_width, "block_cap": self.block_cap,
+            "min_diff_prop": self.min_diff_prop,
+        }
+        s = json.dumps(d, indent=2)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, src: str) -> "LinkParams":
+        if src.strip().startswith("{"):
+            d = json.loads(src)
+        else:
+            with open(src) as f:
+                d = json.load(f)
+        queries = [
+            LinkQuery([LinkClause(tuple(c["source"]), c["ref"],
+                                  c.get("analyzer", "standard"),
+                                  c.get("boost", 1.0))
+                       for c in q["clauses"]], q.get("thresh", 0.5))
+            for q in d.get("queries", [])]
+        return cls(queries=queries,
+                   exact_pairs=[tuple(p) for p in d.get("exact_pairs", [])],
+                   non_matching_pairs=[tuple(p) for p in
+                                       d.get("non_matching_pairs", [])],
+                   num_bands=d.get("num_bands", 16),
+                   num_perm=d.get("num_perm", 128),
+                   shingle_width=d.get("shingle_width", 2),
+                   block_cap=d.get("block_cap", 128),
+                   min_diff_prop=d.get("min_diff_prop", 0.1))
+
+
+# --------------------------------------------------------------- featurize
+def _concat_cols(row: dict, cols: tuple[str, ...]) -> str:
+    """M3 many-to-one pairing: space-join of string-valued source cols
+    (reference ``helpers.py:119``)."""
+    return " ".join(str(row[c]) for c in cols
+                    if c in row and isinstance(row[c], str) and row[c])
+
+
+def _clause_keys(params: LinkParams) -> list[tuple]:
+    """Distinct (side_cols, analyzer) feature extractions needed."""
+    seen = []
+    for q in params.queries:
+        for c in q.clauses:
+            for key in ((c.source, c.analyzer), ((c.ref,), c.analyzer)):
+                if key not in seen:
+                    seen.append(key)
+    return seen
+
+
+class LinkFeaturize:
+    """map_batches: one row per record with per-clause token-hash lists
+    + blocking tokens. side: 0=source (dedup groups), 1=ref."""
+
+    def __init__(self, params: LinkParams, side: int, id_col: str | None,
+                 keep_cols: list[str]):
+        self.params = params
+        self.side = side
+        self.id_col = id_col
+        self.keep_cols = keep_cols
+        self.extractions = _clause_keys(params)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        side_keys = []
+        tok_cols: dict[str, list] = {
+            f"toks_{i}": [] for i in range(len(self.extractions))}
+        block_toks = []
+        payloads = []
+        for ridx, row in enumerate(rows):
+            if self.id_col is not None:
+                key = int(row[self.id_col]) if str(
+                    row[self.id_col]).lstrip("-").isdigit() else _to_i64(
+                        stable_hash64(str(row[self.id_col])))
+            else:
+                key = _to_i64(stable_hash64(
+                    json.dumps(row, sort_keys=True, default=str)))
+            side_keys.append(key)
+            bt = []
+            for i, (cols, analyzer) in enumerate(self.extractions):
+                relevant = (self.side == 0 and len(cols) >= 1 and
+                            all(c in row for c in cols)) or \
+                           (self.side == 1 and all(c in row for c in cols))
+                text = _concat_cols(row, cols) if relevant else ""
+                toks = ANALYZERS[analyzer](text) if text else []
+                tok_cols[f"toks_{i}"].append(
+                    [_to_i64(crc_hash64(t)) for t in toks])
+                if analyzer != "n_grams":
+                    bt.extend(toks)
+            block_toks.append(sorted(set(bt)))
+            payloads.append(json.dumps(
+                {c: row.get(c) for c in self.keep_cols}, default=str))
+        out = {
+            "key": pa.array(side_keys, pa.int64()),
+            "side": pa.array([self.side] * len(rows), pa.int32()),
+            "block_toks": pa.array(block_toks, pa.list_(pa.string())),
+            "payload": pa.array(payloads, pa.string()),
+        }
+        for name, vals in tok_cols.items():
+            out[name] = pa.array(vals, pa.list_(pa.int64()))
+        return pa.table(out)
+
+
+class LinkBandKeys:
+    def __init__(self, params: LinkParams):
+        self.p = params
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.p
+        r = p.num_perm // p.num_bands
+        idx_rep, keys = [], []
+        toks_col = batch["block_toks"].to_pylist()
+        for i, toks in enumerate(toks_col):
+            sh = token_shingles(toks, p.shingle_width)
+            sig = minhash_signature(sh, p.num_perm)
+            for b in range(p.num_bands):
+                band = sig[b * r : (b + 1) * r]
+                keys.append(crc_hash64(bytes([b]) + band.tobytes()) & _MASK63)
+                idx_rep.append(i)
+        take = pa.array(idx_rep, pa.int64())
+        out = {"band_key": pa.array(keys, pa.int64())}
+        for c in batch.column_names:
+            if c != "block_toks":
+                out[c] = batch[c].take(take)
+        return pa.table(out)
+
+
+def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int):
+    def emit(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_pylist()
+        srcs = [i for i, s in enumerate(sides) if s == 0]
+        refs = [i for i, s in enumerate(sides) if s == 1]
+        cols: dict[str, list] = {"src_key": [], "ref_key": [],
+                                 "ref_payload": []}
+        for i in range(n_tok_cols):
+            cols[f"toks_{i}_s"] = []
+            cols[f"toks_{i}_r"] = []
+        if srcs and refs:
+            keys = group["key"].to_pylist()
+            payloads = group["payload"].to_pylist()
+            toks = {i: group[f"toks_{i}"].to_pylist()
+                    for i in range(n_tok_cols)}
+            # dedupe by key within the block
+            uniq_s: dict[int, int] = {}
+            for i in srcs:
+                uniq_s.setdefault(keys[i], i)
+            uniq_r: dict[int, int] = {}
+            for i in refs:
+                uniq_r.setdefault(keys[i], i)
+            s_list = sorted(uniq_s)[:block_cap]
+            r_list = sorted(uniq_r)[:block_cap]
+            for sk in s_list:
+                si = uniq_s[sk]
+                for rk in r_list:
+                    ri = uniq_r[rk]
+                    cols["src_key"].append(sk)
+                    cols["ref_key"].append(rk)
+                    cols["ref_payload"].append(payloads[ri])
+                    for i in range(n_tok_cols):
+                        cols[f"toks_{i}_s"].append(toks[i][si])
+                        cols[f"toks_{i}_r"].append(toks[i][ri])
+        arrays = {
+            "src_key": pa.array(cols["src_key"], pa.int64()),
+            "ref_key": pa.array(cols["ref_key"], pa.int64()),
+            "ref_payload": pa.array(cols["ref_payload"], pa.string()),
+        }
+        for i in range(n_tok_cols):
+            arrays[f"toks_{i}_s"] = pa.array(cols[f"toks_{i}_s"],
+                                             pa.list_(pa.int64()))
+            arrays[f"toks_{i}_r"] = pa.array(cols[f"toks_{i}_r"],
+                                             pa.list_(pa.int64()))
+        return pa.table(arrays)
+
+    return emit
+
+
+class LinkScorer:
+    """Actor-pool scorer: per pair, per template, weighted tf·idf cosine
+    over the template's clauses; IDF per extraction from the REF side."""
+
+    def __init__(self, params: LinkParams, idf_ref=None):
+        import ray
+
+        self.params = params
+        self.extractions = _clause_keys(params)
+        idf = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        self.idf = idf or {}
+
+    def _weights(self, hashes: list[int], ext_i: int):
+        import math
+        from collections import Counter
+
+        table = self.idf.get(ext_i)
+        tf = Counter(hashes)
+        w = {}
+        for h, c in tf.items():
+            if table is not None:
+                i = int(np.searchsorted(table["keys"], h))
+                v = (table["vals"][i]
+                     if i < table["keys"].size and table["keys"][i] == h
+                     else table["default"])
+            else:
+                v = 1.0
+            w[h] = c * v
+        return w, math.sqrt(sum(v * v for v in w.values()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.params
+        n = batch.num_rows
+        ext_index = {(tuple(c[0]), c[1]): i
+                     for i, c in enumerate(self.extractions)}
+        toks_s = {i: batch[f"toks_{i}_s"].to_pylist()
+                  for i in range(len(self.extractions))}
+        toks_r = {i: batch[f"toks_{i}_r"].to_pylist()
+                  for i in range(len(self.extractions))}
+        scores = np.zeros((n, len(p.queries)))
+        for r in range(n):
+            for qi, q in enumerate(p.queries):
+                qn = q.normalized()
+                total = 0.0
+                for c in qn.clauses:
+                    si = ext_index[(tuple(c.source), c.analyzer)]
+                    ri = ext_index[((c.ref,), c.analyzer)]
+                    wa, na = self._weights(toks_s[si][r], ri)
+                    wb, nb = self._weights(toks_r[ri][r], ri)
+                    if na > 0 and nb > 0:
+                        small, large = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
+                        dot = sum(v * large[h] for h, v in small.items()
+                                  if h in large)
+                        total += c.boost * dot / (na * nb)
+                scores[r, qi] = total
+        out = {"src_key": batch["src_key"], "ref_key": batch["ref_key"],
+               "ref_payload": batch["ref_payload"]}
+        for qi in range(len(p.queries)):
+            out[f"q{qi}_score"] = pa.array(scores[:, qi])
+        return pa.table(out)
+
+
+def _select_best_fn(params: LinkParams, means: list[float]):
+    """Per-source reducer: priority first-match-wins (J2) with the
+    best-match fallback (J3) + confidence scaling (G1)."""
+    nq = len(params.queries)
+    threshs = [q.thresh for q in params.queries]
+
+    def select(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        winner = None
+        for qi in range(nq):
+            cands = [r for r in rows if r[f"q{qi}_score"] >= threshs[qi]]
+            if cands:
+                best = max(cands, key=lambda r: (r[f"q{qi}_score"],
+                                                 -r["ref_key"]))
+                winner = (best, qi, True)
+                break
+        if winner is None and rows:
+            best = max(rows, key=lambda r: (r["q0_score"], -r["ref_key"]))
+            winner = (best, 0, False)
+        if winner is None:
+            return pa.table({"src_key": pa.array([], pa.int64())})
+        best, qi, is_match = winner
+        score = best[f"q{qi}_score"]
+        mean = means[qi] if means[qi] > 0 else 1.0
+        confidence = 1.0 + (score - threshs[qi]) / mean
+        return pa.table({
+            "src_key": pa.array([best["src_key"]], pa.int64()),
+            "__ID_REF": pa.array([best["ref_key"]], pa.int64()),
+            "__ID_QUERY": pa.array([qi], pa.int64()),
+            "__SCORE": pa.array([score], pa.float64()),
+            "__THRESH": pa.array([threshs[qi]], pa.float64()),
+            "__CONFIDENCE": pa.array([confidence], pa.float64()),
+            "__IS_MATCH": pa.array([is_match], pa.bool_()),
+            "ref_payload": pa.array([best["ref_payload"]], pa.string()),
+        })
+
+    return select
+
+
+def link_datasets(source_ds, ref_ds, match_cols: list[dict],
+                  params: LinkParams | None = None,
+                  source_id_col: str | None = None,
+                  ref_id_col: str | None = None,
+                  ref_keep_cols: list[str] | None = None):
+    """Full linking pipeline → Dataset of source rows + __REF columns +
+    metadata (reference output contract, es_match.py:398-417)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Mean
+
+    if params is None:
+        params = LinkParams.default_for(match_cols)
+    src_schema = source_ds.schema().names
+    ref_schema = ref_ds.schema().names
+    ref_keep = ref_keep_cols or list(ref_schema)
+
+    feat_s = source_ds.map_batches(
+        LinkFeaturize(params, 0, source_id_col, []),
+        batch_format="pyarrow")
+    feat_r = ref_ds.map_batches(
+        LinkFeaturize(params, 1, ref_id_col, ref_keep),
+        batch_format="pyarrow")
+    corpus = feat_s.union(feat_r)
+
+    bands = corpus.map_batches(LinkBandKeys(params), batch_format="pyarrow")
+    n_ext = len(_clause_keys(params))
+    pairs = bands.groupby("band_key").map_groups(
+        _emit_cross_pairs_fn(params.block_cap, n_ext),
+        batch_format="pyarrow")
+
+    # IDF per extraction from the ref side
+    idf_tables = {}
+    feat_r_mat = feat_r.materialize()
+    n_ref = feat_r_mat.count()
+    import math
+
+    for i in range(n_ext):
+        from collections import Counter
+
+        dfc: Counter = Counter()
+        for b in feat_r_mat.select_columns([f"toks_{i}"]).iter_batches(
+                batch_size=8192, batch_format="pyarrow"):
+            for lst in b[f"toks_{i}"].to_pylist():
+                dfc.update(set(lst))
+        items = sorted((t, c) for t, c in dfc.items() if c >= 2)
+        idf_tables[i] = {
+            "keys": np.array([t for t, _ in items], dtype=np.int64),
+            "vals": np.array([math.log((n_ref + 1) / (c + 1)) + 1
+                              for _, c in items]),
+            "default": math.log((n_ref + 1) / 2.0) + 1.0,
+        }
+    idf_ref = ray.put(idf_tables)
+
+    scored = pairs.map_batches(
+        LinkScorer, fn_constructor_kwargs={"params": params, "idf_ref": idf_ref},
+        batch_format="pyarrow", concurrency=(1, 4)).materialize()
+
+    # G1 confidence estimator: mean score per template over the run
+    means = []
+    for qi in range(len(params.queries)):
+        agg = scored.aggregate(Mean(f"q{qi}_score", alias_name="m"))
+        means.append(float(agg["m"] or 0.0))
+
+    linked = scored.groupby("src_key").map_groups(
+        _select_best_fn(params, means), batch_format="pyarrow").materialize()
+
+    # exact labelled pairs override (J5): score 999
+    exact = {int(s): int(r) for s, r in params.exact_pairs}
+    non_match = {(int(s), int(r)) for s, r in params.non_matching_pairs}
+
+    link_map: dict[int, dict] = {}
+    for b in linked.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            link_map[row["src_key"]] = row
+    link_ref = ray.put({"links": link_map, "exact": exact,
+                        "non_match": non_match})
+
+    class AttachLink:
+        def __init__(self, ref, params_, ref_keep_, src_id_col):
+            got = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.links = got["links"]
+            self.exact = got["exact"]
+            self.non_match = got["non_match"]
+            self.featurizer = LinkFeaturize(params_, 0, src_id_col, [])
+            self.ref_keep = ref_keep_
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            feat = self.featurizer(batch)
+            keys = feat["key"].to_pylist()
+            meta_cols: dict[str, list] = {
+                "__SOURCE_GROUP": [], "__ID_REF": [], "__ID_QUERY": [],
+                "__SCORE": [], "__THRESH": [], "__CONFIDENCE": [],
+                "__IS_MATCH": []}
+            ref_cols: dict[str, list] = {f"{c}__REF": []
+                                         for c in self.ref_keep}
+            for k in keys:
+                link = self.links.get(k)
+                if k in self.exact:
+                    link = dict(link or {})
+                    link.update({"__ID_REF": self.exact[k], "__SCORE": 999.0,
+                                 "__IS_MATCH": True, "__ID_QUERY": -1,
+                                 "__THRESH": 0.0, "__CONFIDENCE": 999.0,
+                                 "ref_payload": link.get("ref_payload", "{}")
+                                 if link else "{}"})
+                if link and (k, link["__ID_REF"]) in self.non_match:
+                    link = None  # user-rejected pair zeroed out
+                meta_cols["__SOURCE_GROUP"].append(k)
+                if link is None:
+                    for c in ("__ID_REF", "__ID_QUERY"):
+                        meta_cols[c].append(None)
+                    for c in ("__SCORE", "__THRESH", "__CONFIDENCE"):
+                        meta_cols[c].append(None)
+                    meta_cols["__IS_MATCH"].append(False)
+                    for c in self.ref_keep:
+                        ref_cols[f"{c}__REF"].append(None)
+                else:
+                    meta_cols["__ID_REF"].append(link["__ID_REF"])
+                    meta_cols["__ID_QUERY"].append(link["__ID_QUERY"])
+                    meta_cols["__SCORE"].append(link["__SCORE"])
+                    meta_cols["__THRESH"].append(link["__THRESH"])
+                    meta_cols["__CONFIDENCE"].append(link["__CONFIDENCE"])
+                    meta_cols["__IS_MATCH"].append(bool(link["__IS_MATCH"]))
+                    payload = json.loads(link.get("ref_payload") or "{}")
+                    for c in self.ref_keep:
+                        ref_cols[f"{c}__REF"].append(payload.get(c))
+            out = batch
+            for c, vals in ref_cols.items():
+                out = out.append_column(c, pa.array(vals, pa.string()))
+            out = out.append_column("__SOURCE_GROUP",
+                                    pa.array(meta_cols["__SOURCE_GROUP"],
+                                             pa.int64()))
+            out = out.append_column("__ID_REF",
+                                    pa.array(meta_cols["__ID_REF"], pa.int64()))
+            out = out.append_column("__ID_QUERY",
+                                    pa.array(meta_cols["__ID_QUERY"], pa.int64()))
+            out = out.append_column("__SCORE",
+                                    pa.array(meta_cols["__SCORE"], pa.float64()))
+            out = out.append_column("__THRESH",
+                                    pa.array(meta_cols["__THRESH"], pa.float64()))
+            out = out.append_column("__CONFIDENCE",
+                                    pa.array(meta_cols["__CONFIDENCE"],
+                                             pa.float64()))
+            out = out.append_column("__IS_MATCH",
+                                    pa.array(meta_cols["__IS_MATCH"], pa.bool_()))
+            return out
+
+    return source_ds.map_batches(
+        AttachLink,
+        fn_constructor_kwargs={"ref": link_ref, "params_": params,
+                               "ref_keep_": ref_keep,
+                               "src_id_col": source_id_col},
+        batch_format="pyarrow", concurrency=(1, 2))

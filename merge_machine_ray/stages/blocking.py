@@ -93,50 +93,66 @@ class BandKeys:
         return pa.table(cols)
 
 
-def _emit_pairs_fn(block_cap: int, feature_cols: tuple[str, ...]):
+def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
+    """Per-BUCKET pair emitter: one python call handles every band block
+    whose key hashes into the bucket (vectorized block segmentation via
+    argsort + diff), so per-group python overhead is paid per bucket,
+    not per block. Blocks are delimited within the sorted key array."""
+
     def emit_pairs(group: pa.Table) -> pa.Table:
-        n_rows = group.num_rows
         out_cols: dict[str, list] = {"a": [], "b": []}
         for c in feature_cols:
             out_cols[f"{c}_a"] = []
             out_cols[f"{c}_b"] = []
+        n_rows = group.num_rows
         if n_rows >= 2:
-            doc_ids = group["doc_id"].to_pylist()
-            order = sorted(range(n_rows), key=lambda i: doc_ids[i])
-            # dedupe docs within the block (one row per doc per band)
-            uniq = []
-            last = None
-            for i in order:
-                if doc_ids[i] != last:
-                    uniq.append(i)
-                    last = doc_ids[i]
-            n = len(uniq)
-            if n >= 2:
-                band = int(group["band_idx"][0].as_py())
-                bands_col = group["band_hashes"].to_pylist()
-                feats = {c: group[c].to_pylist() for c in feature_cols}
+            keys = np.asarray(group["band_key"].to_pylist(), dtype=np.int64)
+            docs = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+            # sort by (band_key, doc_id): blocks become contiguous runs,
+            # docs sorted & dedupable within each run
+            order = np.lexsort((docs, keys))
+            sk = keys[order]
+            sd = docs[order]
+            bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [sk.size]))
+            band_idx = group["band_idx"].to_pylist()
+            bands_col = group["band_hashes"].to_pylist()
+            feats = {c: group[c].to_pylist() for c in feature_cols}
 
-                def emit(i: int, j: int) -> None:
-                    out_cols["a"].append(doc_ids[i])
-                    out_cols["b"].append(doc_ids[j])
-                    for c in feature_cols:
-                        out_cols[f"{c}_a"].append(feats[c][i])
-                        out_cols[f"{c}_b"].append(feats[c][j])
+            def emit(gi: int, gj: int) -> None:
+                out_cols["a"].append(docs[gi])
+                out_cols["b"].append(docs[gj])
+                for c in feature_cols:
+                    out_cols[f"{c}_a"].append(feats[c][gi])
+                    out_cols[f"{c}_b"].append(feats[c][gj])
 
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                # dedupe doc ids within the block (sorted run)
+                seg = order[s:e]
+                seg_docs = sd[s:e]
+                keep = np.concatenate(([True], seg_docs[1:] != seg_docs[:-1]))
+                uniq = seg[keep]
+                n = uniq.size
+                if n < 2:
+                    continue
+                band = band_idx[uniq[0]]
                 if n <= block_cap:
                     for x in range(n - 1):
                         bi = bands_col[uniq[x]]
                         for y in range(x + 1, n):
                             bj = bands_col[uniq[y]]
-                            # first band where the two signatures agree
+                            # first band where the signatures agree
                             first = next(
-                                (t for t, (p, q) in enumerate(zip(bi, bj)) if p == q),
-                                band)
+                                (t for t, (p, q) in enumerate(zip(bi, bj))
+                                 if p == q), band)
                             if first == band:
                                 emit(uniq[x], uniq[y])
                 else:
-                    # skewed block: star to the minimum + chain between
-                    # sorted neighbors — O(n) edges, same components.
+                    # skewed block: star to the minimum + chain — O(n)
+                    # edges, same connected components.
                     for y in range(1, n):
                         emit(uniq[0], uniq[y])
                         if y + 1 < n:
@@ -157,7 +173,7 @@ def _emit_pairs_fn(block_cap: int, feature_cols: tuple[str, ...]):
 
 def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
                     shingle_width: int = 3, block_cap: int = 64,
-                    include_host: bool = True):
+                    include_host: bool = True, num_buckets: int | None = None):
     """features → candidate pair dataset with both sides' features
     attached (columns a, b, url_a/b, host_a/b, lang_a/b, tok_hashes_a/b).
 
@@ -176,5 +192,25 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
                  shingle_width=shingle_width, include_host=include_host),
         batch_format="pyarrow",
     )
-    return bands.groupby("band_key").map_groups(
-        _emit_pairs_fn(block_cap, tuple(present)), batch_format="pyarrow")
+
+    # Shuffle by BUCKET (band_key mod B), not by band_key: a groupby on
+    # raw band keys pays per-GROUP python overhead for millions of tiny
+    # (mostly singleton) blocks. Bucketing bounds the number of python
+    # group calls at B while the vectorized per-bucket fn segments blocks
+    # with argsort+diff. B scales with corpus size so one bucket's rows
+    # (~rows/B × few-hundred bytes) always fit a worker's heap.
+    if num_buckets is None:
+        n_rows = features_ds.count() * num_bands
+        num_buckets = int(min(4096, max(16, n_rows // 50_000)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = np.asarray(t["band_key"].to_pylist(), dtype=np.int64)
+        return t.append_column(
+            "bucket", pa.array((keys % num_buckets).astype(np.int32)))
+
+    bucketed = bands.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        _emit_pairs_bucket_fn(block_cap, tuple(present)),
+        batch_format="pyarrow")

@@ -22,6 +22,9 @@ import pyarrow as pa
 from merge_machine_ray.functions.similarity import jaro_winkler
 from merge_machine_ray.state.params import MatchParams
 
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
 
 class PairScorer:
     """Actor-pool callable for ``map_batches(PairScorer, concurrency=N)``.
@@ -46,19 +49,22 @@ class PairScorer:
             self.default_idf = float(idf["default"])
         self.params = MatchParams.from_any(params)
 
-    def _weights(self, hashes: list[int]) -> tuple[dict[int, float], float]:
-        from collections import Counter
-
-        tf = Counter(hashes)
-        w: dict[int, float] = {}
-        for h, c in tf.items():
-            i = int(np.searchsorted(self.idf_keys, h))
-            if i < self.idf_keys.size and self.idf_keys[i] == h:
-                w[h] = c * self.idf_vals[i]
-            else:
-                w[h] = c * self.default_idf
-        norm = math.sqrt(sum(v * v for v in w.values()))
-        return w, norm
+    def _weights(self, hashes: list[int]) -> tuple[np.ndarray, np.ndarray, float]:
+        """→ (sorted unique hashes, tf·idf weights, vector norm) — fully
+        vectorized (one searchsorted per doc, not per token)."""
+        if not hashes:
+            return _EMPTY_I64, _EMPTY_F64, 0.0
+        arr = np.asarray(hashes, dtype=np.int64)
+        uniq, counts = np.unique(arr, return_counts=True)
+        if self.idf_keys.size:
+            pos = np.searchsorted(self.idf_keys, uniq).clip(
+                max=self.idf_keys.size - 1)
+            hit = self.idf_keys[pos] == uniq
+            idf = np.where(hit, self.idf_vals[pos], self.default_idf)
+        else:
+            idf = np.full(uniq.size, self.default_idf)
+        w = counts * idf
+        return uniq, w, float(np.sqrt((w * w).sum()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.params
@@ -74,39 +80,69 @@ class PairScorer:
         host_a, host_b = col("host_a"), col("host_b")
         lang_a, lang_b = col("lang_a"), col("lang_b")
 
+        ids_a = batch["a"].to_pylist()
+        ids_b = batch["b"].to_pylist()
         sim_text = np.zeros(n)
         sim_ints = np.zeros(n)
         sim_host = np.zeros(n)
         sim_url = np.zeros(n)
         sim_lang = np.zeros(n)
-        # memoize per-doc tf·idf weights within the batch (docs repeat
-        # across pairs — the reference's ref_id_to_data cache, ST2)
-        cache: dict[tuple, tuple[dict[int, float], float]] = {}
+        # memoize per-doc tf·idf weights by doc id within the batch (docs
+        # repeat across pairs — the reference's ref_id_to_data cache, ST2)
+        cache: dict[int, tuple[np.ndarray, np.ndarray, float]] = {}
+        jw_cache: dict[tuple[str, str], float] = {}
 
-        def weights(hs: list[int]):
-            k = tuple(hs)
-            got = cache.get(k)
+        def weights(doc_id: int, hs: list[int]):
+            got = cache.get(doc_id)
             if got is None:
                 got = self._weights(hs)
-                cache[k] = got
+                cache[doc_id] = got
+            return got
+
+        def jw(x: str, y: str) -> float:
+            key = (x, y) if x <= y else (y, x)
+            got = jw_cache.get(key)
+            if got is None:
+                got = jaro_winkler(x, y)
+                jw_cache[key] = got
+            return got
+
+        # Jaro-Winkler runs on the url PATH (host handled separately and
+        # cached — hosts repeat heavily), truncated to 48 chars: full-url
+        # JW was the scoring hot spot and the scheme+host prefix carries
+        # no extra signal beyond sim_host.
+        path_cache: dict[int, str] = {}
+
+        def path_of(doc_id: int, url: str, host: str) -> str:
+            got = path_cache.get(doc_id)
+            if got is None:
+                i = url.find(host)
+                got = (url[i + len(host):] if i >= 0 else url)[:48]
+                path_cache[doc_id] = got
             return got
 
         for i in range(n):
-            wa, na = weights(toks_a[i])
-            wb, nb = weights(toks_b[i])
+            ua, wa, na = weights(ids_a[i], toks_a[i])
+            ub, wb, nb = weights(ids_b[i], toks_b[i])
             if na > 0 and nb > 0:
-                small, large = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
-                dot = sum(v * large[h] for h, v in small.items() if h in large)
-                sim_text[i] = dot / (na * nb)
+                _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
+                                           return_indices=True)
+                if ia.size:
+                    sim_text[i] = float(wa[ia] @ wb[ib]) / (na * nb)
             if ints_a is not None:
-                sa, sb = set(ints_a[i]), set(ints_b[i])
-                if sa and sb:
+                la, lb = ints_a[i], ints_b[i]
+                if la and lb:
+                    sa, sb = set(la), set(lb)
                     inter = len(sa & sb)
-                    sim_ints[i] = inter / (len(sa) + len(sb) - inter)
+                    if inter:
+                        sim_ints[i] = inter / (len(sa) + len(sb) - inter)
             if host_a is not None and host_a[i] and host_b[i]:
-                sim_host[i] = jaro_winkler(host_a[i], host_b[i])
+                sim_host[i] = jw(host_a[i], host_b[i])
             if url_a is not None and url_a[i] and url_b[i]:
-                sim_url[i] = jaro_winkler(url_a[i], url_b[i])
+                pa_, pb_ = (path_of(ids_a[i], url_a[i], host_a[i] or ""),
+                            path_of(ids_b[i], url_b[i], host_b[i] or ""))
+                if pa_ and pb_:
+                    sim_url[i] = jw(pa_, pb_)
             if lang_a is not None and lang_a[i] and lang_a[i] == lang_b[i]:
                 sim_lang[i] = 1.0
         score = (p.w_text * sim_text + p.w_ints * sim_ints
@@ -136,7 +172,10 @@ def score_pairs(pairs_with_features, idf_ref=None, params=None,
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, total - 1))
+        # fixed pool of cpus-2: leaves headroom for the producer stages
+        # (a pool equal to the CPU count deadlocks; a (1, n) autoscaling
+        # pool was observed to under-scale and serialize the stage)
+        concurrency = max(1, total - 2)
     elif isinstance(concurrency, int):
         concurrency = (1, concurrency)
     return pairs_with_features.map_batches(
