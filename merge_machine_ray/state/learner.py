@@ -65,7 +65,9 @@ def learn_threshold(scores, labels, t_p: float = TARGET_PRECISION,
     utility = _shape_precision(rolling_precision, t_p) * \
         _shape_recall(rolling_recall, t_r)
     utility[: min_obs - 1] = -np.inf  # too few observations above cut
-    best = int(np.argmax(utility))
+    # among equal-utility cuts take the LAST (deepest) one: same shaped
+    # quality, maximal recall
+    best = int(utility.size - 1 - np.argmax(utility[::-1]))
     if best == s.size - 1:
         # best cut keeps everything → threshold carries no information;
         # fall back to just below the minimum score (reference: ≈0)

@@ -1,0 +1,97 @@
+"""Dirty→clean linking pipeline tests (reference es_linker lifecycle,
+SURVEY.md §3.3) + threshold learner (G2) + auto-label (J7)."""
+
+import numpy as np
+import pytest
+
+from merge_machine_ray.fixtures.dirty_clean import (
+    CERTAIN_KEY,
+    MATCH_COLS,
+    ref_table,
+    source_table,
+)
+from merge_machine_ray.pipelines.linking import (
+    LinkParams,
+    link_datasets,
+)
+from merge_machine_ray.state.learner import auto_label, learn_threshold
+
+N_REF = 300
+N_SRC = 200
+
+
+@pytest.fixture(scope="module")
+def tables():
+    ref = ref_table(N_REF)
+    src = source_table(N_REF, N_SRC)
+    truth = src["_ref_idx"].to_pylist()
+    src = src.drop_columns(["_ref_idx"])
+    return src, ref, truth
+
+
+def test_auto_label_key_join(tables):
+    src, ref, truth = tables
+    labels = auto_label(src.to_pylist(), ref.to_pylist(),
+                        CERTAIN_KEY["source"], CERTAIN_KEY["ref"])
+    assert len(labels) > N_SRC * 0.4
+    for si, rj, y in labels:
+        assert y and truth[si] == rj  # key join agrees with planted truth
+
+
+def test_learn_threshold_shapes():
+    rng = np.random.RandomState(0)
+    pos = 0.7 + 0.2 * rng.rand(50)
+    neg = 0.1 + 0.3 * rng.rand(200)
+    scores = np.concatenate([pos, neg])
+    labels = np.array([True] * 50 + [False] * 200)
+    th, p, r = learn_threshold(scores, labels)
+    assert th is not None and 0.3 < th < 0.75
+    assert p >= 0.95 and r >= 0.3
+    # degenerate: too few observations
+    assert learn_threshold([0.5], [True])[0] is None
+
+
+def test_link_end_to_end(ray_session, tables):
+    import ray.data as rd
+
+    src, ref, truth = tables
+    params = LinkParams.default_for(MATCH_COLS)
+    # exact labelled pair injection (J5): label source row 0 by hand
+    src_rows = src.to_pylist()
+    params.exact_pairs = []
+
+    out = link_datasets(
+        rd.from_arrow(src), rd.from_arrow(ref), MATCH_COLS, params,
+        source_id_col="id_row", ref_id_col=None,
+        ref_keep_cols=["numero_uai", "denomination", "localite"])
+    df = out.to_pandas()
+    assert len(df) == N_SRC  # output length conservation (es_match.py:397)
+    for c in ("__IS_MATCH", "__ID_REF", "__ID_QUERY", "__SCORE", "__THRESH",
+              "__CONFIDENCE", "__SOURCE_GROUP", "numero_uai__REF",
+              "denomination__REF"):
+        assert c in df.columns, c
+
+    # quality: among rows flagged as matches, the linked ref row should
+    # be the planted one (measured by numero_uai equality)
+    ref_rows = ref.to_pylist()
+    want_uai = {str(i): ref_rows[j]["numero_uai"]
+                for i, j in enumerate(truth)}
+    matched = df[df["__IS_MATCH"]]
+    assert len(matched) > N_SRC * 0.5, f"only {len(matched)} matches"
+    correct = sum(want_uai[r.id_row] == r.numero_uai__REF
+                  for r in matched.itertuples())
+    precision = correct / len(matched)
+    assert precision > 0.9, f"linking precision {precision:.3f}"
+
+
+def test_link_params_json_roundtrip(tmp_path):
+    params = LinkParams.default_for(MATCH_COLS)
+    params.exact_pairs = [(1, 2)]
+    p = tmp_path / "params.json"
+    params.to_json(str(p))
+    back = LinkParams.from_json(str(p))
+    assert len(back.queries) == len(params.queries)
+    assert back.queries[0].thresh == params.queries[0].thresh
+    assert back.queries[0].clauses[0].analyzer == \
+        params.queries[0].clauses[0].analyzer
+    assert back.exact_pairs == [(1, 2)]
