@@ -1,0 +1,163 @@
+"""Resumable flagship ER: every stage checkpoints partitioned Parquet
+with lineage metadata (north-rule requirement). A killed run re-executes
+ONLY missing partitions.
+
+Stage layout under ``out_root``::
+
+    features/   one partition per input shard  (shard-parallel Ray tasks)
+    bands/      one partition per input shard  (band keys + features)
+    edges/      one partition per bucket-range (filter → pairgen → score)
+    clusters/   single partition (connected components over all edges)
+    output/     one partition per input shard  (cluster id fill)
+
+Lineage: each stage manifest records the input fingerprint (upstream
+manifest fingerprint + file list) and the config fingerprint (params).
+Changing either invalidates that stage and everything downstream, so a
+resume can never mix stale partitions (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from merge_machine_ray.io.checkpoint import StageCheckpoint, fingerprint_of
+from merge_machine_ray.state.params import MatchParams
+
+
+def _shard_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def resolve_entities_resumable(input_paths: list[str], out_root: str,
+                               params: MatchParams | None = None,
+                               edge_ranges: int = 8,
+                               num_buckets: int = 256):
+    """→ ray.data.Dataset[(url, doc_id, cluster_id)], checkpointed.
+
+    ``input_paths``: parquet shards of the pages table. Deterministic
+    given inputs + params; safe to re-invoke after a kill.
+    """
+    import ray
+    import ray.data as rd
+
+    p = MatchParams.from_any(params)
+    cfg_fp = fingerprint_of(
+        {k: getattr(p, k) for k in ("analyzer", "num_perm", "num_bands",
+                                    "shingle_width", "block_cap", "threshold",
+                                    "w_text", "w_ints", "w_host", "w_url",
+                                    "w_lang")})
+    input_paths = sorted(input_paths)
+    in_fp = fingerprint_of(input_paths)
+
+    # ---- stage 1+2: features + band keys per input shard --------------
+    feat_ck = StageCheckpoint(out_root, "features", in_fp, cfg_fp)
+    band_ck = StageCheckpoint(out_root, "bands", in_fp, cfg_fp)
+    shard_ids = [_shard_id(f) for f in input_paths]
+    path_of = dict(zip(shard_ids, input_paths))
+
+    pending = sorted(set(feat_ck.pending(shard_ids))
+                     | set(band_ck.pending(shard_ids)))
+    if pending:
+        from merge_machine_ray.stages.blocking import BandKeys
+        from merge_machine_ray.stages.normalize_stage import Featurize
+
+        @ray.remote(num_cpus=1)
+        def compute(pid: str):
+            table = pq.read_table(path_of[pid])
+            feats = Featurize(analyzer=p.analyzer)(table)
+            bands = BandKeys(p.num_perm, p.num_bands, p.shingle_width,
+                             True)(feats)
+            keys = np.asarray(bands["band_key"].to_pylist(), dtype=np.int64)
+            bands = bands.append_column(
+                "bucket", pa.array((keys % num_buckets).astype(np.int32)))
+            return pid, feats, bands
+
+        for pid, feats, bands in ray.get([compute.remote(x) for x in pending]):
+            if not feat_ck.is_done(pid):
+                feat_ck.write_partition(pid, feats)
+            if not band_ck.is_done(pid):
+                band_ck.write_partition(pid, bands)
+
+    features = feat_ck.read_all()
+
+    # ---- IDF (cheap, derived from features checkpoint) ----------------
+    from merge_machine_ray.stages.idf import build_idf_table
+
+    idf_ref = ray.put(build_idf_table(features))
+
+    # ---- stage 3: edges per bucket-range ------------------------------
+    bands_fp = fingerprint_of([in_fp, cfg_fp, "bands", num_buckets])
+    edge_ck = StageCheckpoint(out_root, "edges", bands_fp, cfg_fp)
+    range_ids = [f"r{k:04d}" for k in range(edge_ranges)]
+    from merge_machine_ray.stages.blocking import (
+        _FEATURE_COLS,
+        _emit_pairs_bucket_fn,
+    )
+    from merge_machine_ray.stages.scoring import score_pairs
+
+    present = tuple(c for c in _FEATURE_COLS
+                    if c in features.schema().names)
+    for k, rid in enumerate(range_ids):
+        if edge_ck.is_done(rid):
+            continue
+        bands = band_ck.read_all()
+        lo = k * num_buckets // edge_ranges
+        hi = (k + 1) * num_buckets // edge_ranges
+        sub = bands.filter(expr=f"bucket >= {lo} and bucket < {hi}")
+        pairs = sub.groupby("bucket").map_groups(
+            _emit_pairs_bucket_fn(p.block_cap, present),
+            batch_format="pyarrow")
+        scored = score_pairs(pairs, idf_ref=idf_ref, params=p)
+        edges = scored.filter(expr="is_match").select_columns(["a", "b"])
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"))
+            or [pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})])
+        edge_ck.write_partition(rid, tbl)
+
+    # ---- stage 4: clustering ------------------------------------------
+    clus_ck = StageCheckpoint(out_root, "clusters",
+                              fingerprint_of([bands_fp, "edges"]), cfg_fp)
+    if not clus_ck.is_done("all"):
+        from merge_machine_ray.stages.clustering import connected_components
+
+        assign = connected_components(edge_ck.read_all(), mode="auto")
+        tbl = pa.concat_tables(
+            list(assign.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"))
+            or [pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64())})])
+        clus_ck.write_partition("all", tbl)
+
+    assign_map: dict[int, int] = {}
+    t = pq.read_table(clus_ck.partition_path("all"))
+    for d, c in zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()):
+        assign_map[d] = c
+    assign_ref = ray.put(assign_map)
+
+    # ---- stage 5: output per input shard ------------------------------
+    out_ck = StageCheckpoint(out_root, "output",
+                             fingerprint_of([in_fp, cfg_fp, "clusters"]),
+                             cfg_fp)
+    pending_out = out_ck.pending(shard_ids)
+    if pending_out:
+        @ray.remote(num_cpus=1)
+        def fill(pid: str, ref):
+            amap = ref
+            feats = pq.read_table(feat_ck.partition_path(pid))
+            keep = [c for c in ("url", "doc_id") if c in feats.column_names]
+            out = feats.select(keep)
+            cl = [amap.get(d, d) for d in out["doc_id"].to_pylist()]
+            return pid, out.append_column("cluster_id",
+                                          pa.array(cl, pa.int64()))
+
+        for pid, tbl in ray.get([fill.remote(x, assign_ref)
+                                 for x in pending_out]):
+            out_ck.write_partition(pid, tbl)
+
+    return out_ck.read_all()

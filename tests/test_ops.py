@@ -1,0 +1,174 @@
+"""Unit/integration tests for the training-data operator suite:
+dedup family, ANN, text stats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 3, "text": "the quick brown fox leaps over the lazy dog"},
+        {"doc_id": 4, "text": "completely different content about spark engines"},
+        {"doc_id": 5, "text": "another unrelated string with numbers 42 and 7"},
+        {"doc_id": 6, "text": ""},
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(ray_session, docs_ds):
+    from merge_machine_ray.stages.dedup import dedup_representatives, exact_dedup
+
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs_ds).take_all())
+    assert kept == [1, 3, 4, 5, 6]  # doc 2 collapses into doc 1
+    reps = {r["doc_id"]: r["rep_id"]
+            for r in dedup_representatives(docs_ds).take_all()}
+    assert reps[2] == 1 and reps[1] == 1 and reps[3] == 3
+
+
+def test_minhash_near_dup(ray_session, docs_ds):
+    from merge_machine_ray.stages.dedup import (
+        minhash_dedup_keep,
+        minhash_near_dup_pairs,
+    )
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_near_dup_pairs(
+                 docs_ds, jaccard_threshold=0.5, shingle_width=2).take_all()}
+    assert (1, 2) in pairs          # exact dup
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    assert not any(4 in p or 5 in p for p in pairs)
+
+    kept = sorted(r["doc_id"] for r in minhash_dedup_keep(
+        docs_ds, jaccard_threshold=0.5, shingle_width=2).take_all())
+    assert 2 not in kept and 1 in kept and 4 in kept
+
+
+def test_simhash_near_dup(ray_session, docs_ds):
+    from merge_machine_ray.stages.dedup import simhash_near_dup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(docs_ds, max_hamming=12).take_all()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+
+
+def test_embedding_near_dup_and_ann(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.ann import brute_force_topk, ivf_topk
+    from merge_machine_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((40, 16))
+    vecs = np.vstack([base, base[:5] + 0.001 * rng.standard_normal((5, 16))])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))]
+    ds = rd.from_items(rows)
+
+    dups = {(r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                ds, dim=16, cosine_threshold=0.99).take_all()}
+    found = sum((i, 40 + i) in dups for i in range(5))
+    assert found >= 4  # hyperplane LSH recall on near-identical vectors
+
+    queries = {"ids": [0, 1], "matrix": [vecs[0].tolist(), vecs[1].tolist()]}
+    top = brute_force_topk(ds, queries, k=3).take_all()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in (0, 1):
+        best = min(by_q[q], key=lambda r: r["rank"])
+        assert best["vec_id"] == q  # self is nearest
+        assert len(by_q[q]) == 3
+
+    # IVF with all cells probed == exact top-k
+    ivf = ivf_topk(ds, queries, k=3, n_cells=4, nprobe=4)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in ivf.take_all()}
+    want = {(r["query_id"], r["rank"]): r["vec_id"] for r in top}
+    assert got == want
+
+
+def test_textstats(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.textstats import (
+        LangId,
+        StopwordRatio,
+        add_quality_scores,
+        bpe_ish_token_count,
+        fingerprint,
+        token_count,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "The quick brown fox is on the hill with the dog",
+         "lang": "en"},
+        {"doc_id": 2, "text": "le chat est dans la maison avec le chien et la "
+                              "souris pour le fromage", "lang": "fr"},
+        {"doc_id": 3, "text": "", "lang": "en"},
+    ]
+    ds = rd.from_items(rows)
+    out = {r["doc_id"]: r for r in ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 2)).take_all()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "fr"
+    assert out[3]["lang_pred"] == "und"
+
+    t = pa.table({"text": pa.array(["Hello, world! 42", ""])})
+    q = add_quality_scores(t)
+    assert q["n_chars_q"][0].as_py() == 16
+    assert q["punct_ratio"][0].as_py() > 0
+    tc = token_count(t)
+    assert tc["n_tokens"].to_pylist() == [3, 0]
+    bc = bpe_ish_token_count(t)
+    assert bc["n_bpe_tokens"][0].as_py() == 6  # Hello , world ! 4 2
+    fp1 = fingerprint(pa.table({"text": pa.array(["a b  c   d e f g h"])}))
+    fp2 = fingerprint(pa.table({"text": pa.array(["a b c d e f g h"])}))
+    assert fp1["fingerprint"][0].as_py() == fp2["fingerprint"][0].as_py()
+
+    sr = ds.map_batches(StopwordRatio, batch_format="pyarrow",
+                        concurrency=(1, 2)).take_all()
+    assert all(0 <= r["stopword_ratio"] <= 1 for r in sr)
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.multimodal import (
+        AudioFeatures,
+        FrameSampler,
+        ImageFeatures,
+        synth_media_table,
+    )
+
+    imgs = rd.from_arrow(synth_media_table(20, "image"))
+    feats = imgs.map_batches(ImageFeatures, batch_format="pyarrow",
+                             batch_size=8, concurrency=(1, 2)).take_all()
+    assert len(feats) == 20
+    assert len(feats[0]["features"]) == 16
+    # determinism across runs
+    feats2 = imgs.map_batches(ImageFeatures, batch_format="pyarrow",
+                              batch_size=8, concurrency=(1, 2)).take_all()
+    f1 = {r["media_id"]: tuple(r["features"]) for r in feats}
+    f2 = {r["media_id"]: tuple(r["features"]) for r in feats2}
+    assert f1 == f2
+
+    auds = rd.from_arrow(synth_media_table(5, "audio"))
+    a = auds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         concurrency=(1, 2)).take_all()
+    assert all(r["n_frames"] >= 1 for r in a)
+
+    vids = rd.from_arrow(synth_media_table(3, "video"))
+    frames = vids.map_batches(FrameSampler, batch_format="pyarrow",
+                              concurrency=(1, 2)).take_all()
+    assert len(frames) == 12  # 3 videos × 4 frames
+    offs = [r["offset_ms"] for r in frames if r["media_id"] == 0]
+    assert offs == sorted(offs)
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatures(decoder="pillow")
