@@ -1,0 +1,90 @@
+"""Portfolio learner tests: template generation (D4/D5), per-template
+threshold learning (G2), greedy cover (G5), majority vote (G4), and the
+full auto-label → learn → link loop (the reference example lifecycle)."""
+
+import pytest
+
+from merge_machine_ray.fixtures.dirty_clean import (
+    CERTAIN_KEY,
+    MATCH_COLS,
+    ref_table,
+    source_table,
+)
+from merge_machine_ray.state.labeller import (
+    PortfolioLearner,
+    generate_templates,
+)
+from merge_machine_ray.state.learner import auto_label
+
+
+def test_generate_templates():
+    qs = generate_templates(MATCH_COLS, max_clauses=2)
+    assert len(qs) > 10
+    sizes = {len(q.clauses) for q in qs}
+    assert sizes == {1, 2}
+    analyzers = {c.analyzer for q in qs for c in q.clauses}
+    assert "special_keyword" in analyzers and "n_grams" in analyzers
+
+
+@pytest.fixture(scope="module")
+def learned():
+    import random
+
+    ref = ref_table(150).to_pylist()
+    src = source_table(150, 120).to_pylist()
+    truth = [r.pop("_ref_idx") for r in src]
+    labels = auto_label(src, ref, CERTAIN_KEY["source"], CERTAIN_KEY["ref"])
+    learner = PortfolioLearner(MATCH_COLS, ref,
+                               templates=generate_templates(
+                                   MATCH_COLS, max_clauses=2,
+                                   max_templates=40))
+    rng = random.Random(7)
+    for si, rj, y in labels[:40]:
+        learner.add_labelled_pair(src[si], ref[rj], True)
+        # hard negative: a different ref row
+        wrong = rng.randrange(len(ref))
+        if wrong != rj:
+            learner.add_labelled_pair(src[si], ref[wrong], False)
+    return learner, src, ref, truth
+
+
+def test_evaluate_and_portfolio(learned):
+    learner, src, ref, truth = learned
+    results = learner.evaluate_templates()
+    assert results, "no template learned a threshold"
+    assert results[0]["precision"] >= 0.9
+    portfolio = learner.greedy_portfolio()
+    assert 1 <= len(portfolio) <= 3
+
+    params = learner.export_params()
+    assert params.queries
+    assert all(q.thresh > 0 for q in params.queries)
+
+
+def test_majority_vote(learned):
+    learner, src, ref, truth = learned
+    # a true pair should win the vote; a random wrong pair should lose
+    assert learner.majority_vote(src[0], ref[truth[0]])
+    wrong = ref[(truth[0] + 50) % len(ref)]
+    assert not learner.majority_vote(src[0], wrong)
+
+
+def test_learned_params_drive_linker(ray_session, learned):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from merge_machine_ray.pipelines.linking import link_datasets
+
+    learner, src, ref, truth = learned
+    params = learner.export_params()
+    out = link_datasets(
+        rd.from_arrow(pa.Table.from_pylist(src)),
+        rd.from_arrow(pa.Table.from_pylist(ref)),
+        MATCH_COLS, params, source_id_col="id_row",
+        ref_keep_cols=["numero_uai"]).to_pandas()
+    matched = out[out["__IS_MATCH"]]
+    assert len(matched) > 0
+    want = {str(i): ref[j]["numero_uai"] for i, j in enumerate(truth)}
+    correct = sum(want[r.id_row] == r.numero_uai__REF
+                  for r in matched.itertuples())
+    assert correct / len(matched) > 0.85
