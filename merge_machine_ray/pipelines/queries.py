@@ -535,6 +535,72 @@ def er_documents(sf_dir: str):
     return resolve_entities(ds, p, id_col="doc_id", text_col="text")
 
 
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization (streaming-shaped workload): per user,
+    a new session starts after a >gap silence; grouped per-session
+    aggregates. Ray shape: ONE groupby(user) shuffle + in-group pandas."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_idx"] = new_s.cumsum().astype("int64")
+        out = g.groupby("session_idx", sort=True).agg(
+            n_events=("ts", "size"), t_start=("ts", "min"))
+        out = out.reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_idx", "n_events", "t_start"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events, min(ts) AS t_start
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def parts_by_brand(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    out = _read(sf_dir, "part", ["p_brand", "p_retailprice"]) \
+        .groupby("p_brand") \
+        .aggregate(Count(alias_name="n_parts"),
+                   Mean("p_retailprice", alias_name="avg_price"))
+
+    def post(t: pa.Table) -> pa.Table:
+        t = _quantize(t, "avg_price", "avg_price_micro", 1_000_000)
+        return t.set_column(t.column_names.index("n_parts"), "n_parts",
+                            t["n_parts"].cast(pa.int64()))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(round(avg(p_retailprice) * 1000000) AS BIGINT) AS avg_price_micro
+FROM part GROUP BY p_brand
+"""
+
+
 def build_queries() -> dict:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -544,6 +610,8 @@ def build_queries() -> dict:
         "topk_per_priority": topk_per_priority,
         "events_hourly": events_hourly,
         "distinct_types_per_user": distinct_types_per_user,
+        "events_sessions": events_sessions,
+        "parts_by_brand": parts_by_brand,
         "normalize_documents": normalize_documents,
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
@@ -573,6 +641,8 @@ def build_oracle_sql() -> dict:
         "topk_per_priority": TOPK_PER_PRIORITY_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "distinct_types_per_user": DISTINCT_TYPES_SQL,
+        "events_sessions": EVENTS_SESSIONS_SQL,
+        "parts_by_brand": PARTS_BY_BRAND_SQL,
         "normalize_documents": NORMALIZE_SQL,
         "doc_token_count": TOKEN_COUNT_SQL,
         "doc_quality": DOC_QUALITY_SQL,

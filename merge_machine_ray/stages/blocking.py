@@ -94,43 +94,40 @@ class BandKeys:
 
 
 def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
-    """Per-BUCKET pair emitter: one python call handles every band block
-    whose key hashes into the bucket (vectorized block segmentation via
-    argsort + diff), so per-group python overhead is paid per bucket,
-    not per block. Blocks are delimited within the sorted key array."""
+    """Per-BUCKET pair emitter, fully vectorized: one python call
+    handles every band block hashing into the bucket. Blocks are
+    contiguous runs after a lexsort; within a block the first-agreeing-
+    band check runs as one (n×n×num_bands) numpy comparison; output
+    columns are built with Arrow ``take`` over row-index arrays — no
+    per-pair python work at all."""
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        out_cols: dict[str, list] = {"a": [], "b": []}
-        for c in feature_cols:
-            out_cols[f"{c}_a"] = []
-            out_cols[f"{c}_b"] = []
+        group = group.combine_chunks()
         n_rows = group.num_rows
+        idx_a: list[np.ndarray] = []
+        idx_b: list[np.ndarray] = []
         if n_rows >= 2:
-            keys = np.asarray(group["band_key"].to_pylist(), dtype=np.int64)
-            docs = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-            # sort by (band_key, doc_id): blocks become contiguous runs,
-            # docs sorted & dedupable within each run
+            keys = group["band_key"].to_numpy(zero_copy_only=False)
+            docs = group["doc_id"].to_numpy(zero_copy_only=False)
+            band_idx = group["band_idx"].to_numpy(zero_copy_only=False)
+            # list<int64> of fixed length num_bands → (n_rows, nb) matrix
+            bh = group["band_hashes"].combine_chunks()
+            if isinstance(bh, pa.ChunkedArray):
+                bh = bh.chunk(0)
+            nb = len(bh[0])
+            band_mat = bh.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(n_rows, nb)
+
             order = np.lexsort((docs, keys))
             sk = keys[order]
             sd = docs[order]
             bounds = np.flatnonzero(sk[1:] != sk[:-1]) + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [sk.size]))
-            band_idx = group["band_idx"].to_pylist()
-            bands_col = group["band_hashes"].to_pylist()
-            feats = {c: group[c].to_pylist() for c in feature_cols}
-
-            def emit(gi: int, gj: int) -> None:
-                out_cols["a"].append(docs[gi])
-                out_cols["b"].append(docs[gj])
-                for c in feature_cols:
-                    out_cols[f"{c}_a"].append(feats[c][gi])
-                    out_cols[f"{c}_b"].append(feats[c][gj])
 
             for s, e in zip(starts, ends):
                 if e - s < 2:
                     continue
-                # dedupe doc ids within the block (sorted run)
                 seg = order[s:e]
                 seg_docs = sd[s:e]
                 keep = np.concatenate(([True], seg_docs[1:] != seg_docs[:-1]))
@@ -138,34 +135,46 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
                 n = uniq.size
                 if n < 2:
                     continue
-                band = band_idx[uniq[0]]
+                band = int(band_idx[uniq[0]])
                 if n <= block_cap:
-                    for x in range(n - 1):
-                        bi = bands_col[uniq[x]]
-                        for y in range(x + 1, n):
-                            bj = bands_col[uniq[y]]
-                            # first band where the signatures agree
-                            first = next(
-                                (t for t, (p, q) in enumerate(zip(bi, bj))
-                                 if p == q), band)
-                            if first == band:
-                                emit(uniq[x], uniq[y])
+                    B = band_mat[uniq]  # (n, nb)
+                    eq = B[:, None, :] == B[None, :, :]
+                    first = eq.argmax(axis=2)  # all pairs share THIS band,
+                    # so some band always agrees and argmax = first agree
+                    ii, jj = np.nonzero(
+                        np.triu(first == band, k=1))
+                    if ii.size:
+                        idx_a.append(uniq[ii])
+                        idx_b.append(uniq[jj])
                 else:
                     # skewed block: star to the minimum + chain — O(n)
                     # edges, same connected components.
-                    for y in range(1, n):
-                        emit(uniq[0], uniq[y])
-                        if y + 1 < n:
-                            emit(uniq[y], uniq[y + 1])
+                    idx_a.append(np.full(n - 1, uniq[0]))
+                    idx_b.append(uniq[1:])
+                    if n > 2:
+                        idx_a.append(uniq[1:-1])
+                        idx_b.append(uniq[2:])
+
+        if idx_a:
+            I = pa.array(np.concatenate(idx_a))
+            J = pa.array(np.concatenate(idx_b))
+        else:
+            I = J = pa.array(np.empty(0, dtype=np.int64))
         arrays: dict[str, pa.Array] = {
-            "a": pa.array(out_cols["a"], pa.int64()),
-            "b": pa.array(out_cols["b"], pa.int64()),
+            "a": group["doc_id"].take(I) if len(I) else
+            pa.array([], pa.int64()),
+            "b": group["doc_id"].take(J) if len(J) else
+            pa.array([], pa.int64()),
         }
         for c in feature_cols:
-            for suf in ("_a", "_b"):
-                typ = (pa.list_(pa.int64()) if c in ("tok_hashes", "int_hashes")
-                       else pa.string())
-                arrays[f"{c}{suf}"] = pa.array(out_cols[f"{c}{suf}"], typ)
+            typ = (pa.list_(pa.int64()) if c in ("tok_hashes", "int_hashes")
+                   else pa.string())
+            if len(I):
+                arrays[f"{c}_a"] = group[c].take(I)
+                arrays[f"{c}_b"] = group[c].take(J)
+            else:
+                arrays[f"{c}_a"] = pa.array([], typ)
+                arrays[f"{c}_b"] = pa.array([], typ)
         return pa.table(arrays)
 
     return emit_pairs
@@ -201,7 +210,7 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
     # (~rows/B × few-hundred bytes) always fit a worker's heap.
     if num_buckets is None:
         n_rows = features_ds.count() * num_bands
-        num_buckets = int(min(4096, max(16, n_rows // 50_000)))
+        num_buckets = int(min(4096, max(32, n_rows // 20_000)))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
