@@ -195,6 +195,166 @@ class PortfolioLearner:
                 votes += 1
         return votes * 2 > len(voters)
 
+    def core_token_stats(self) -> dict:
+        """G3 core-query token statistics (reference
+        ``es_labeller.py:533-635``): per single-clause template, counts
+        of source/ref/intersection tokens over labelled MATCHES and
+        score = P(intersection > 0 | match)."""
+        stats: dict[str, dict] = {}
+        matches = [(s, r) for s, r, y in self.history if y]
+        for q in self.templates:
+            if len(q.clauses) != 1:
+                continue
+            c = q.clauses[0]
+            key = f"{'+'.join(c.source)}→{c.ref}.{c.analyzer}"
+            if key in stats or not matches:
+                continue
+            inter_pos = 0
+            n_src = n_ref = n_int = 0
+            for srow, rrow in matches:
+                ts = set(ANALYZERS[c.analyzer](_concat_cols(srow, c.source)))
+                tr = set(ANALYZERS[c.analyzer](_concat_cols(rrow, (c.ref,))))
+                n_src += len(ts)
+                n_ref += len(tr)
+                inter = len(ts & tr)
+                n_int += inter
+                inter_pos += inter > 0
+            stats[key] = {
+                "n_source_tokens": n_src, "n_ref_tokens": n_ref,
+                "n_intersection": n_int,
+                "score": inter_pos / len(matches),
+            }
+        return stats
+
+    # -- D6 template-population expansion ops ---------------------------
+    def multiply_by_boost(self, top_k: int = 5) -> None:
+        """D6 ``multiply_by_boost``: for each top template, derive
+        variants doubling one clause's boost (renormalized at scoring
+        time); dedupe against the existing population (D3)."""
+        if not self.results:
+            self.evaluate_templates()
+        seen = {self._tkey(q) for q in self.templates}
+        for res in self.results[:top_k]:
+            q = self.templates[res["template"]]
+            for i in range(len(q.clauses)):
+                clauses = [LinkClause(c.source, c.ref, c.analyzer,
+                                      c.boost * (2.0 if j == i else 1.0))
+                           for j, c in enumerate(q.clauses)]
+                cand = LinkQuery(clauses, q.thresh)
+                if self._tkey(cand) not in seen:
+                    seen.add(self._tkey(cand))
+                    self.templates.append(cand)
+
+    def multiply_by_core(self, top_k: int = 5, core_min_score: float = 0.5):
+        """D6 ``multiply_by_core``: append high-scoring single-clause
+        cores (by G3 token stats) to the top templates."""
+        stats = self.core_token_stats()
+        good_cores = []
+        for q in self.templates:
+            if len(q.clauses) == 1:
+                c = q.clauses[0]
+                key = f"{'+'.join(c.source)}→{c.ref}.{c.analyzer}"
+                if stats.get(key, {}).get("score", 0.0) >= core_min_score:
+                    good_cores.append(c)
+        if not self.results:
+            self.evaluate_templates()
+        seen = {self._tkey(q) for q in self.templates}
+        for res in self.results[:top_k]:
+            q = self.templates[res["template"]]
+            have = {(c.source, c.ref, c.analyzer) for c in q.clauses}
+            for core in good_cores:
+                if (core.source, core.ref, core.analyzer) in have:
+                    continue
+                cand = LinkQuery(q.clauses + [LinkClause(
+                    core.source, core.ref, core.analyzer, 1.0)], q.thresh)
+                if self._tkey(cand) not in seen:
+                    seen.add(self._tkey(cand))
+                    self.templates.append(cand)
+
+    def filter_by_core(self, core_min_score: float = 0.1) -> None:
+        """D6 ``filter_by_core``: drop templates containing a clause
+        whose core scores ≤ threshold on the labelled matches."""
+        stats = self.core_token_stats()
+        if not stats:
+            return
+
+        def ok(q: LinkQuery) -> bool:
+            for c in q.clauses:
+                key = f"{'+'.join(c.source)}→{c.ref}.{c.analyzer}"
+                if key in stats and stats[key]["score"] <= core_min_score:
+                    return False
+            return True
+
+        self.templates = [q for q in self.templates if ok(q)]
+        self.results = []
+
+    @staticmethod
+    def _tkey(q: LinkQuery) -> tuple:
+        return tuple(sorted((c.source, c.ref, c.analyzer, c.boost)
+                            for c in q.clauses))
+
+    @staticmethod
+    def sorta_sort(items: list, scores: list[float], seed: int = 42) -> list:
+        """K3 explore/exploit schedule (reference ``_sorta_sort``,
+        ``es_labeller.py:1473-1500``): interleave a random half with a
+        score-sorted half so early labelling explores before metrics
+        stabilize."""
+        import random
+
+        rng = random.Random(seed)
+        order = sorted(range(len(items)), key=lambda i: -scores[i])
+        shuffled = list(range(len(items)))
+        rng.shuffle(shuffled)
+        out, used = [], set()
+        for rank, shuf in zip(order, shuffled):
+            for pick in (rank, shuf):
+                if pick not in used:
+                    used.add(pick)
+                    out.append(items[pick])
+        return out
+
+    # -- S6 checkpointing ------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "match_cols": self.match_cols,
+            "max_portfolio": self.max_portfolio,
+            "templates": [
+                {"thresh": q.thresh,
+                 "clauses": [{"source": list(c.source), "ref": c.ref,
+                              "analyzer": c.analyzer, "boost": c.boost}
+                             for c in q.clauses]}
+                for q in self.templates],
+            "history": [[s, r, bool(y)] for s, r, y in self.history],
+        }
+
+    def to_json(self, path: str) -> None:
+        import json
+
+        from merge_machine_ray.state.serialize import NumpySafeEncoder
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, cls=NumpySafeEncoder)
+
+    @classmethod
+    def from_dict(cls, d: dict, ref_rows: list[dict]) -> "PortfolioLearner":
+        templates = [
+            LinkQuery([LinkClause(tuple(c["source"]), c["ref"],
+                                  c["analyzer"], c["boost"])
+                       for c in q["clauses"]], q["thresh"])
+            for q in d["templates"]]
+        self = cls(d["match_cols"], ref_rows, templates=templates,
+                   max_portfolio=d.get("max_portfolio", 3))
+        for s, r, y in d.get("history", []):
+            self.add_labelled_pair(s, r, y)
+        return self
+
+    @classmethod
+    def from_json(cls, path: str, ref_rows: list[dict]) -> "PortfolioLearner":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f), ref_rows)
+
     def export_params(self) -> LinkParams:
         """S7 learned-params export (``es_labeller.py:2269-2301``):
         priority-ordered portfolio with thresholds + label ledgers."""

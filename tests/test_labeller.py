@@ -88,3 +88,37 @@ def test_learned_params_drive_linker(ray_session, learned):
     correct = sum(want[r.id_row] == r.numero_uai__REF
                   for r in matched.itertuples())
     assert correct / len(matched) > 0.85
+
+
+def test_expansion_ops_and_checkpoint(learned, tmp_path):
+    learner, src, ref, truth = learned
+    n0 = len(learner.templates)
+    stats = learner.core_token_stats()
+    assert stats and all(0 <= v["score"] <= 1 for v in stats.values())
+
+    learner.multiply_by_boost(top_k=3)
+    assert len(learner.templates) > n0
+    n1 = len(learner.templates)
+    learner.multiply_by_core(top_k=3, core_min_score=0.5)
+    assert len(learner.templates) >= n1
+
+    # S6 checkpoint round-trip
+    p = str(tmp_path / "labeller.json")
+    learner.to_json(p)
+    from merge_machine_ray.state.labeller import PortfolioLearner
+
+    back = PortfolioLearner.from_json(p, ref)
+    assert len(back.templates) == len(learner.templates)
+    assert len(back.history) == len(learner.history)
+    r1 = back.evaluate_templates()
+    assert r1
+
+    # K3 explore/exploit interleave covers all items exactly once
+    items = list("abcdef")
+    out = PortfolioLearner.sorta_sort(items, [1, 5, 3, 2, 6, 4])
+    assert sorted(out) == sorted(items)
+
+    # D6 filter_by_core drops templates with dead cores
+    before = len(back.templates)
+    back.filter_by_core(core_min_score=-1.0)  # nothing scores <= -1
+    assert len(back.templates) == before
