@@ -33,6 +33,13 @@ def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
     import ray
 
     p = MatchParams.from_any(params)
+    # Size the block count to the session: too few blocks caps every
+    # downstream stage's parallelism at the input file count; too many
+    # drowns small sessions in per-task overhead.
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_rows = ds.count()
+    target_blocks = int(min(max(8, cpus * 4), max(8, n_rows // 2000)))
+    ds = ds.repartition(target_blocks)
     features = featurize(ds, analyzer=p.analyzer, id_col=id_col,
                          text_col=text_col)
     features = features.materialize()  # reused by IDF job + blocking + output

@@ -579,24 +579,40 @@ FROM s GROUP BY user_id, session_idx
 
 
 def parts_by_brand(sf_dir: str):
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Count, Sum
 
-    out = _read(sf_dir, "part", ["p_brand", "p_retailprice"]) \
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    # exact-integer cents BEFORE aggregation: a distributed float mean
+    # differs from DuckDB's by ~1 ulp and flips micro-quantization
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["p_retailprice"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({"p_brand": t["p_brand"], "price_cents": c})
+
+    out = ds.map_batches(cents, batch_format="pyarrow") \
         .groupby("p_brand") \
         .aggregate(Count(alias_name="n_parts"),
-                   Mean("p_retailprice", alias_name="avg_price"))
+                   Sum("price_cents", alias_name="sum_cents"))
 
     def post(t: pa.Table) -> pa.Table:
-        t = _quantize(t, "avg_price", "avg_price_micro", 1_000_000)
-        return t.set_column(t.column_names.index("n_parts"), "n_parts",
-                            t["n_parts"].cast(pa.int64()))
+        avg = pc.round(pc.divide(
+            pc.multiply(t["sum_cents"].cast(pa.float64()),
+                        pa.scalar(10000.0)),
+            t["n_parts"].cast(pa.float64()))).cast(pa.int64())
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "n_parts": t["n_parts"].cast(pa.int64()),
+            "avg_price_micro": avg,
+        })
 
     return out.map_batches(post, batch_format="pyarrow")
 
 
 PARTS_BY_BRAND_SQL = """
 SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(round(avg(p_retailprice) * 1000000) AS BIGINT) AS avg_price_micro
+       CAST(round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 10000.0
+                  / count(*)) AS BIGINT) AS avg_price_micro
 FROM part GROUP BY p_brand
 """
 

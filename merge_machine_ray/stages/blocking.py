@@ -54,14 +54,17 @@ def band_hashes_for(tok_hashes: list[int], host: str, num_perm: int,
 
 class BandKeys:
     """map_batches callable: features → one row per (band, doc) with the
-    compact feature payload and the doc's full band-hash vector."""
+    doc's full band-hash vector; optionally carrying the compact feature
+    payload (``carry_features``) for the carry-mode pipeline."""
 
     def __init__(self, num_perm: int = 128, num_bands: int = 16,
-                 shingle_width: int = 3, include_host: bool = True):
+                 shingle_width: int = 3, include_host: bool = True,
+                 carry_features: bool = True):
         self.num_perm = num_perm
         self.num_bands = num_bands
         self.shingle_width = shingle_width
         self.include_host = include_host
+        self.carry_features = carry_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -87,9 +90,10 @@ class BandKeys:
             "band_hashes": pa.array(
                 [per_doc_bands[i] for i in idx], pa.list_(pa.int64())),
         }
-        for c in _FEATURE_COLS:
-            if c in batch.column_names:
-                cols[c] = batch[c].take(pa.array(idx))
+        if self.carry_features:
+            for c in _FEATURE_COLS:
+                if c in batch.column_names:
+                    cols[c] = batch[c].take(pa.array(idx))
         return pa.table(cols)
 
 
@@ -182,13 +186,24 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
 
 def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
                     shingle_width: int = 3, block_cap: int = 64,
-                    include_host: bool = True, num_buckets: int | None = None):
+                    include_host: bool = True, num_buckets: int | None = None,
+                    attach: str = "join"):
     """features → candidate pair dataset with both sides' features
     attached (columns a, b, url_a/b, host_a/b, lang_a/b, tok_hashes_a/b).
 
-    ONE shuffle (groupby band_key). Pairs are exact-deduplicated across
-    bands via the first-matching-band rule, except pairs from capped
-    skewed blocks which may repeat (bounded by num_bands × O(n))."""
+    Pairs are exact-deduplicated across bands via the first-matching-band
+    rule, except pairs from capped skewed blocks which may repeat
+    (bounded by num_bands × O(n)).
+
+    ``attach``:
+      * ``"join"`` (default) — the band shuffle moves only LIGHT rows
+        (band_key, doc_id, band hashes ≈ 150 B); features re-attach to
+        the (much smaller) pair set by two bucketed hash joins. Total
+        shuffle bytes ≈ num_bands×light + 2×features, ~4-6× less than
+        carrying features through the band-multiplied sort.
+      * ``"carry"`` — features ride the band rows; no joins. Wins when
+        nearly every doc pairs up (pair count ≈ corpus × bands).
+    """
     schema = features_ds.schema()
     if schema is None:  # empty input → no candidates
         import ray.data as rd
@@ -196,9 +211,11 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
         return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                        "b": pa.array([], pa.int64())}))
     present = [c for c in _FEATURE_COLS if c in schema.names]
+    carry = attach == "carry"
     bands = features_ds.map_batches(
         BandKeys(num_perm=num_perm, num_bands=num_bands,
-                 shingle_width=shingle_width, include_host=include_host),
+                 shingle_width=shingle_width, include_host=include_host,
+                 carry_features=carry),
         batch_format="pyarrow",
     )
 
@@ -213,13 +230,25 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
         num_buckets = int(min(4096, max(32, n_rows // 20_000)))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keys = np.asarray(t["band_key"].to_pylist(), dtype=np.int64)
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
         return t.append_column(
             "bucket", pa.array((keys % num_buckets).astype(np.int32)))
 
     bucketed = bands.map_batches(add_bucket, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(
-        _emit_pairs_bucket_fn(block_cap, tuple(present)),
+    pairs = bucketed.groupby("bucket").map_groups(
+        _emit_pairs_bucket_fn(block_cap, tuple(present) if carry else ()),
         batch_format="pyarrow")
+    if carry:
+        return pairs
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    feats = features_ds
+    drop = [c for c in ("n_tokens", "norm_text") if c in schema.names]
+    if drop:
+        feats = feats.drop_columns(drop)
+    join_buckets = max(16, num_buckets // 8)
+    pairs = bucket_hash_join(pairs, feats, "a", "doc_id",
+                             num_buckets=join_buckets, right_suffix="_a")
+    return bucket_hash_join(pairs, feats, "b", "doc_id",
+                            num_buckets=join_buckets, right_suffix="_b")

@@ -1,0 +1,90 @@
+"""Explicit partitioned hash join (the portable Ray Data join pattern:
+bucket both sides by key-hash, join matching buckets inside one
+``groupby(bucket).map_groups``). Used to re-attach compact per-doc
+features to the candidate-pair list so the heavy columns never ride the
+band-multiplied blocking shuffle.
+
+``Dataset.join`` exists in this Ray version but its hash-shuffle
+aggregator actors performed poorly in constrained-CPU runs; this
+groupby-based join keeps everything in the task-pool execution model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
+                     num_buckets: int = 64, right_suffix: str = "",
+                     right_unique: bool = True):
+    """INNER join: every left row picks up the matching right row's
+    columns (suffixed). The right side's join keys must be unique when
+    ``right_unique`` (features keyed by doc id). ONE shuffle of
+    left ∪ right; within a bucket the probe is a vectorized
+    searchsorted + Arrow take."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    # ray.data.Schema → name→arrow-type maps (names/types parallel lists)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    right_out = [c for c in right_cols if c != right_on]
+    out_right_names = [f"{c}{right_suffix}" for c in right_out]
+
+    # aligned union schema: left cols + right cols + side marker
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t[left_on].to_numpy(zero_copy_only=False)
+        cols = {c: t[c] for c in left_cols}
+        for c, rc in zip(right_out, out_right_names):
+            cols[rc] = pa.nulls(t.num_rows, right_types[c])
+        cols["__jb"] = pa.array((keys % num_buckets).astype(np.int32))
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols["__key"] = pa.array(keys)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t[right_on].to_numpy(zero_copy_only=False)
+        cols = {}
+        for c in left_cols:
+            cols[c] = pa.nulls(t.num_rows, left_types[c])
+        for c, rc in zip(right_out, out_right_names):
+            cols[rc] = t[c]
+        cols["__jb"] = pa.array((keys % num_buckets).astype(np.int32))
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        cols["__key"] = pa.array(keys)
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        keys = group["__key"].to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side == 1)
+        empty_cols = left_cols + out_right_names
+        if l_idx.size == 0 or r_idx.size == 0:
+            return pa.table({c: group[c].take(pa.array([], pa.int64()))
+                             for c in empty_cols})
+        r_keys = keys[r_idx]
+        order = np.argsort(r_keys, kind="stable")
+        r_sorted = r_keys[order]
+        pos = np.searchsorted(r_sorted, keys[l_idx])
+        pos_c = pos.clip(max=r_sorted.size - 1)
+        hit = r_sorted[pos_c] == keys[l_idx]
+        l_hit = l_idx[hit]
+        r_hit = r_idx[order[pos_c[hit]]]
+        out = {}
+        li = pa.array(l_hit)
+        ri = pa.array(r_hit)
+        for c in left_cols:
+            out[c] = group[c].take(li)
+        for c in out_right_names:
+            out[c] = group[c].take(ri)
+        return pa.table(out)
+
+    return tagged.groupby("__jb").map_groups(join_bucket,
+                                             batch_format="pyarrow")

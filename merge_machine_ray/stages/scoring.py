@@ -14,6 +14,7 @@ per actor in ``__init__`` — never re-shipped per batch.
 
 from __future__ import annotations
 
+import json
 import math
 
 import numpy as np
@@ -162,23 +163,47 @@ class PairScorer:
         return pa.table(out)
 
 
+_SCORER_CACHE: dict = {}
+
+
+def _scorer_for(idf_ref, params_json: str) -> PairScorer:
+    """Per-worker-process scorer cache. The IDF table is immutable
+    broadcast state: ``ray.get`` of the same ObjectRef inside a task is
+    a zero-copy shared-memory read, so STATELESS tasks with a process
+    cache beat an actor pool here — a fixed actor pool RESERVES its
+    CPUs up front and starves the upstream shuffle stages (observed:
+    32-cpu run slower than 8-cpu), while tasks share CPUs work-
+    conservingly with the producers."""
+    key = (idf_ref.hex() if hasattr(idf_ref, "hex") else id(idf_ref),
+           params_json)
+    got = _SCORER_CACHE.get(key)
+    if got is None:
+        got = PairScorer(idf_ref=idf_ref, params=json.loads(params_json))
+        _SCORER_CACHE.clear()
+        _SCORER_CACHE[key] = got
+    return got
+
+
 def score_pairs(pairs_with_features, idf_ref=None, params=None,
                 concurrency: int | tuple | None = None, batch_size: int = 2048):
-    """Scoring stage. ``concurrency`` defaults to an AUTOSCALING pool
-    (1, cpus-1): a fixed pool equal to the CPU count can reserve every
-    core and starve the upstream band/shuffle stages into a deadlock —
-    the pool must leave headroom for producers."""
-    if concurrency is None:
-        import ray
+    """Scoring stage as a stateless task pool with per-worker scorer
+    cache (see _scorer_for). ``concurrency`` is accepted for explicit
+    actor-pool mode (tests / constrained environments)."""
+    if concurrency is not None:
+        if isinstance(concurrency, int):
+            concurrency = (1, concurrency)
+        return pairs_with_features.map_batches(
+            PairScorer,
+            fn_constructor_kwargs={"idf_ref": idf_ref, "params": params},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
+    from dataclasses import asdict
 
-        total = int(ray.cluster_resources().get("CPU", 4))
-        # fixed pool of cpus-2: leaves headroom for the producer stages
-        # (a pool equal to the CPU count deadlocks; a (1, n) autoscaling
-        # pool was observed to under-scale and serialize the stage)
-        concurrency = max(1, total - 2)
-    elif isinstance(concurrency, int):
-        concurrency = (1, concurrency)
+    params_json = json.dumps(asdict(MatchParams.from_any(params)),
+                             sort_keys=True)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return _scorer_for(idf_ref, params_json)(batch)
+
     return pairs_with_features.map_batches(
-        PairScorer, fn_constructor_kwargs={"idf_ref": idf_ref, "params": params},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-    )
+        score, batch_format="pyarrow", batch_size=batch_size)
