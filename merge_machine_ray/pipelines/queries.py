@@ -617,6 +617,72 @@ FROM part GROUP BY p_brand
 """
 
 
+
+
+def asof_purchase_last_view(sf_dir: str):
+    """As-of join (custom operator): for each purchase event, the most
+    recent prior 'view' by the same user; ties broken by greatest
+    event_id (deterministic)."""
+    from merge_machine_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .drop_columns(["event_type"])
+    views = ev.filter(expr="event_type == 'view'").drop_columns(["event_type"])
+    out = asof_join(purchases, views, key="user_id", ts="ts",
+                    left_cols=["event_id"], right_cols=["event_id"],
+                    right_tiebreak="event_id")
+    return out
+
+
+ASOF_SQL = """
+SELECT p.user_id, p.ts, p.event_id, v.ts_r, v.event_id_r
+FROM (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT ts AS ts_r, event_id AS event_id_r FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+"""
+
+
+def clean_corpus_sql_subset(sf_dir: str):
+    """SQL-expressible slice of the corpus-cleaning pipeline: quality
+    gates (length + token count) then exact dedup keep-min-id."""
+    from merge_machine_ray.stages.dedup import exact_dedup
+    from merge_machine_ray.stages.textstats import add_quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = add_quality_scores(t)
+        keep = pc.and_(pc.greater_equal(t["n_chars_q"], 100),
+                       pc.greater_equal(t["n_tokens_q"], 20))
+        return t.filter(keep).select(["doc_id", "text"])
+
+    ds = ds.map_batches(gate, batch_format="pyarrow")
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+CLEAN_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents
+WHERE length(text) >= 100
+  AND length(text) - length(replace(text, ' ', '')) + 1 >= 20
+GROUP BY text
+"""
+
+
+def clean_corpus_full(sf_dir: str):
+    """Full cleaning pipeline (lang-id + quality + exact + near-dup) —
+    rows-only check (lang-id and LSH are not SQL-expressible)."""
+    from merge_machine_ray.pipelines.corpus_cleaning import clean_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return clean_corpus(ds, min_chars=60, min_tokens=10,
+                        near_dup_threshold=0.7) \
+        .select_columns(["doc_id", "lang_pred"])
+
+
 def build_queries() -> dict:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -628,6 +694,9 @@ def build_queries() -> dict:
         "distinct_types_per_user": distinct_types_per_user,
         "events_sessions": events_sessions,
         "parts_by_brand": parts_by_brand,
+        "asof_purchase_last_view": asof_purchase_last_view,
+        "clean_corpus_sql_subset": clean_corpus_sql_subset,
+        "clean_corpus_full": clean_corpus_full,
         "normalize_documents": normalize_documents,
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
@@ -659,6 +728,8 @@ def build_oracle_sql() -> dict:
         "distinct_types_per_user": DISTINCT_TYPES_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "parts_by_brand": PARTS_BY_BRAND_SQL,
+        "asof_purchase_last_view": ASOF_SQL,
+        "clean_corpus_sql_subset": CLEAN_SQL,
         "normalize_documents": NORMALIZE_SQL,
         "doc_token_count": TOKEN_COUNT_SQL,
         "doc_quality": DOC_QUALITY_SQL,

@@ -31,9 +31,13 @@ def _to_pandas(obj) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if np.issubdtype(df[c].dtype, np.datetime64):
+            # normalize unit (us vs ns differs by engine) then to int64;
+            # NaT → INT64_MIN consistently
+            df[c] = df[c].astype("datetime64[ns]").astype("int64")
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     return df
@@ -48,8 +52,9 @@ def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
         if np.issubdtype(g[c].dtype, np.floating):
             np.testing.assert_allclose(
-                gv.astype(float), wv.astype(float), rtol=0, atol=1e-9,
-                err_msg=f"{name}.{c}")
+                np.nan_to_num(gv.astype(float), nan=-1e308),
+                np.nan_to_num(wv.astype(float), nan=-1e308),
+                rtol=0, atol=1e-9, err_msg=f"{name}.{c}")
         else:
             mismatch = (gv != wv)
             assert not mismatch.any(), (
