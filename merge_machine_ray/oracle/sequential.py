@@ -78,32 +78,25 @@ def band_keys_for(doc: OracleDoc, params: MatchParams, include_host: bool) -> li
 
 def candidate_pairs_oracle(docs: list[OracleDoc], params: MatchParams,
                            include_host: bool = True) -> set[tuple[int, int]]:
-    """Mirrors blocking._emit_pairs_fn: within each band block, emit a
-    pair only from the FIRST band where the signatures agree; oversized
-    blocks emit the star+chain pattern."""
-    bands_by_doc = {d.doc_id: band_keys_for(d, params, include_host) for d in docs}
+    """Mirrors blocking.candidate_pairs (light mode): all pairs sharing
+    ≥1 band key, set-deduplicated; oversized blocks emit the star+chain
+    pattern."""
+    bands_by_doc = {d.doc_id: band_keys_for(d, params, include_host)
+                    for d in docs}
     blocks: dict[int, set[int]] = defaultdict(set)
     for d in docs:
         for k in bands_by_doc[d.doc_id]:
             blocks[k].add(d.doc_id)
     pairs: set[tuple[int, int]] = set()
-    for key, members in blocks.items():
+    for members in blocks.values():
         ms = sorted(members)
         n = len(ms)
         if n < 2:
             continue
-        # recover this block's band index from any member's band vector
-        band = bands_by_doc[ms[0]].index(key)
         if n <= params.block_cap:
             for i in range(n - 1):
-                bi = bands_by_doc[ms[i]]
                 for j in range(i + 1, n):
-                    bj = bands_by_doc[ms[j]]
-                    first = next(
-                        (t for t, (p, q) in enumerate(zip(bi, bj)) if p == q),
-                        band)
-                    if first == band:
-                        pairs.add((ms[i], ms[j]))
+                    pairs.add((ms[i], ms[j]))
         else:
             m = ms[0]
             for i in range(1, n):

@@ -7,23 +7,25 @@ explicit ``groupby(band_key)`` shuffle.
 
 Design choices (scale rationale):
 
-* **Features travel with the band rows** (doc_id, url, host, lang,
-  hashed tokens, per-band hashes ≈ a few hundred bytes) — the heavy
-  columns (html, raw text) were dropped at featurize time, so the
-  band-multiplied shuffle moves ~``num_bands × compact`` bytes instead
-  of requiring two extra hash-join shuffles of the corpus afterwards.
-* **Exact cross-band pair dedup without a shuffle**: every row carries
-  all of its band hashes, so a pair found in band *b* is emitted only if
-  *b* is the FIRST band where the two signatures agree. No global
-  ``groupby(a, b)`` pass is needed and no pair is scored twice (except
-  from capped blocks, see below).
+* **Light band shuffle** (``attach="join"``): the band-multiplied
+  shuffle moves only (band_key, doc_id) ≈ 16 bytes/row; pairs are
+  emitted per shared band, deduplicated by one vectorized aggregate over
+  the (tiny) id-only pair list, then both sides' compact features
+  re-attach via two bucketed hash joins. Total shuffle bytes ≈
+  num_bands×16 B + dup_pairs×16 B + 2×features — an order of magnitude
+  below carrying features through the sort. Wins when per-doc features
+  are wide (long documents); at the bench corpus's feature width the
+  three extra barriers cost more than the lighter sort saves, so carry
+  is the default.
+* **Carry mode** (``attach="carry"``, default): features + band-hash vectors ride
+  the band rows; a pair is emitted only from the FIRST band where the
+  two signatures agree (shuffle-free exact dedup). Used by the
+  checkpointed pipeline, whose bucket-range partitions must be
+  independently computable.
 * **Skew control** (explicit per the north rule): a band key shared by
   more than ``block_cap`` docs would cost O(n²) pairs; oversized blocks
   emit a **star + chain** pattern — O(n) pairs preserving transitive
-  connectivity for clustering while bounding work. Star/chain pairs skip
-  the first-band check (selection differs per band), so they may repeat
-  across bands; downstream consumers treat pair rows as a multiset and
-  clustering is idempotent.
+  connectivity for clustering while bounding work.
 """
 
 from __future__ import annotations
@@ -85,12 +87,14 @@ class BandKeys:
             dtype=np.int64, count=n * nb)
         cols = {
             "band_key": pa.array(keys),
-            "band_idx": pa.array(band_idx),
             "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)[idx]),
-            "band_hashes": pa.array(
-                [per_doc_bands[i] for i in idx], pa.list_(pa.int64())),
         }
         if self.carry_features:
+            # carry mode keeps per-row band vectors for the shuffle-free
+            # first-agreeing-band dedup
+            cols["band_idx"] = pa.array(band_idx)
+            cols["band_hashes"] = pa.array(
+                [per_doc_bands[i] for i in idx], pa.list_(pa.int64()))
             for c in _FEATURE_COLS:
                 if c in batch.column_names:
                     cols[c] = batch[c].take(pa.array(idx))
@@ -113,14 +117,16 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
         if n_rows >= 2:
             keys = group["band_key"].to_numpy(zero_copy_only=False)
             docs = group["doc_id"].to_numpy(zero_copy_only=False)
-            band_idx = group["band_idx"].to_numpy(zero_copy_only=False)
-            # list<int64> of fixed length num_bands → (n_rows, nb) matrix
-            bh = group["band_hashes"].combine_chunks()
-            if isinstance(bh, pa.ChunkedArray):
-                bh = bh.chunk(0)
-            nb = len(bh[0])
-            band_mat = bh.flatten().to_numpy(zero_copy_only=False) \
-                .reshape(n_rows, nb)
+            first_band_dedup = "band_hashes" in group.column_names
+            if first_band_dedup:
+                band_idx = group["band_idx"].to_numpy(zero_copy_only=False)
+                # list<int64> of length num_bands → (n_rows, nb) matrix
+                bh = group["band_hashes"].combine_chunks()
+                if isinstance(bh, pa.ChunkedArray):
+                    bh = bh.chunk(0)
+                nb = len(bh[0])
+                band_mat = bh.flatten().to_numpy(zero_copy_only=False) \
+                    .reshape(n_rows, nb)
 
             order = np.lexsort((docs, keys))
             sk = keys[order]
@@ -139,14 +145,18 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
                 n = uniq.size
                 if n < 2:
                     continue
-                band = int(band_idx[uniq[0]])
                 if n <= block_cap:
-                    B = band_mat[uniq]  # (n, nb)
-                    eq = B[:, None, :] == B[None, :, :]
-                    first = eq.argmax(axis=2)  # all pairs share THIS band,
-                    # so some band always agrees and argmax = first agree
-                    ii, jj = np.nonzero(
-                        np.triu(first == band, k=1))
+                    if first_band_dedup:
+                        band = int(band_idx[uniq[0]])
+                        B = band_mat[uniq]  # (n, nb)
+                        eq = B[:, None, :] == B[None, :, :]
+                        first = eq.argmax(axis=2)  # all pairs share THIS
+                        # band, so argmax = first agreeing band
+                        ii, jj = np.nonzero(np.triu(first == band, k=1))
+                    else:
+                        # light mode: emit every pair; duplicates across
+                        # bands are removed by the downstream dedup
+                        ii, jj = np.triu_indices(n, k=1)
                     if ii.size:
                         idx_a.append(uniq[ii])
                         idx_b.append(uniq[jj])
@@ -187,7 +197,7 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
 def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
                     shingle_width: int = 3, block_cap: int = 64,
                     include_host: bool = True, num_buckets: int | None = None,
-                    attach: str = "join"):
+                    attach: str = "carry"):
     """features → candidate pair dataset with both sides' features
     attached (columns a, b, url_a/b, host_a/b, lang_a/b, tok_hashes_a/b).
 
@@ -241,13 +251,20 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
     if carry:
         return pairs
 
+    from ray.data.aggregate import Count
+
     from merge_machine_ray.stages.joins import bucket_hash_join
+
+    # light mode emits a pair once per agreeing band; dedupe the (tiny)
+    # id-only pair list with one vectorized aggregate
+    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n")) \
+        .drop_columns(["__n"])
 
     feats = features_ds
     drop = [c for c in ("n_tokens", "norm_text") if c in schema.names]
     if drop:
         feats = feats.drop_columns(drop)
-    join_buckets = max(16, num_buckets // 8)
+    join_buckets = num_buckets
     pairs = bucket_hash_join(pairs, feats, "a", "doc_id",
                              num_buckets=join_buckets, right_suffix="_a")
     return bucket_hash_join(pairs, feats, "b", "doc_id",
