@@ -67,11 +67,19 @@ class LinkQuery:
 
 @dataclass
 class LinkParams:
-    """Learned-params JSON contract (reference learned_settings.json)."""
+    """Learned-params JSON contract (reference learned_settings.json).
+
+    ``must`` / ``must_not`` are the M6 query-side filters (reference
+    ``helpers.py:104-149``, semantics ``HOW_TO.md:138-141``): per ref
+    column, ALL ``must`` phrases must appear (token-wise, normalized)
+    for a ref row to be a candidate; ANY ``must_not`` phrase excludes it.
+    """
 
     queries: list[LinkQuery] = field(default_factory=list)
     exact_pairs: list[tuple] = field(default_factory=list)       # (src_key, ref_id)
     non_matching_pairs: list[tuple] = field(default_factory=list)
+    must: dict = field(default_factory=dict)        # {ref_col: [phrase]}
+    must_not: dict = field(default_factory=dict)
     num_bands: int = 16
     num_perm: int = 128
     shingle_width: int = 2
@@ -109,6 +117,7 @@ class LinkParams:
                 for q in self.queries],
             "exact_pairs": [list(p) for p in self.exact_pairs],
             "non_matching_pairs": [list(p) for p in self.non_matching_pairs],
+            "must": self.must, "must_not": self.must_not,
             "num_bands": self.num_bands, "num_perm": self.num_perm,
             "shingle_width": self.shingle_width, "block_cap": self.block_cap,
             "min_diff_prop": self.min_diff_prop,
@@ -136,6 +145,8 @@ class LinkParams:
                    exact_pairs=[tuple(p) for p in d.get("exact_pairs", [])],
                    non_matching_pairs=[tuple(p) for p in
                                        d.get("non_matching_pairs", [])],
+                   must=d.get("must", {}),
+                   must_not=d.get("must_not", {}),
                    num_bands=d.get("num_bands", 16),
                    num_perm=d.get("num_perm", 128),
                    shingle_width=d.get("shingle_width", 2),
@@ -149,6 +160,37 @@ def _concat_cols(row: dict, cols: tuple[str, ...]) -> str:
     (reference ``helpers.py:119``)."""
     return " ".join(str(row[c]) for c in cols
                     if c in row and isinstance(row[c], str) and row[c])
+
+
+def apply_must_filters(ref_ds, must: dict, must_not: dict):
+    """M6 filters as a vectorized map_batches predicate over normalized
+    token sets of the declared ref columns (reference semantics: every
+    ``must`` phrase must appear; any ``must_not`` phrase excludes —
+    ``helpers.py:106,144-148``)."""
+    from merge_machine_ray.functions.normalize import normalize_text
+
+    must_n = {c: [normalize_text(p) for p in ps] for c, ps in must.items()}
+    must_not_n = {c: [normalize_text(p) for p in ps]
+                  for c, ps in must_not.items()}
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keep = np.ones(n, dtype=bool)
+        for col, phrases in must_n.items():
+            if col not in batch.column_names:
+                continue
+            vals = [normalize_text(v) for v in batch[col].to_pylist()]
+            for ph in phrases:
+                keep &= np.array([ph in v for v in vals])
+        for col, phrases in must_not_n.items():
+            if col not in batch.column_names:
+                continue
+            vals = [normalize_text(v) for v in batch[col].to_pylist()]
+            for ph in phrases:
+                keep &= np.array([ph not in v for v in vals])
+        return batch.filter(pa.array(keep))
+
+    return ref_ds.map_batches(keep_fn, batch_format="pyarrow")
 
 
 def _clause_keys(params: LinkParams) -> list[tuple]:
@@ -406,6 +448,8 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     ref_schema = ref_ds.schema().names
     ref_keep = ref_keep_cols or list(ref_schema)
 
+    if params.must or params.must_not:
+        ref_ds = apply_must_filters(ref_ds, params.must, params.must_not)
     feat_s = source_ds.map_batches(
         LinkFeaturize(params, 0, source_id_col, []),
         batch_format="pyarrow")

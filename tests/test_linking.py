@@ -95,3 +95,40 @@ def test_link_params_json_roundtrip(tmp_path):
     assert back.queries[0].clauses[0].analyzer == \
         params.queries[0].clauses[0].analyzer
     assert back.exact_pairs == [(1, 2)]
+
+
+def test_must_not_filters(ray_session, tables):
+    import ray.data as rd
+
+    from merge_machine_ray.pipelines.linking import (
+        LinkParams,
+        apply_must_filters,
+        link_datasets,
+    )
+
+    src, ref, truth = tables
+    # must_not: exclude every ref row whose denomination contains 'lycée'
+    filtered = apply_must_filters(
+        rd.from_arrow(ref), {}, {"denomination": ["lycée"]}).take_all()
+    assert all("lycee" not in r["denomination"].lower()
+               .replace("é", "e") for r in filtered)
+    n_no_lycee = len(filtered)
+    assert 0 < n_no_lycee < ref.num_rows
+
+    # must: keep only 'paris' rows
+    kept = apply_must_filters(
+        rd.from_arrow(ref), {"localite": ["Paris"]}, {}).take_all()
+    assert kept and all(r["localite"] == "paris" for r in kept)
+
+    # end-to-end: linking with a must filter only links into the subset
+    params = LinkParams.default_for(MATCH_COLS)
+    params.must = {"localite": ["paris"]}
+    out = link_datasets(rd.from_arrow(src), rd.from_arrow(ref), MATCH_COLS,
+                        params, source_id_col="id_row",
+                        ref_keep_cols=["localite"]).to_pandas()
+    linked = out[out["__IS_MATCH"]]
+    assert (linked["localite__REF"] == "paris").all()
+
+    # JSON round-trip keeps the filters
+    back = LinkParams.from_json(params.to_json())
+    assert back.must == {"localite": ["paris"]}
