@@ -206,7 +206,13 @@ def _clause_keys(params: LinkParams) -> list[tuple]:
 
 class LinkFeaturize:
     """map_batches: one row per record with per-clause token-hash lists
-    + blocking tokens. side: 0=source (dedup groups), 1=ref."""
+    + blocking tokens. side: 0=source, 1=ref.
+
+    SOURCE rows are keyed by the hash of their MATCH-COLUMN values — the
+    D1 dedup-with-reinflation semantics (reference ``es_match.py:110-164``):
+    rows identical on the match columns share one key, are searched once
+    (pair generation dedupes by key), and all receive the same link via
+    the final per-key lookup (``__SOURCE_GROUP``)."""
 
     def __init__(self, params: LinkParams, side: int, id_col: str | None,
                  keep_cols: list[str]):
@@ -215,6 +221,21 @@ class LinkFeaturize:
         self.id_col = id_col
         self.keep_cols = keep_cols
         self.extractions = _clause_keys(params)
+        self.source_cols = sorted({c for q in params.queries
+                                   for cl in q.clauses for c in cl.source})
+
+    def _key_of(self, row: dict) -> int:
+        if self.side == 0:
+            # dedup group key over match columns only (D1)
+            basis = {c: row.get(c, "") for c in self.source_cols}
+            return _to_i64(stable_hash64(
+                json.dumps(basis, sort_keys=True, default=str)))
+        if self.id_col is not None:
+            v = row[self.id_col]
+            return int(v) if str(v).lstrip("-").isdigit() else _to_i64(
+                stable_hash64(str(v)))
+        return _to_i64(stable_hash64(
+            json.dumps(row, sort_keys=True, default=str)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -224,13 +245,7 @@ class LinkFeaturize:
         block_toks = []
         payloads = []
         for ridx, row in enumerate(rows):
-            if self.id_col is not None:
-                key = int(row[self.id_col]) if str(
-                    row[self.id_col]).lstrip("-").isdigit() else _to_i64(
-                        stable_hash64(str(row[self.id_col])))
-            else:
-                key = _to_i64(stable_hash64(
-                    json.dumps(row, sort_keys=True, default=str)))
+            key = self._key_of(row)
             side_keys.append(key)
             bt = []
             for i, (cols, analyzer) in enumerate(self.extractions):

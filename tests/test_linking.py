@@ -132,3 +132,34 @@ def test_must_not_filters(ray_session, tables):
     # JSON round-trip keeps the filters
     back = LinkParams.from_json(params.to_json())
     assert back.must == {"localite": ["paris"]}
+
+
+def test_source_dedup_reinflation(ray_session, tables):
+    """D1: rows duplicated on match columns are searched once and all
+    reinflated with the same link (__SOURCE_GROUP shared)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    src, ref, truth = tables
+    rows = src.to_pylist()[:30]
+    # duplicate the first 10 rows with different id_row values
+    dupes = [dict(r, id_row=f"dup-{i}") for i, r in enumerate(rows[:10])]
+    big = pa.Table.from_pylist(rows + dupes)
+    params = LinkParams.default_for(MATCH_COLS)
+    out = link_datasets(rd.from_arrow(big), rd.from_arrow(ref), MATCH_COLS,
+                        params, source_id_col="id_row",
+                        ref_keep_cols=["numero_uai"]).to_pandas()
+    assert len(out) == 40  # length conservation incl. duplicates
+    by_id = out.set_index("id_row")
+    for i, r in enumerate(rows[:10]):
+        a = by_id.loc[r["id_row"]]
+        b = by_id.loc[f"dup-{i}"]
+        assert a["__SOURCE_GROUP"] == b["__SOURCE_GROUP"]
+        assert (a["__ID_REF"] == b["__ID_REF"]) or (
+            pd_isna(a["__ID_REF"]) and pd_isna(b["__ID_REF"]))
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
