@@ -100,6 +100,26 @@ def run_bench() -> dict:
             pass
         timings[name] = round(time.time() - t, 3)
 
+    # dirty→clean linking bench: seeded fixture pair (ref 20k / src 10k)
+    def linking_bench(_sf):
+        import ray.data as rd
+
+        from merge_machine_ray.fixtures.dirty_clean import (
+            MATCH_COLS,
+            ref_table,
+            source_table,
+        )
+        from merge_machine_ray.pipelines.linking import LinkParams, link_datasets
+
+        ref = ref_table(20_000)
+        src = source_table(20_000, 10_000)
+        src = src.drop_columns(["_ref_idx"])
+        return link_datasets(rd.from_arrow(src), rd.from_arrow(ref),
+                             MATCH_COLS, LinkParams.default_for(MATCH_COLS),
+                             source_id_col="id_row",
+                             ref_keep_cols=["numero_uai"])
+
+    timed("linking_20k_10k", linking_bench)
     timed("q1_pricing_summary", Q.q1_pricing_summary)
     timed("events_hourly", Q.events_hourly)
     timed("idf_table", Q.idf_table)
