@@ -273,8 +273,9 @@ class LinkFeaturize:
 
 
 class LinkBandKeys:
-    def __init__(self, params: LinkParams):
+    def __init__(self, params: LinkParams, num_buckets: int = 64):
         self.p = params
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.p
@@ -289,7 +290,9 @@ class LinkBandKeys:
                 keys.append(crc_hash64(bytes([b]) + band.tobytes()) & _MASK63)
                 idx_rep.append(i)
         take = pa.array(idx_rep, pa.int64())
-        out = {"band_key": pa.array(keys, pa.int64())}
+        karr = np.asarray(keys, dtype=np.int64)
+        out = {"band_key": pa.array(karr),
+               "bucket": pa.array((karr % self.num_buckets).astype(np.int32))}
         for c in batch.column_names:
             if c != "block_toks":
                 out[c] = batch[c].take(take)
@@ -297,57 +300,79 @@ class LinkBandKeys:
 
 
 def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int):
+    """Per-BUCKET cross-side pair emitter (vectorized like the ER pair
+    emitter): blocks are contiguous runs after a lexsort by band_key;
+    within a block the src×ref cross product is built with repeat/tile
+    index arrays; (src_key, ref_key) pairs are deduplicated within the
+    bucket; outputs use Arrow take."""
+
     def emit(group: pa.Table) -> pa.Table:
-        sides = group["side"].to_pylist()
-        srcs = [i for i, s in enumerate(sides) if s == 0]
-        refs = [i for i, s in enumerate(sides) if s == 1]
-        cols: dict[str, list] = {"src_key": [], "ref_key": [],
-                                 "ref_payload": []}
-        for i in range(n_tok_cols):
-            cols[f"toks_{i}_s"] = []
-            cols[f"toks_{i}_r"] = []
-        if srcs and refs:
-            keys = group["key"].to_pylist()
-            payloads = group["payload"].to_pylist()
-            toks = {i: group[f"toks_{i}"].to_pylist()
-                    for i in range(n_tok_cols)}
-            # dedupe by key within the block
-            uniq_s: dict[int, int] = {}
-            for i in srcs:
-                uniq_s.setdefault(keys[i], i)
-            uniq_r: dict[int, int] = {}
-            for i in refs:
-                uniq_r.setdefault(keys[i], i)
-            s_list = sorted(uniq_s)[:block_cap]
-            r_list = sorted(uniq_r)[:block_cap]
-            for sk in s_list:
-                si = uniq_s[sk]
-                for rk in r_list:
-                    ri = uniq_r[rk]
-                    cols["src_key"].append(sk)
-                    cols["ref_key"].append(rk)
-                    cols["ref_payload"].append(payloads[ri])
-                    for i in range(n_tok_cols):
-                        cols[f"toks_{i}_s"].append(toks[i][si])
-                        cols[f"toks_{i}_r"].append(toks[i][ri])
+        group = group.combine_chunks()
+        n_rows = group.num_rows
+        IS: list[np.ndarray] = []
+        IR: list[np.ndarray] = []
+        if n_rows >= 2:
+            band = group["band_key"].to_numpy(zero_copy_only=False)
+            side = group["side"].to_numpy(zero_copy_only=False)
+            keyv = group["key"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((keyv, side, band))
+            sb = band[order]
+            bounds = np.flatnonzero(sb[1:] != sb[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [sb.size]))
+            for lo, hi in zip(starts, ends):
+                seg = order[lo:hi]
+                seg_side = side[seg]
+                s_idx = seg[seg_side == 0]
+                r_idx = seg[seg_side == 1]
+                if s_idx.size == 0 or r_idx.size == 0:
+                    continue
+                # dedupe by key within the block (sorted by key already)
+                sk = keyv[s_idx]
+                keep = np.concatenate(([True], sk[1:] != sk[:-1]))
+                s_idx = s_idx[keep][:block_cap]
+                rk = keyv[r_idx]
+                keep = np.concatenate(([True], rk[1:] != rk[:-1]))
+                r_idx = r_idx[keep][:block_cap]
+                IS.append(np.repeat(s_idx, r_idx.size))
+                IR.append(np.tile(r_idx, s_idx.size))
+        if IS:
+            I = np.concatenate(IS)
+            J = np.concatenate(IR)
+            # dedupe (src_key, ref_key) pairs within the bucket
+            pk = np.stack([keyv[I], keyv[J]], axis=1)
+            _, first = np.unique(pk, axis=0, return_index=True)
+            I, J = I[first], J[first]
+            Ia, Ja = pa.array(I), pa.array(J)
+        else:
+            Ia = Ja = pa.array(np.empty(0, dtype=np.int64))
         arrays = {
-            "src_key": pa.array(cols["src_key"], pa.int64()),
-            "ref_key": pa.array(cols["ref_key"], pa.int64()),
-            "ref_payload": pa.array(cols["ref_payload"], pa.string()),
+            "src_key": group["key"].take(Ia) if len(Ia) else
+            pa.array([], pa.int64()),
+            "ref_key": group["key"].take(Ja) if len(Ja) else
+            pa.array([], pa.int64()),
+            "ref_payload": group["payload"].take(Ja) if len(Ja) else
+            pa.array([], pa.string()),
         }
         for i in range(n_tok_cols):
-            arrays[f"toks_{i}_s"] = pa.array(cols[f"toks_{i}_s"],
-                                             pa.list_(pa.int64()))
-            arrays[f"toks_{i}_r"] = pa.array(cols[f"toks_{i}_r"],
-                                             pa.list_(pa.int64()))
+            col = group[f"toks_{i}"]
+            if len(Ia):
+                arrays[f"toks_{i}_s"] = col.take(Ia)
+                arrays[f"toks_{i}_r"] = col.take(Ja)
+            else:
+                arrays[f"toks_{i}_s"] = pa.array([], pa.list_(pa.int64()))
+                arrays[f"toks_{i}_r"] = pa.array([], pa.list_(pa.int64()))
         return pa.table(arrays)
 
     return emit
 
 
 class LinkScorer:
-    """Actor-pool scorer: per pair, per template, weighted tf·idf cosine
-    over the template's clauses; IDF per extraction from the REF side."""
+    """Pair scorer: per template, weighted tf·idf cosine over the
+    template's clauses; IDF per extraction from the REF side.
+    Vectorized: one np.unique/searchsorted per (doc, extraction), cached
+    by (extraction, key); each DISTINCT clause similarity is computed
+    once per pair and reused across templates."""
 
     def __init__(self, params: LinkParams, idf_ref=None):
         import ray
@@ -358,48 +383,76 @@ class LinkScorer:
         self.idf = idf or {}
 
     def _weights(self, hashes: list[int], ext_i: int):
-        import math
-        from collections import Counter
-
+        if not hashes:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64), 0.0)
+        arr = np.asarray(hashes, dtype=np.int64)
+        uniq, counts = np.unique(arr, return_counts=True)
         table = self.idf.get(ext_i)
-        tf = Counter(hashes)
-        w = {}
-        for h, c in tf.items():
-            if table is not None:
-                i = int(np.searchsorted(table["keys"], h))
-                v = (table["vals"][i]
-                     if i < table["keys"].size and table["keys"][i] == h
-                     else table["default"])
-            else:
-                v = 1.0
-            w[h] = c * v
-        return w, math.sqrt(sum(v * v for v in w.values()))
+        if table is not None and table["keys"].size:
+            pos = np.searchsorted(table["keys"], uniq).clip(
+                max=table["keys"].size - 1)
+            hit = table["keys"][pos] == uniq
+            vals = np.where(hit, table["vals"][pos], table["default"])
+        else:
+            vals = np.ones(uniq.size)
+        w = counts * vals
+        return uniq, w, float(np.sqrt((w * w).sum()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.params
         n = batch.num_rows
         ext_index = {(tuple(c[0]), c[1]): i
                      for i, c in enumerate(self.extractions)}
+        src_keys = batch["src_key"].to_pylist()
+        ref_keys = batch["ref_key"].to_pylist()
         toks_s = {i: batch[f"toks_{i}_s"].to_pylist()
                   for i in range(len(self.extractions))}
         toks_r = {i: batch[f"toks_{i}_r"].to_pylist()
                   for i in range(len(self.extractions))}
+
+        wcache: dict[tuple, tuple] = {}
+
+        def weights(side: int, ext_tok: int, ext_idf: int, key: int, row: int):
+            ck = (side, ext_tok, ext_idf, key)
+            got = wcache.get(ck)
+            if got is None:
+                hs = toks_s[ext_tok][row] if side == 0 else toks_r[ext_tok][row]
+                got = self._weights(hs, ext_idf)
+                wcache[ck] = got
+            return got
+
+        # distinct clauses across all templates, with per-query boosts
+        clause_ids: dict[tuple[int, int], int] = {}
+        query_terms: list[list[tuple[int, float]]] = []
+        for q in p.queries:
+            qn = q.normalized()
+            terms = []
+            for c in qn.clauses:
+                si = ext_index[(tuple(c.source), c.analyzer)]
+                ri = ext_index[((c.ref,), c.analyzer)]
+                cid = clause_ids.setdefault((si, ri), len(clause_ids))
+                terms.append((cid, c.boost))
+            query_terms.append(terms)
+
+        sims = np.zeros((n, len(clause_ids)))
+        for (si, ri), cid in clause_ids.items():
+            col = sims[:, cid]
+            for r in range(n):
+                ua, wa, na = weights(0, si, ri, src_keys[r], r)
+                if na == 0.0:
+                    continue
+                ub, wb, nb = weights(1, ri, ri, ref_keys[r], r)
+                if nb == 0.0:
+                    continue
+                _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
+                                           return_indices=True)
+                if ia.size:
+                    col[r] = float(wa[ia] @ wb[ib]) / (na * nb)
         scores = np.zeros((n, len(p.queries)))
-        for r in range(n):
-            for qi, q in enumerate(p.queries):
-                qn = q.normalized()
-                total = 0.0
-                for c in qn.clauses:
-                    si = ext_index[(tuple(c.source), c.analyzer)]
-                    ri = ext_index[((c.ref,), c.analyzer)]
-                    wa, na = self._weights(toks_s[si][r], ri)
-                    wb, nb = self._weights(toks_r[ri][r], ri)
-                    if na > 0 and nb > 0:
-                        small, large = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
-                        dot = sum(v * large[h] for h, v in small.items()
-                                  if h in large)
-                        total += c.boost * dot / (na * nb)
-                scores[r, qi] = total
+        for qi, terms in enumerate(query_terms):
+            for cid, boost in terms:
+                scores[:, qi] += boost * sims[:, cid]
         out = {"src_key": batch["src_key"], "ref_key": batch["ref_key"],
                "ref_payload": batch["ref_payload"]}
         for qi in range(len(p.queries)):
@@ -465,34 +518,43 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
 
     if params.must or params.must_not:
         ref_ds = apply_must_filters(ref_ds, params.must, params.must_not)
+
+    # block-count sizing (parallelism follows data, not input file count)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_src = source_ds.count()
+    n_ref = ref_ds.count()
+    blocks = int(min(max(8, cpus * 4), max(4, (n_src + n_ref) // 2000)))
+    source_ds = source_ds.repartition(max(2, blocks // 2))
+    ref_ds = ref_ds.repartition(max(2, blocks // 2))
+
     feat_s = source_ds.map_batches(
         LinkFeaturize(params, 0, source_id_col, []),
         batch_format="pyarrow")
     feat_r = ref_ds.map_batches(
         LinkFeaturize(params, 1, ref_id_col, ref_keep),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     corpus = feat_s.union(feat_r)
 
-    bands = corpus.map_batches(LinkBandKeys(params), batch_format="pyarrow")
+    num_buckets = int(min(2048, max(16, (n_src + n_ref)
+                                    * params.num_bands // 20_000)))
+    bands = corpus.map_batches(LinkBandKeys(params, num_buckets),
+                               batch_format="pyarrow")
     n_ext = len(_clause_keys(params))
-    pairs = bands.groupby("band_key").map_groups(
+    pairs = bands.groupby("bucket").map_groups(
         _emit_cross_pairs_fn(params.block_cap, n_ext),
         batch_format="pyarrow")
 
-    # IDF per extraction from the ref side
-    idf_tables = {}
-    feat_r_mat = feat_r.materialize()
-    n_ref = feat_r_mat.count()
+    # IDF per extraction from the ref side — ONE streaming pass
     import math
+    from collections import Counter
 
-    for i in range(n_ext):
-        from collections import Counter
-
-        dfc: Counter = Counter()
-        for b in feat_r_mat.select_columns([f"toks_{i}"]).iter_batches(
-                batch_size=8192, batch_format="pyarrow"):
+    counters: list[Counter] = [Counter() for _ in range(n_ext)]
+    for b in feat_r.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i in range(n_ext):
             for lst in b[f"toks_{i}"].to_pylist():
-                dfc.update(set(lst))
+                counters[i].update(set(lst))
+    idf_tables = {}
+    for i, dfc in enumerate(counters):
         items = sorted((t, c) for t, c in dfc.items() if c >= 2)
         idf_tables[i] = {
             "keys": np.array([t for t, _ in items], dtype=np.int64),
@@ -502,9 +564,23 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
         }
     idf_ref = ray.put(idf_tables)
 
-    scored = pairs.map_batches(
-        LinkScorer, fn_constructor_kwargs={"params": params, "idf_ref": idf_ref},
-        batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    # stateless scoring tasks with per-worker scorer cache (see
+    # stages.scoring: a fixed actor pool reserves CPUs and starves the
+    # band shuffle; tasks share CPUs work-conservingly)
+    params_json = params.to_json()
+    _cache: dict = {}
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        key = idf_ref.hex() if hasattr(idf_ref, "hex") else id(idf_ref)
+        scorer = _cache.get(key)
+        if scorer is None:
+            scorer = LinkScorer(LinkParams.from_json(params_json), idf_ref)
+            _cache.clear()
+            _cache[key] = scorer
+        return scorer(batch)
+
+    scored = pairs.map_batches(score_fn, batch_format="pyarrow",
+                               batch_size=2048).materialize()
 
     # G1 confidence estimator: mean score per template over the run
     means = []
