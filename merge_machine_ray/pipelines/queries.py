@@ -683,6 +683,25 @@ def clean_corpus_full(sf_dir: str):
         .select_columns(["doc_id", "lang_pred"])
 
 
+
+
+def er_pages_fixture(sf_dir: str, n_entities: int = 500):
+    """Flagship ER over the synthetic PAGES corpus (FIXTURES.md F1):
+    html extraction → normalize → LSH blocking → scoring → clustering.
+    The corpus is deterministic (seed 42) and written once under /tmp;
+    sf_dir selects nothing (pages are generated, per the fixture plan).
+    Rows-only check: LSH/clustering are not SQL-expressible."""
+    import ray.data as rd
+
+    from merge_machine_ray.fixtures.pages import write_fixture
+    from merge_machine_ray.pipelines.entity_resolution import resolve_entities
+
+    out_dir = f"/tmp/mm_ray_fixture_pages_{n_entities}"
+    write_fixture(out_dir, n_entities=n_entities, shard_size=250)
+    ds = rd.read_parquet(out_dir)
+    return resolve_entities(ds).select_columns(["url", "cluster_id"])
+
+
 def build_queries() -> dict:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -714,6 +733,7 @@ def build_queries() -> dict:
         "simhash_near_dups": simhash_near_dups,
         "embedding_near_dups": embedding_near_dups,
         "er_documents": er_documents,
+        "er_pages_fixture": er_pages_fixture,
     }
 
 

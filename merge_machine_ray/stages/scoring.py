@@ -1,15 +1,18 @@
-"""Stage [5]: pairwise scoring actor pool (SURVEY.md §7.1).
+"""Stage [5]: pairwise scoring (SURVEY.md §7.1).
 
 The Ray equivalent of the reference's boosted must/should query
 templates scored by Lucene BM25 (``merge_machine/query_templates.py``,
 ``helpers.py:65-152``): a weighted per-field similarity —
-Jaro-Winkler on url/host, TF-IDF cosine on text tokens, exact match on
-lang — computed inside a ``map_batches`` ACTOR pool whose ``__init__``
-loads the precomputed IDF table once per actor (the reference's ES
-corpus statistics, SURVEY.md §2.4 ST1).
+Jaro-Winkler on url/host, TF-IDF cosine on text tokens, integers-
+analyzer Jaccard, exact match on lang.
 
-The IDF table is broadcast once via ``ray.put`` on the driver and read
-per actor in ``__init__`` — never re-shipped per batch.
+State model: the precomputed IDF table (the reference's ES corpus
+statistics, ST1) is broadcast ONCE via ``ray.put`` and read zero-copy
+inside STATELESS map_batches tasks through a per-worker-process cache —
+never re-shipped per batch. An explicit actor pool remains available
+via the ``concurrency`` argument, but the task form is the default: a
+fixed actor pool reserves its CPUs up front and starves the upstream
+shuffle stages (measured), while tasks share CPUs work-conservingly.
 """
 
 from __future__ import annotations
