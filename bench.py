@@ -100,6 +100,16 @@ def run_bench() -> dict:
             pass
         timings[name] = round(time.time() - t, 3)
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        result = {
+            "metric": "er_pages_e2e", "value": round(headline, 3),
+            "unit": "sec", "queries": timings, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "bench_docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1),
+        }
+        ray.shutdown()
+        return result
+
     # dirty→clean linking bench: seeded fixture pair (ref 20k / src 10k)
     def linking_bench(_sf):
         import ray.data as rd
@@ -143,13 +153,28 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling runs use a larger corpus (~350k docs): at the default
+        # size the pipeline finishes in ~10-20 s where fixed session
+        # overheads and machine noise swamp the scaling signal
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_ENTITIES=os.environ.get(
+                       "GRAFT_BENCH_ENTITIES", "100000"))
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    # The sandbox host's effective core allocation fluctuates (shared
+    # VM): interleave repeated runs of both levels and take the best
+    # time per level, so one noisy window can't skew the ratio.
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run(8))
+        runs_hi.append(run(32))
+    lo = min(runs_lo, key=lambda r: r["value"])
+    hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     return {
@@ -159,6 +184,8 @@ def run_scaling() -> dict:
         "docs_per_sec_32": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "bench_docs": hi["bench_docs"],
+        "all_sec_8": [r["value"] for r in runs_lo],
+        "all_sec_32": [r["value"] for r in runs_hi],
     }
 
 

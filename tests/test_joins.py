@@ -1,0 +1,40 @@
+"""bucket_hash_join unit tests (the explicit partitioned hash join)."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_bucket_hash_join_inner(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 4, 2], pa.int64()),
+        "x": pa.array(["p", "q", "r", "s", "t"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3, 9], pa.int64()),
+        "payload": pa.array(["two", "three", "nine"]),
+        "vec": pa.array([[1, 2], [3, 4], [5, 6]], pa.list_(pa.int64())),
+    }))
+    out = bucket_hash_join(left, right, "a", "doc_id",
+                           num_buckets=4, right_suffix="_r")
+    rows = sorted(out.take_all(), key=lambda r: (r["a"], r["x"]))
+    # inner: rows with a∈{2,3} survive; duplicate left key joins twice
+    assert [(r["a"], r["x"], r["payload_r"]) for r in rows] == [
+        (2, "q", "two"), (2, "t", "two"), (3, "r", "three")]
+    assert rows[0]["vec_r"] == [1, 2]
+
+
+def test_bucket_hash_join_empty_sides(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({"a": pa.array([1, 2], pa.int64()),
+                                   "x": pa.array(["p", "q"])}))
+    right = rd.from_arrow(pa.table({"doc_id": pa.array([7], pa.int64()),
+                                    "y": pa.array(["z"])}))
+    out = bucket_hash_join(left, right, "a", "doc_id", num_buckets=2)
+    assert out.count() == 0
