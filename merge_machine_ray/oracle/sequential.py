@@ -36,8 +36,8 @@ def _to_i64(u: int) -> int:
 
 
 class OracleDoc:
-    __slots__ = ("url", "doc_id", "host", "lang", "norm_text", "tok_hashes",
-                 "int_hashes")
+    __slots__ = ("url", "doc_id", "host", "path", "lang", "norm_text",
+                 "tok_hashes", "int_hashes")
 
 
 def featurize_rows(table: pa.Table, params: MatchParams,
@@ -56,13 +56,18 @@ def featurize_rows(table: pa.Table, params: MatchParams,
             d.url = row["url"]
             d.doc_id = _to_i64(stable_hash64(row["url"]))
             d.host = url_host(row["url"])
+            i = d.url.find(d.host) if d.host else -1
+            d.path = (d.url[i + len(d.host):] if i >= 0 else d.url)[:48]
         else:
             d.url = ""  # no url features for id-keyed tables
             d.doc_id = int(row[id_col])
             d.host = ""
+            d.path = ""
         d.lang = row.get("lang", "")
-        d.tok_hashes = [_to_i64(crc_hash64(t)) for t in tokenize(d.norm_text)]
-        d.int_hashes = sorted({_to_i64(crc_hash64(t))
+        from merge_machine_ray.stages.normalize_stage import tok31
+
+        d.tok_hashes = [tok31(crc_hash64(t)) for t in tokenize(d.norm_text)]
+        d.int_hashes = sorted({tok31(crc_hash64(t))
                                for t in ANALYZERS["integers"](d.norm_text)})
         docs.append(d)
     return docs
@@ -139,13 +144,7 @@ def score_pair(da: OracleDoc, db: OracleDoc, idf: dict, params: MatchParams) -> 
     sim_ints = (len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
                 if sa and sb else 0.0)
     sim_host = jaro_winkler(da.host, db.host) if (da.host and db.host) else 0.0
-
-    def _path(d: OracleDoc) -> str:
-        i = d.url.find(d.host) if d.host else -1
-        return (d.url[i + len(d.host):] if i >= 0 else d.url)[:48]
-
-    pa_, pb_ = (_path(da), _path(db)) if (da.url and db.url) else ("", "")
-    sim_url = jaro_winkler(pa_, pb_) if (pa_ and pb_) else 0.0
+    sim_url = jaro_winkler(da.path, db.path) if (da.path and db.path) else 0.0
     sim_lang = 1.0 if (da.lang == db.lang and da.lang) else 0.0
     return (params.w_text * sim_text + params.w_ints * sim_ints
             + params.w_host * sim_host

@@ -38,7 +38,7 @@ from merge_machine_ray.functions.minhash import minhash_signature, token_shingle
 
 _MASK63 = (1 << 63) - 1
 
-_FEATURE_COLS = ("url", "host", "lang", "tok_hashes", "int_hashes")
+_FEATURE_COLS = ("path", "host", "lang", "tok_hashes", "int_hashes")
 
 
 def band_hashes_for(tok_hashes: list[int], host: str, num_perm: int,
@@ -181,7 +181,7 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
             pa.array([], pa.int64()),
         }
         for c in feature_cols:
-            typ = (pa.list_(pa.int64()) if c in ("tok_hashes", "int_hashes")
+            typ = (pa.list_(pa.int32()) if c in ("tok_hashes", "int_hashes")
                    else pa.string())
             if len(I):
                 arrays[f"{c}_a"] = group[c].take(I)

@@ -33,6 +33,17 @@ def _to_i64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+_MASK31 = (1 << 31) - 1
+
+
+def tok31(h: int) -> int:
+    """31-bit token hash (int32-safe): token features ride every band
+    row through the blocking shuffle, so halving their width halves the
+    dominant shuffle payload. Collision odds ~k²/2³² stay negligible at
+    corpus vocab sizes; the IDF table and oracle use the same fold."""
+    return h & _MASK31
+
+
 class Featurize:
     """Callable for ``map_batches(..., batch_format="pyarrow")``.
 
@@ -64,9 +75,17 @@ class Featurize:
         if self.id_col == "url":
             doc_id = [_to_i64(stable_hash64(u)) for u in ids]
             hosts = [url_host(u) for u in ids]
+            # url path (host stripped, 48 chars) — all downstream
+            # consumers (Jaro-Winkler) use exactly this slice, so the
+            # full url never rides the shuffle
+            paths = []
+            for u, h in zip(ids, hosts):
+                i = u.find(h) if h else -1
+                paths.append((u[i + len(h):] if i >= 0 else u)[:48])
         else:
             doc_id = [int(i) for i in ids]
             hosts = [""] * len(ids)
+            paths = [""] * len(ids)
 
         integers = ANALYZERS["integers"]
         tok_hash_lists = []
@@ -75,22 +94,23 @@ class Featurize:
         for s in norm.to_pylist():
             toks = self._tokenize(s)
             n_tokens.append(len(toks))
-            tok_hash_lists.append([_to_i64(crc_hash64(t)) for t in toks])
+            tok_hash_lists.append([tok31(crc_hash64(t)) for t in toks])
             # integers-analyzer feature set (reference A3): ids/codes
             # buried in text are strong per-entity discriminators
             int_hash_lists.append(
-                sorted({_to_i64(crc_hash64(t)) for t in integers(s)}))
+                sorted({tok31(crc_hash64(t)) for t in integers(s)}))
 
         cols: dict[str, pa.Array] = {}
         if "url" in names:
             cols["url"] = batch["url"]
         cols["doc_id"] = pa.array(doc_id, pa.int64())
         cols["host"] = pa.array(hosts, pa.string())
+        cols["path"] = pa.array(paths, pa.string())
         cols["lang"] = batch["lang"] if "lang" in names else pa.array(
             [""] * batch.num_rows, pa.string())
         cols["n_tokens"] = pa.array(n_tokens, pa.int32())
-        cols["tok_hashes"] = pa.array(tok_hash_lists, pa.list_(pa.int64()))
-        cols["int_hashes"] = pa.array(int_hash_lists, pa.list_(pa.int64()))
+        cols["tok_hashes"] = pa.array(tok_hash_lists, pa.list_(pa.int32()))
+        cols["int_hashes"] = pa.array(int_hash_lists, pa.list_(pa.int32()))
         if self.keep_norm_text:
             cols["norm_text"] = norm
         return pa.table(cols)

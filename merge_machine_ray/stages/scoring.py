@@ -80,7 +80,7 @@ class PairScorer:
 
         toks_a, toks_b = col("tok_hashes_a"), col("tok_hashes_b")
         ints_a, ints_b = col("int_hashes_a"), col("int_hashes_b")
-        url_a, url_b = col("url_a"), col("url_b")
+        path_a, path_b = col("path_a"), col("path_b")
         host_a, host_b = col("host_a"), col("host_b")
         lang_a, lang_b = col("lang_a"), col("lang_b")
 
@@ -111,20 +111,6 @@ class PairScorer:
                 jw_cache[key] = got
             return got
 
-        # Jaro-Winkler runs on the url PATH (host handled separately and
-        # cached — hosts repeat heavily), truncated to 48 chars: full-url
-        # JW was the scoring hot spot and the scheme+host prefix carries
-        # no extra signal beyond sim_host.
-        path_cache: dict[int, str] = {}
-
-        def path_of(doc_id: int, url: str, host: str) -> str:
-            got = path_cache.get(doc_id)
-            if got is None:
-                i = url.find(host)
-                got = (url[i + len(host):] if i >= 0 else url)[:48]
-                path_cache[doc_id] = got
-            return got
-
         for i in range(n):
             ua, wa, na = weights(ids_a[i], toks_a[i])
             ub, wb, nb = weights(ids_b[i], toks_b[i])
@@ -142,20 +128,16 @@ class PairScorer:
                         sim_ints[i] = inter / (len(sa) + len(sb) - inter)
             if host_a is not None and host_a[i] and host_b[i]:
                 sim_host[i] = jw(host_a[i], host_b[i])
-            if url_a is not None and url_a[i] and url_b[i]:
-                pa_, pb_ = (path_of(ids_a[i], url_a[i], host_a[i] or ""),
-                            path_of(ids_b[i], url_b[i], host_b[i] or ""))
-                if pa_ and pb_:
-                    sim_url[i] = jw(pa_, pb_)
+            if path_a is not None and path_a[i] and path_b[i]:
+                # JW over the pre-truncated url path (featurize keeps
+                # exactly the 48-char slice JW consumes)
+                sim_url[i] = jw(path_a[i], path_b[i])
             if lang_a is not None and lang_a[i] and lang_a[i] == lang_b[i]:
                 sim_lang[i] = 1.0
         score = (p.w_text * sim_text + p.w_ints * sim_ints
                  + p.w_host * sim_host
                  + p.w_url * sim_url + p.w_lang * sim_lang)
         out = {"a": batch["a"], "b": batch["b"]}
-        if url_a is not None:
-            out["url_a"] = batch["url_a"]
-            out["url_b"] = batch["url_b"]
         out.update({
             "sim_text": pa.array(sim_text), "sim_ints": pa.array(sim_ints),
             "sim_host": pa.array(sim_host),
