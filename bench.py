@@ -159,7 +159,7 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_HEADLINE_ONLY="1",
                    GRAFT_BENCH_ENTITIES=os.environ.get(
-                       "GRAFT_BENCH_ENTITIES", "100000"))
+                       "GRAFT_BENCH_ENTITIES", "300000"))
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

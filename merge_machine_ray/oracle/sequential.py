@@ -57,7 +57,7 @@ def featurize_rows(table: pa.Table, params: MatchParams,
             d.doc_id = _to_i64(stable_hash64(row["url"]))
             d.host = url_host(row["url"])
             i = d.url.find(d.host) if d.host else -1
-            d.path = (d.url[i + len(d.host):] if i >= 0 else d.url)[:48]
+            d.path = (d.url[i + len(d.host):] if i >= 0 else d.url)[:24]
         else:
             d.url = ""  # no url features for id-keyed tables
             d.doc_id = int(row[id_col])

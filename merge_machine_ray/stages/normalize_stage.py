@@ -81,7 +81,7 @@ class Featurize:
             paths = []
             for u, h in zip(ids, hosts):
                 i = u.find(h) if h else -1
-                paths.append((u[i + len(h):] if i >= 0 else u)[:48])
+                paths.append((u[i + len(h):] if i >= 0 else u)[:24])
         else:
             doc_id = [int(i) for i in ids]
             hosts = [""] * len(ids)

@@ -130,7 +130,7 @@ class PairScorer:
                 sim_host[i] = jw(host_a[i], host_b[i])
             if path_a is not None and path_a[i] and path_b[i]:
                 # JW over the pre-truncated url path (featurize keeps
-                # exactly the 48-char slice JW consumes)
+                # exactly the 24-char slice JW consumes)
                 sim_url[i] = jw(path_a[i], path_b[i])
             if lang_a is not None and lang_a[i] and lang_a[i] == lang_b[i]:
                 sim_lang[i] = 1.0
@@ -170,7 +170,7 @@ def _scorer_for(idf_ref, params_json: str) -> PairScorer:
 
 
 def score_pairs(pairs_with_features, idf_ref=None, params=None,
-                concurrency: int | tuple | None = None, batch_size: int = 2048):
+                concurrency: int | tuple | None = None, batch_size: int = 8192):
     """Scoring stage as a stateless task pool with per-worker scorer
     cache (see _scorer_for). ``concurrency`` is accepted for explicit
     actor-pool mode (tests / constrained environments)."""
