@@ -53,10 +53,11 @@ class PairScorer:
             self.default_idf = float(idf["default"])
         self.params = MatchParams.from_any(params)
 
-    def _weights(self, hashes: list[int]) -> tuple[np.ndarray, np.ndarray, float]:
+    def _weights(self, hashes) -> tuple[np.ndarray, np.ndarray, float]:
         """→ (sorted unique hashes, tf·idf weights, vector norm) — fully
-        vectorized (one searchsorted per doc, not per token)."""
-        if not hashes:
+        vectorized (one searchsorted per doc, not per token). Accepts a
+        python list or a numpy view over arrow list-buffer values."""
+        if len(hashes) == 0:
             return _EMPTY_I64, _EMPTY_F64, 0.0
         arr = np.asarray(hashes, dtype=np.int64)
         uniq, counts = np.unique(arr, return_counts=True)
@@ -72,14 +73,26 @@ class PairScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.params
+        batch = batch.combine_chunks()
         n = batch.num_rows
         names = set(batch.column_names)
 
         def col(name):
             return batch[name].to_pylist() if name in names else None
 
-        toks_a, toks_b = col("tok_hashes_a"), col("tok_hashes_b")
-        ints_a, ints_b = col("int_hashes_a"), col("int_hashes_b")
+        def list_col(name):
+            """list<int32/64> column → (offsets, values) numpy views —
+            avoids a python-list materialization per row."""
+            if name not in names:
+                return None
+            arr = batch[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return (arr.offsets.to_numpy(zero_copy_only=False),
+                    arr.values.to_numpy(zero_copy_only=False))
+
+        toks_a, toks_b = list_col("tok_hashes_a"), list_col("tok_hashes_b")
+        ints_a, ints_b = list_col("int_hashes_a"), list_col("int_hashes_b")
         path_a, path_b = col("path_a"), col("path_b")
         host_a, host_b = col("host_a"), col("host_b")
         lang_a, lang_b = col("lang_a"), col("lang_b")
@@ -96,10 +109,11 @@ class PairScorer:
         cache: dict[int, tuple[np.ndarray, np.ndarray, float]] = {}
         jw_cache: dict[tuple[str, str], float] = {}
 
-        def weights(doc_id: int, hs: list[int]):
+        def weights(doc_id: int, lc, i: int):
             got = cache.get(doc_id)
             if got is None:
-                got = self._weights(hs)
+                offsets, values = lc
+                got = self._weights(values[offsets[i]:offsets[i + 1]])
                 cache[doc_id] = got
             return got
 
@@ -111,21 +125,26 @@ class PairScorer:
                 jw_cache[key] = got
             return got
 
+        if ints_a is not None:
+            io_a, iv_a = ints_a
+            io_b, iv_b = ints_b
         for i in range(n):
-            ua, wa, na = weights(ids_a[i], toks_a[i])
-            ub, wb, nb = weights(ids_b[i], toks_b[i])
+            ua, wa, na = weights(ids_a[i], toks_a, i)
+            ub, wb, nb = weights(ids_b[i], toks_b, i)
             if na > 0 and nb > 0:
                 _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
                                            return_indices=True)
                 if ia.size:
                     sim_text[i] = float(wa[ia] @ wb[ib]) / (na * nb)
             if ints_a is not None:
-                la, lb = ints_a[i], ints_b[i]
-                if la and lb:
-                    sa, sb = set(la), set(lb)
-                    inter = len(sa & sb)
+                la = iv_a[io_a[i]:io_a[i + 1]]
+                lb = iv_b[io_b[i]:io_b[i + 1]]
+                if la.size and lb.size:
+                    # int_hashes are pre-sorted unique sets (featurize)
+                    inter = np.intersect1d(la, lb,
+                                           assume_unique=True).size
                     if inter:
-                        sim_ints[i] = inter / (len(sa) + len(sb) - inter)
+                        sim_ints[i] = inter / (la.size + lb.size - inter)
             if host_a is not None and host_a[i] and host_b[i]:
                 sim_host[i] = jw(host_a[i], host_b[i])
             if path_a is not None and path_a[i] and path_b[i]:
