@@ -138,3 +138,24 @@ def test_shingles():
     assert token_shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
     assert token_shingles(["a"], 3) == ["a"]
     assert token_shingles([], 3) == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenizers_never_crash(s):
+    """Analyzers must be total functions over arbitrary unicode."""
+    for name in ("special_keyword", "standard", "n_grams", "integers",
+                 "french_estab", "french", "english", "whitespace"):
+        out = ANALYZERS[name](s)
+        assert isinstance(out, list)
+        assert all(isinstance(t, str) for t in out)
+
+
+def test_extract_html_malformed():
+    # unclosed tags, stray brackets, invalid utf-8 bytes, nested script
+    assert extract_text_from_html(b"<p>a <b>b") == "a b"
+    assert extract_text_from_html(b"a < b > c") == "a c"  # '< b >' parsed as tag
+    assert extract_text_from_html(b"\xff\xfe<p>ok</p>") == "�� ok"
+    assert extract_text_from_html(
+        b"<script>var a='<p>x</p>';</script>done") == "done"
+    assert extract_text_from_html(b"") == ""
