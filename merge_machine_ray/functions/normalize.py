@@ -44,6 +44,17 @@ TRANSLIT: dict[str, str] = {
 _TRANSLIT_TABLE = str.maketrans(TRANSLIT)
 _WS_RE = re.compile(r"\s+")
 
+# Python ``re`` matches \s against the full unicode whitespace set;
+# Arrow's RE2 \s is ASCII-only. The vectorized path spells the exact
+# Python set out (verified equal to both ``re`` \s and ``str.isspace``
+# over the whole BMP+SMP) so the two normalize implementations stay
+# byte-identical on exotic whitespace (U+2009, U+3000, U+2028, …).
+_WS_CODEPOINTS = (list(range(0x09, 0x0E)) + list(range(0x1C, 0x21))
+                  + [0x85, 0xA0, 0x1680] + list(range(0x2000, 0x200B))
+                  + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000])
+_WS_CHARS = "".join(chr(c) for c in _WS_CODEPOINTS)
+_WS_CLASS_RE = "[" + "".join(f"\\x{{{c:04X}}}" for c in _WS_CODEPOINTS) + "]+"
+
 
 def normalize_text(s: str | None) -> str:
     """Canonical normalization: lower → transliterate → collapse ws → strip.
@@ -67,8 +78,8 @@ def normalize_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedAr
     arr = pc.utf8_lower(arr)
     for src, dst in TRANSLIT.items():
         arr = pc.replace_substring(arr, src, dst)
-    arr = pc.replace_substring_regex(arr, r"\s+", " ")
-    return pc.utf8_trim_whitespace(arr)
+    arr = pc.replace_substring_regex(arr, _WS_CLASS_RE, " ")
+    return pc.utf8_trim(arr, _WS_CHARS)
 
 
 # --- HTML extraction ---------------------------------------------------------

@@ -382,8 +382,8 @@ class LinkScorer:
         idf = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
         self.idf = idf or {}
 
-    def _weights(self, hashes: list[int], ext_i: int):
-        if not hashes:
+    def _weights(self, hashes, ext_i: int):
+        if len(hashes) == 0:
             return (np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.float64), 0.0)
         arr = np.asarray(hashes, dtype=np.int64)
@@ -401,24 +401,39 @@ class LinkScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.params
+        batch = batch.combine_chunks()
         n = batch.num_rows
         ext_index = {(tuple(c[0]), c[1]): i
                      for i, c in enumerate(self.extractions)}
-        src_keys = batch["src_key"].to_pylist()
-        ref_keys = batch["ref_key"].to_pylist()
-        toks_s = {i: batch[f"toks_{i}_s"].to_pylist()
+        src_keys = batch["src_key"].to_numpy(zero_copy_only=False)
+        ref_keys = batch["ref_key"].to_numpy(zero_copy_only=False)
+
+        def list_views(name):
+            """list<int64> column → (offsets, values) numpy views — no
+            python-list materialization (the PairScorer technique,
+            stages/scoring.py)."""
+            arr = batch[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return (arr.offsets.to_numpy(zero_copy_only=False),
+                    arr.values.to_numpy(zero_copy_only=False))
+
+        toks_s = {i: list_views(f"toks_{i}_s")
                   for i in range(len(self.extractions))}
-        toks_r = {i: batch[f"toks_{i}_r"].to_pylist()
+        toks_r = {i: list_views(f"toks_{i}_r")
                   for i in range(len(self.extractions))}
 
+        # memoize per-record tf·idf weights by (side, extraction, record
+        # key): records repeat across pairs (the reference's
+        # ref_id_to_data cache, ST2)
         wcache: dict[tuple, tuple] = {}
 
         def weights(side: int, ext_tok: int, ext_idf: int, key: int, row: int):
             ck = (side, ext_tok, ext_idf, key)
             got = wcache.get(ck)
             if got is None:
-                hs = toks_s[ext_tok][row] if side == 0 else toks_r[ext_tok][row]
-                got = self._weights(hs, ext_idf)
+                off, vals = toks_s[ext_tok] if side == 0 else toks_r[ext_tok]
+                got = self._weights(vals[off[row]:off[row + 1]], ext_idf)
                 wcache[ck] = got
             return got
 
@@ -460,40 +475,72 @@ class LinkScorer:
         return pa.table(out)
 
 
-def _select_best_fn(params: LinkParams, means: list[float]):
-    """Per-source reducer: priority first-match-wins (J2) with the
-    best-match fallback (J3) + confidence scaling (G1)."""
+def _select_best_bucket_fn(params: LinkParams, means: list[float]):
+    """Per-BUCKET reducer: priority first-match-wins (J2) with the
+    best-match fallback (J3) + confidence scaling (G1) — one row out per
+    distinct src_key.
+
+    Fully vectorized segment argmax (no per-group python): rows sort by
+    src_key; each source's winning template is the minimum first-
+    eligible template over its segment (``np.minimum.reduceat``); the
+    winning row is the last of the segment after a lexsort by (segment,
+    eligibility-gated score asc, ~ref_key asc) — i.e. max score, ties to
+    the smallest ref_key (``~ref`` is the overflow-free descending
+    bijection on int64)."""
     nq = len(params.queries)
-    threshs = [q.thresh for q in params.queries]
+    threshs = np.array([q.thresh for q in params.queries])
+    means_arr = np.array([m if m > 0 else 1.0 for m in means])
 
     def select(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        winner = None
-        for qi in range(nq):
-            cands = [r for r in rows if r[f"q{qi}_score"] >= threshs[qi]]
-            if cands:
-                best = max(cands, key=lambda r: (r[f"q{qi}_score"],
-                                                 -r["ref_key"]))
-                winner = (best, qi, True)
-                break
-        if winner is None and rows:
-            best = max(rows, key=lambda r: (r["q0_score"], -r["ref_key"]))
-            winner = (best, 0, False)
-        if winner is None:
-            return pa.table({"src_key": pa.array([], pa.int64())})
-        best, qi, is_match = winner
-        score = best[f"q{qi}_score"]
-        mean = means[qi] if means[qi] > 0 else 1.0
-        confidence = 1.0 + (score - threshs[qi]) / mean
+        group = group.combine_chunks()
+        n = group.num_rows
+        src = group["src_key"].to_numpy(zero_copy_only=False)
+        ref = group["ref_key"].to_numpy(zero_copy_only=False)
+        scores = np.stack(
+            [group[f"q{qi}_score"].to_numpy(zero_copy_only=False)
+             for qi in range(nq)], axis=1)  # (n, nq)
+        elig = scores >= threshs[None, :]
+        any_elig = elig.any(axis=1)
+        first_qi = np.where(any_elig, elig.argmax(axis=1), nq)
+
+        order = np.argsort(src, kind="stable")
+        s_sorted = src[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(s_sorted[1:] != s_sorted[:-1]) + 1))
+        n_seg = starts.size
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+
+        group_qi = np.minimum.reduceat(first_qi[order], starts)  # (n_seg,)
+        qi_row = group_qi[seg_id]                                # per sorted row
+        matched_row = qi_row < nq
+        qi_eff = np.where(matched_row, qi_row, 0)                # fallback → q0
+        row_score = scores[order, qi_eff]
+        # gate: in a matched segment only rows eligible at the winning
+        # template compete; in a fallback segment every row competes
+        competes = ~matched_row | elig[order, qi_eff]
+        sel = np.where(competes, row_score, -np.inf)
+
+        pick = np.lexsort((~ref[order], sel, seg_id))
+        ends = np.concatenate((starts[1:], [n]))
+        win_sorted = pick[ends - 1]          # last of each segment
+        win = order[win_sorted]              # winner's original row index
+
+        qi_seg = np.where(group_qi < nq, group_qi, 0)
+        score_seg = sel[win_sorted]
+        thresh_seg = threshs[qi_seg]
+        conf = 1.0 + (score_seg - thresh_seg) / means_arr[qi_seg]
+        wa = pa.array(win)
         return pa.table({
-            "src_key": pa.array([best["src_key"]], pa.int64()),
-            "__ID_REF": pa.array([best["ref_key"]], pa.int64()),
-            "__ID_QUERY": pa.array([qi], pa.int64()),
-            "__SCORE": pa.array([score], pa.float64()),
-            "__THRESH": pa.array([threshs[qi]], pa.float64()),
-            "__CONFIDENCE": pa.array([confidence], pa.float64()),
-            "__IS_MATCH": pa.array([is_match], pa.bool_()),
-            "ref_payload": pa.array([best["ref_payload"]], pa.string()),
+            "src_key": pa.array(s_sorted[starts]),
+            "__ID_REF": pa.array(ref[win]),
+            "__ID_QUERY": pa.array(qi_seg, pa.int64()),
+            "__SCORE": pa.array(score_seg, pa.float64()),
+            "__THRESH": pa.array(thresh_seg, pa.float64()),
+            "__CONFIDENCE": pa.array(conf, pa.float64()),
+            "__IS_MATCH": pa.array(group_qi < nq),
+            "ref_payload": group["ref_payload"].take(wa),
         })
 
     return select
@@ -544,23 +591,55 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
         _emit_cross_pairs_fn(params.block_cap, n_ext),
         batch_format="pyarrow")
 
-    # IDF per extraction from the ref side — ONE streaming pass
+    # IDF per extraction from the ref side: DISTRIBUTED partial-DF
+    # aggregation (the stages/idf.py pattern — per-batch distinct counts
+    # → one small groupby over (ext, tok) partials), not a driver loop.
     import math
-    from collections import Counter
 
-    counters: list[Counter] = [Counter() for _ in range(n_ext)]
-    for b in feat_r.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    from ray.data.aggregate import Sum
+
+    def _partial_df(b: pa.Table) -> pa.Table:
+        exts, toks, pdfs = [], [], []
         for i in range(n_ext):
+            counts: dict[int, int] = {}
             for lst in b[f"toks_{i}"].to_pylist():
-                counters[i].update(set(lst))
-    idf_tables = {}
-    for i, dfc in enumerate(counters):
-        items = sorted((t, c) for t, c in dfc.items() if c >= 2)
+                for h in set(lst):
+                    counts[h] = counts.get(h, 0) + 1
+            exts.extend([i] * len(counts))
+            toks.extend(counts.keys())
+            pdfs.extend(counts.values())
+        return pa.table({"ext": pa.array(exts, pa.int32()),
+                         "tok": pa.array(toks, pa.int64()),
+                         "pdf": pa.array(pdfs, pa.int64())})
+
+    df_tbl = (feat_r.select_columns([f"toks_{i}" for i in range(n_ext)])
+              .map_batches(_partial_df, batch_format="pyarrow")
+              .groupby(["ext", "tok"]).aggregate(Sum("pdf", alias_name="df")))
+    default_idf = math.log((n_ref + 1) / 2.0) + 1.0
+    idf_tables = {i: {"keys": np.empty(0, dtype=np.int64),
+                      "vals": np.empty(0), "default": default_idf}
+                  for i in range(n_ext)}
+    acc: dict[int, list] = {i: ([], []) for i in range(n_ext)}
+    for b in df_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        e = b["ext"].to_numpy(zero_copy_only=False)
+        t = b["tok"].to_numpy(zero_copy_only=False)
+        d = b["df"].to_numpy(zero_copy_only=False)
+        keep = d >= 2  # df=1 tokens equal the default bucket — exact drop
+        e, t, d = e[keep], t[keep], d[keep]
+        for i in range(n_ext):
+            m = e == i
+            acc[i][0].append(t[m])
+            acc[i][1].append(d[m])
+    for i in range(n_ext):
+        if not acc[i][0]:
+            continue
+        toks = np.concatenate(acc[i][0])
+        dfs = np.concatenate(acc[i][1]).astype(np.float64)
+        order_ = np.argsort(toks)
         idf_tables[i] = {
-            "keys": np.array([t for t, _ in items], dtype=np.int64),
-            "vals": np.array([math.log((n_ref + 1) / (c + 1)) + 1
-                              for _, c in items]),
-            "default": math.log((n_ref + 1) / 2.0) + 1.0,
+            "keys": toks[order_],
+            "vals": np.log((n_ref + 1) / (dfs[order_] + 1)) + 1,
+            "default": default_idf,
         }
     idf_ref = ray.put(idf_tables)
 
@@ -582,98 +661,110 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     scored = pairs.map_batches(score_fn, batch_format="pyarrow",
                                batch_size=2048).materialize()
 
-    # G1 confidence estimator: mean score per template over the run
-    means = []
-    for qi in range(len(params.queries)):
-        agg = scored.aggregate(Mean(f"q{qi}_score", alias_name="m"))
-        means.append(float(agg["m"] or 0.0))
+    # G1 confidence estimator: mean score per template — ONE pass
+    nq = len(params.queries)
+    if scored.count() == 0:
+        linked = rd.from_arrow(pa.table({
+            "src_key": pa.array([], pa.int64()),
+            "__ID_REF": pa.array([], pa.int64()),
+            "__ID_QUERY": pa.array([], pa.int64()),
+            "__SCORE": pa.array([], pa.float64()),
+            "__THRESH": pa.array([], pa.float64()),
+            "__CONFIDENCE": pa.array([], pa.float64()),
+            "__IS_MATCH": pa.array([], pa.bool_()),
+            "ref_payload": pa.array([], pa.string())}))
+    else:
+        aggs = scored.aggregate(*[Mean(f"q{qi}_score", alias_name=f"m{qi}")
+                                  for qi in range(nq)]) or {}
+        means = [float(aggs.get(f"m{qi}") or 0.0) for qi in range(nq)]
 
-    linked = scored.groupby("src_key").map_groups(
-        _select_best_fn(params, means), batch_format="pyarrow").materialize()
+        # bucketed vectorized selection: shuffle by src_key % B (bounded
+        # python-group count), segment argmax inside each bucket
+        sel_buckets = int(min(512, max(8, n_src // 4000)))
 
-    # exact labelled pairs override (J5): score 999
+        def _sel_bucket(t: pa.Table) -> pa.Table:
+            k = t["src_key"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "sbkt", pa.array((k % sel_buckets).astype(np.int32)))
+
+        linked = (scored.map_batches(_sel_bucket, batch_format="pyarrow")
+                  .groupby("sbkt")
+                  .map_groups(lambda g: _select_best_bucket_fn(params, means)
+                              (g.drop_columns(["sbkt"])),
+                              batch_format="pyarrow"))
+
+    # re-attach the link to EVERY source row by a left hash join on the
+    # D1 group key (__SOURCE_GROUP) — no driver-resident link map, so
+    # the dirty side can be corpus-sized
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
     exact = {int(s): int(r) for s, r in params.exact_pairs}
     non_match = {(int(s), int(r)) for s, r in params.non_matching_pairs}
 
-    link_map: dict[int, dict] = {}
-    for b in linked.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            link_map[row["src_key"]] = row
-    link_ref = ray.put({"links": link_map, "exact": exact,
-                        "non_match": non_match})
+    key_featurizer = LinkFeaturize(params, 0, source_id_col, [])
 
-    class AttachLink:
-        def __init__(self, ref, params_, ref_keep_, src_id_col):
-            got = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.links = got["links"]
-            self.exact = got["exact"]
-            self.non_match = got["non_match"]
-            self.featurizer = LinkFeaturize(params_, 0, src_id_col, [])
-            self.ref_keep = ref_keep_
+    def add_source_group(batch: pa.Table) -> pa.Table:
+        """Appends the D1 dedup-group key to each original source row."""
+        cols = key_featurizer.source_cols
+        sub = batch.select([c for c in cols if c in batch.column_names])
+        keys = [key_featurizer._key_of(r) for r in sub.to_pylist()]
+        return batch.append_column("__SOURCE_GROUP",
+                                   pa.array(keys, pa.int64()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            feat = self.featurizer(batch)
-            keys = feat["key"].to_pylist()
-            meta_cols: dict[str, list] = {
-                "__SOURCE_GROUP": [], "__ID_REF": [], "__ID_QUERY": [],
-                "__SCORE": [], "__THRESH": [], "__CONFIDENCE": [],
-                "__IS_MATCH": []}
-            ref_cols: dict[str, list] = {f"{c}__REF": []
-                                         for c in self.ref_keep}
-            for k in keys:
-                link = self.links.get(k)
-                if k in self.exact:
-                    link = dict(link or {})
-                    link.update({"__ID_REF": self.exact[k], "__SCORE": 999.0,
-                                 "__IS_MATCH": True, "__ID_QUERY": -1,
-                                 "__THRESH": 0.0, "__CONFIDENCE": 999.0,
-                                 "ref_payload": link.get("ref_payload", "{}")
-                                 if link else "{}"})
-                if link and (k, link["__ID_REF"]) in self.non_match:
-                    link = None  # user-rejected pair zeroed out
-                meta_cols["__SOURCE_GROUP"].append(k)
-                if link is None:
-                    for c in ("__ID_REF", "__ID_QUERY"):
-                        meta_cols[c].append(None)
-                    for c in ("__SCORE", "__THRESH", "__CONFIDENCE"):
-                        meta_cols[c].append(None)
-                    meta_cols["__IS_MATCH"].append(False)
-                    for c in self.ref_keep:
-                        ref_cols[f"{c}__REF"].append(None)
-                else:
-                    meta_cols["__ID_REF"].append(link["__ID_REF"])
-                    meta_cols["__ID_QUERY"].append(link["__ID_QUERY"])
-                    meta_cols["__SCORE"].append(link["__SCORE"])
-                    meta_cols["__THRESH"].append(link["__THRESH"])
-                    meta_cols["__CONFIDENCE"].append(link["__CONFIDENCE"])
-                    meta_cols["__IS_MATCH"].append(bool(link["__IS_MATCH"]))
-                    payload = json.loads(link.get("ref_payload") or "{}")
-                    for c in self.ref_keep:
-                        ref_cols[f"{c}__REF"].append(payload.get(c))
-            out = batch
-            for c, vals in ref_cols.items():
-                out = out.append_column(c, pa.array(vals, pa.string()))
-            out = out.append_column("__SOURCE_GROUP",
-                                    pa.array(meta_cols["__SOURCE_GROUP"],
-                                             pa.int64()))
-            out = out.append_column("__ID_REF",
-                                    pa.array(meta_cols["__ID_REF"], pa.int64()))
-            out = out.append_column("__ID_QUERY",
-                                    pa.array(meta_cols["__ID_QUERY"], pa.int64()))
-            out = out.append_column("__SCORE",
-                                    pa.array(meta_cols["__SCORE"], pa.float64()))
-            out = out.append_column("__THRESH",
-                                    pa.array(meta_cols["__THRESH"], pa.float64()))
-            out = out.append_column("__CONFIDENCE",
-                                    pa.array(meta_cols["__CONFIDENCE"],
-                                             pa.float64()))
-            out = out.append_column("__IS_MATCH",
-                                    pa.array(meta_cols["__IS_MATCH"], pa.bool_()))
-            return out
+    keyed_src = source_ds.map_batches(add_source_group,
+                                      batch_format="pyarrow")
+    joined = bucket_hash_join(
+        keyed_src, linked, "__SOURCE_GROUP", "src_key",
+        num_buckets=int(min(256, max(8, n_src // 4000))), how="left")
 
-    return source_ds.map_batches(
-        AttachLink,
-        fn_constructor_kwargs={"ref": link_ref, "params_": params,
-                               "ref_keep_": ref_keep,
-                               "src_id_col": source_id_col},
-        batch_format="pyarrow", concurrency=(1, 2))
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch["__SOURCE_GROUP"].to_pylist()
+        id_ref = batch["__ID_REF"].to_pylist()
+        id_query = batch["__ID_QUERY"].to_pylist()
+        score_c = batch["__SCORE"].to_pylist()
+        thresh_c = batch["__THRESH"].to_pylist()
+        conf_c = batch["__CONFIDENCE"].to_pylist()
+        is_match = batch["__IS_MATCH"].to_pylist()
+        payloads = batch["ref_payload"].to_pylist()
+        for i in range(n):
+            k = keys[i]
+            if k in exact:  # J5: labelled pair overrides, score 999
+                id_ref[i] = exact[k]
+                score_c[i] = 999.0
+                is_match[i] = True
+                id_query[i] = -1
+                thresh_c[i] = 0.0
+                conf_c[i] = 999.0
+            elif id_ref[i] is not None and (k, id_ref[i]) in non_match:
+                id_ref[i] = id_query[i] = None     # user-rejected pair
+                score_c[i] = thresh_c[i] = conf_c[i] = None
+                is_match[i] = False
+                payloads[i] = None
+            elif is_match[i] is None:              # no candidate at all
+                is_match[i] = False
+        ref_cols: dict[str, list] = {c: [] for c in ref_keep}
+        for p_ in payloads:
+            d = json.loads(p_) if p_ else {}
+            for c in ref_keep:
+                v = d.get(c)
+                ref_cols[c].append(None if v is None else str(v))
+        out = batch.drop_columns(["ref_payload"])
+        # output column order mirrors the reference contract: source
+        # row, then __REF columns, then metadata
+        meta = ("__SOURCE_GROUP", "__ID_REF", "__ID_QUERY", "__SCORE",
+                "__THRESH", "__CONFIDENCE", "__IS_MATCH")
+        out = out.drop_columns([c for c in meta if c in out.column_names])
+        for c in ref_keep:
+            out = out.append_column(f"{c}__REF",
+                                    pa.array(ref_cols[c], pa.string()))
+        out = out.append_column("__SOURCE_GROUP", pa.array(keys, pa.int64()))
+        out = out.append_column("__ID_REF", pa.array(id_ref, pa.int64()))
+        out = out.append_column("__ID_QUERY", pa.array(id_query, pa.int64()))
+        out = out.append_column("__SCORE", pa.array(score_c, pa.float64()))
+        out = out.append_column("__THRESH", pa.array(thresh_c, pa.float64()))
+        out = out.append_column("__CONFIDENCE", pa.array(conf_c, pa.float64()))
+        out = out.append_column("__IS_MATCH", pa.array(is_match, pa.bool_()))
+        return out
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -298,8 +298,7 @@ def doc_token_count(sf_dir: str):
 
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
-       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-           AS n_tokens
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
 FROM documents
 """
 
@@ -322,8 +321,7 @@ def doc_quality(sf_dir: str):
 DOC_QUALITY_SQL = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_q,
-       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-           AS n_tokens_q,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_q,
        CAST(round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) * 1000000) AS BIGINT) AS punct_micro,
        CAST(round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
@@ -475,10 +473,57 @@ def lang_id_pred(sf_dir: str):
 
 
 def minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup pair ids (id-only output: the jaccard VALUE
+    is hash-checked through ngram_jaccard_dups, whose integer micro
+    units are engine-exact; float jaccard would differ in the last ulp
+    between Arrow and DuckDB)."""
     from merge_machine_ray.stages.dedup import minhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_near_dup_pairs(ds, jaccard_threshold=0.5)
+    return minhash_near_dup_pairs(ds, jaccard_threshold=0.5) \
+        .select_columns(["id_a", "id_b"])
+
+
+def ngram_jaccard_dups(sf_dir: str):
+    """EXACT n-gram Jaccard pairs (distributed postings join) — the
+    principled oracle twin of the brute-force DuckDB cross join."""
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold_micro=500_000)
+
+
+# toks/sh: DuckDB re-statement of ANALYZERS['standard'] (unicode word
+# runs of lowered text) + token_shingles(·, 3); jaccard in integer micro
+# units so both engines compute bit-identical values.
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+2], ' ')))
+    END AS s
+  FROM toks),
+jac AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         (1000000 * len(list_intersect(a.s, b.s)))
+           // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           AS jaccard_micro
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0)
+"""
+
+MINHASH_NEAR_DUPS_SQL = _SHINGLE_CTE + """
+SELECT id_a, id_b FROM jac WHERE jaccard_micro >= 500000
+"""
+
+NGRAM_JACCARD_SQL = _SHINGLE_CTE + """
+SELECT id_a, id_b, jaccard_micro FROM jac WHERE jaccard_micro >= 500000
+"""
 
 
 def simhash_near_dups(sf_dir: str):
@@ -489,10 +534,28 @@ def simhash_near_dups(sf_dir: str):
 
 
 def embedding_near_dups(sf_dir: str):
+    """Hyperplane-LSH near-dup pair ids (OR of 8 seeded bands). The
+    DuckDB twin is a brute-force list_cosine_similarity cross join —
+    id-only output, so last-ulp cosine differences can't flip the hash."""
     from merge_machine_ray.stages.dedup import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, cosine_threshold=0.9)
+    pairs = embedding_near_dup_pairs(ds, cosine_threshold=0.9)
+    # the pair list is tiny (near-dups only); collect into one Arrow
+    # table with a PINNED schema — an all-empty Ray result yields zero
+    # blocks and would otherwise lose its column names entirely
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    parts = [b.select(["id_a", "id_b"]) for b in
+             pairs.iter_batches(batch_size=65536, batch_format="pyarrow")
+             if b.num_columns]
+    return pa.concat_tables([schema.empty_table()] + parts)
+
+
+EMBEDDING_NEAR_DUPS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
 
 
 def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
@@ -667,7 +730,7 @@ def clean_corpus_sql_subset(sf_dir: str):
 CLEAN_SQL = """
 SELECT min(doc_id) AS doc_id FROM documents
 WHERE length(text) >= 100
-  AND length(text) - length(replace(text, ' ', '')) + 1 >= 20
+  AND length(regexp_extract_all(text, '\\S+')) >= 20
 GROUP BY text
 """
 
@@ -730,6 +793,7 @@ def build_queries() -> dict:
         "doc_fingerprints": doc_fingerprints,
         "lang_id_pred": lang_id_pred,
         "minhash_near_dups": minhash_near_dups,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
         "simhash_near_dups": simhash_near_dups,
         "embedding_near_dups": embedding_near_dups,
         "er_documents": er_documents,
@@ -760,4 +824,7 @@ def build_oracle_sql() -> dict:
         "filter_must_not": FILTER_SQL,
         "unique_langs": UNIQUE_LANGS_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "minhash_near_dups": MINHASH_NEAR_DUPS_SQL,
+        "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+        "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
     }

@@ -51,7 +51,12 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
                                     "w_text", "w_ints", "w_host", "w_url",
                                     "w_lang")})
     input_paths = sorted(input_paths)
-    in_fp = fingerprint_of(input_paths)
+    # fingerprint (path, size, mtime_ns) per shard — a shard whose
+    # CONTENTS change under the same path must invalidate the stage, or
+    # a resume would silently reuse stale features/bands/edges
+    in_fp = fingerprint_of([
+        (p_, os.path.getsize(p_), os.stat(p_).st_mtime_ns)
+        for p_ in input_paths])
 
     # ---- stage 1+2: features + band keys per input shard --------------
     feat_ck = StageCheckpoint(out_root, "features", in_fp, cfg_fp)

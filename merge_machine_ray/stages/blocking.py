@@ -194,10 +194,19 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
     return emit_pairs
 
 
+#: Above this corpus size, ``attach="auto"`` switches from carry to
+#: join: the band shuffle moves num_bands rows per doc, so carrying the
+#: feature payload costs num_bands× the bytes of shuffling features once
+#: through a hash join — the DRAM/object-store traffic that capped the
+#: 8→32 scaling efficiency at 0.45-0.66 in round 1. Below the cutoff the
+#: join's three extra groupby barriers dominate and carry wins.
+AUTO_JOIN_CUTOFF = 120_000
+
+
 def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
                     shingle_width: int = 3, block_cap: int = 64,
                     include_host: bool = True, num_buckets: int | None = None,
-                    attach: str = "carry"):
+                    attach: str = "auto"):
     """features → candidate pair dataset with both sides' features
     attached (columns a, b, url_a/b, host_a/b, lang_a/b, tok_hashes_a/b).
 
@@ -206,13 +215,16 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
     (bounded by num_bands × O(n)).
 
     ``attach``:
-      * ``"join"`` (default) — the band shuffle moves only LIGHT rows
-        (band_key, doc_id, band hashes ≈ 150 B); features re-attach to
-        the (much smaller) pair set by two bucketed hash joins. Total
-        shuffle bytes ≈ num_bands×light + 2×features, ~4-6× less than
-        carrying features through the band-multiplied sort.
-      * ``"carry"`` — features ride the band rows; no joins. Wins when
-        nearly every doc pairs up (pair count ≈ corpus × bands).
+      * ``"join"`` — the band shuffle moves only LIGHT rows
+        (band_key, doc_id ≈ 16 B); pairs are deduped by one id-only
+        aggregate, then features re-attach to the (much smaller) pair
+        set by two bucketed hash joins. Total shuffle bytes ≈
+        num_bands×16 B + dup_pairs×16 B + 2×features — an order of
+        magnitude below carrying features through the sort.
+      * ``"carry"`` — features ride the band rows; no joins. Wins below
+        ~100k docs where the join's extra barriers dominate.
+      * ``"auto"`` (default) — join above ``AUTO_JOIN_CUTOFF`` rows,
+        carry below.
     """
     schema = features_ds.schema()
     if schema is None:  # empty input → no candidates
@@ -221,6 +233,11 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
         return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                        "b": pa.array([], pa.int64())}))
     present = [c for c in _FEATURE_COLS if c in schema.names]
+    n_feat_rows = None
+    if attach == "auto" or num_buckets is None:
+        n_feat_rows = features_ds.count()
+    if attach == "auto":
+        attach = "join" if n_feat_rows >= AUTO_JOIN_CUTOFF else "carry"
     carry = attach == "carry"
     bands = features_ds.map_batches(
         BandKeys(num_perm=num_perm, num_bands=num_bands,
@@ -236,7 +253,7 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
     # with argsort+diff. B scales with corpus size so one bucket's rows
     # (~rows/B × few-hundred bytes) always fit a worker's heap.
     if num_buckets is None:
-        n_rows = features_ds.count() * num_bands
+        n_rows = n_feat_rows * num_bands
         num_buckets = int(min(4096, max(32, n_rows // 20_000)))
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -260,10 +277,9 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
     pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n")) \
         .drop_columns(["__n"])
 
-    feats = features_ds
-    drop = [c for c in ("n_tokens", "norm_text") if c in schema.names]
-    if drop:
-        feats = feats.drop_columns(drop)
+    # only the scoring features ride the joins — url/norm_text/n_tokens
+    # re-attach later from the features dataset if a caller needs them
+    feats = features_ds.select_columns(["doc_id"] + list(present))
     join_buckets = num_buckets
     pairs = bucket_hash_join(pairs, feats, "a", "doc_id",
                              num_buckets=join_buckets, right_suffix="_a")

@@ -91,6 +91,12 @@ class MinHashKeys:
         for i, txt in zip(ids, texts):
             toks = self.tokenize(txt or "")
             sh = token_shingles(toks, self.shingle_width)
+            if not sh:
+                # shingle-less docs (empty/symbol-only) all share the
+                # all-MAX signature; banding them would declare every
+                # such doc an exact duplicate of every other. They have
+                # no content to compare — emit no band rows.
+                continue
             sig = minhash_signature(sh, self.num_perm)
             shingle_hashes = sorted(
                 {crc_hash64(s) & _MASK63 for s in sh})
@@ -128,11 +134,8 @@ def minhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
             sx = set(sh[uniq[order[x]]])
             for y in range(x + 1, limit):
                 sy = set(sh[uniq[order[y]]])
-                if not sx and not sy:
-                    j = 1.0
-                else:
-                    inter = len(sx & sy)
-                    j = inter / max(1, len(sx) + len(sy) - inter)
+                inter = len(sx & sy)
+                j = inter / max(1, len(sx) + len(sy) - inter)
                 if j >= jaccard_threshold:
                     a_out.append(order[x])
                     b_out.append(order[y])
@@ -152,34 +155,126 @@ def minhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
         Max("jaccard", alias_name="jaccard"))
 
 
-def minhash_dedup_keep(ds, col: str = "text", id_col: str = "doc_id", **kw):
+def minhash_dedup_keep(ds, col: str = "text", id_col: str = "doc_id",
+                       broadcast_drop_limit: int = 2_000_000, **kw):
     """Near-dup dedup decision: cluster near-dup pairs (connected
-    components) and keep the min-id doc per cluster. Returns the kept ids."""
+    components, ``mode='auto'`` — distributed above the driver edge
+    limit) and keep the min-id doc per cluster. Returns the kept rows.
+
+    The drop set (one id per NON-representative near-dup) is applied as
+    a vectorized ``pc.is_in`` broadcast filter while it fits the object
+    store, else as a bucketed hash anti-join — never a per-row python
+    membership loop."""
+    import pyarrow.compute as pc
+
     from merge_machine_ray.stages.clustering import connected_components
 
     pairs = minhash_near_dup_pairs(ds, col=col, id_col=id_col, **kw)
     edges = pairs.map_batches(
         lambda t: pa.table({"a": t["id_a"], "b": t["id_b"]}),
         batch_format="pyarrow")
-    assign = connected_components(edges, mode="driver")
+    assign = connected_components(edges, mode="auto")
     # drop every doc whose cluster label differs from its own id
-    drop = {r["doc_id"] for r in assign.take_all()
-            if r["doc_id"] != r["cluster_id"]}
-    import ray
+    drop_ds = assign.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["doc_id"], t["cluster_id"])))
+        .select(["doc_id"]), batch_format="pyarrow").materialize()
 
-    drop_ref = ray.put(drop)
+    if drop_ds.count() <= broadcast_drop_limit:
+        import ray
 
-    class KeepFn:
-        def __init__(self, ref):
-            self.drop = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        parts = [b["doc_id"].to_numpy(zero_copy_only=False)
+                 for b in drop_ds.iter_batches(batch_size=262144,
+                                               batch_format="pyarrow")]
+        drop_arr = pa.array(np.concatenate(parts) if parts
+                            else np.empty(0, dtype=np.int64))
+        drop_ref = ray.put(drop_arr)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([i not in self.drop
-                             for i in batch[id_col].to_pylist()])
-            return batch.filter(mask)
+        def keep_fn(batch: pa.Table) -> pa.Table:
+            arr = ray.get(drop_ref)  # zero-copy shared-memory read
+            return batch.filter(
+                pc.invert(pc.is_in(batch[id_col], value_set=arr)))
 
-    return ds.map_batches(KeepFn, fn_constructor_kwargs={"ref": drop_ref},
-                          batch_format="pyarrow", concurrency=(1, 2))
+        return ds.map_batches(keep_fn, batch_format="pyarrow")
+
+    from merge_machine_ray.stages.joins import bucket_anti_join
+
+    return bucket_anti_join(ds, drop_ds, id_col, "doc_id")
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                        shingle_width: int = 3, threshold_micro: int = 500_000,
+                        analyzer: str = "standard", df_cap: int | None = None):
+    """EXACT token-shingle Jaccard near-duplicate pairs via a
+    distributed postings-list join (no LSH approximation):
+
+    doc → distinct shingle hashes → one (shingle, doc, set_size) posting
+    per shingle → ``groupby(shingle)`` emits co-occurrence pairs →
+    ``groupby(pair)`` sums intersections → |A∪B| = |A|+|B|−∩.
+
+    Jaccard is reported as ``jaccard_micro = ⌊10⁶·∩/∪⌋`` (integer
+    arithmetic — bit-identical across engines, so the DuckDB
+    brute-force cross join is an exact oracle twin).
+
+    Scale note: a shingle shared by d docs emits d·(d−1)/2 pair rows;
+    ``df_cap`` drops hotter shingles (ultra-common boilerplate), making
+    the result a documented under-approximation — leave None for exact
+    semantics at oracle scale."""
+    from ray.data.aggregate import Max, Sum
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[col].to_pylist()
+        tokenize = ANALYZERS[analyzer]
+        out_sh, out_id, out_sz = [], [], []
+        for i, txt in zip(ids, texts):
+            hs = sorted({crc_hash64(s) & _MASK63 for s in
+                         token_shingles(tokenize(txt or ""), shingle_width)})
+            out_sh.extend(hs)
+            out_id.extend([i] * len(hs))
+            out_sz.extend([len(hs)] * len(hs))
+        return pa.table({"sh": pa.array(out_sh, pa.int64()),
+                         "id": pa.array(out_id, pa.int64()),
+                         "sz": pa.array(out_sz, pa.int64())})
+
+    def co_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "sz_a": pa.array([], pa.int64()),
+                          "sz_b": pa.array([], pa.int64()),
+                          "one": pa.array([], pa.int64())})
+        if n < 2 or (df_cap is not None and n > df_cap):
+            return empty
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        szs = group["sz"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, szs = ids[order], szs[order]
+        iu, ju = np.triu_indices(n, k=1)
+        return pa.table({"id_a": pa.array(ids[iu]), "id_b": pa.array(ids[ju]),
+                         "sz_a": pa.array(szs[iu]), "sz_b": pa.array(szs[ju]),
+                         "one": pa.array(np.ones(iu.size, dtype=np.int64))})
+
+    inter = (ds.map_batches(postings, batch_format="pyarrow")
+             .groupby("sh").map_groups(co_pairs, batch_format="pyarrow")
+             .groupby(["id_a", "id_b"])
+             .aggregate(Sum("one", alias_name="n_inter"),
+                        Max("sz_a", alias_name="sz_a"),
+                        Max("sz_b", alias_name="sz_b")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter_ = t["n_inter"].to_numpy(zero_copy_only=False)
+        sa = t["sz_a"].to_numpy(zero_copy_only=False)
+        sb = t["sz_b"].to_numpy(zero_copy_only=False)
+        union = sa + sb - inter_
+        micro = (1_000_000 * inter_) // np.maximum(union, 1)
+        keep = micro >= threshold_micro
+        return pa.table({
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
+            "jaccard_micro": pa.array(micro[keep], type=pa.int64())})
+
+    return inter.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -252,70 +347,93 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------- embedding near-dup (cosine)
 class HyperplaneLSH:
-    """Random-hyperplane signature over an embedding column — the
-    embedding-space analog of minhash banding. Hyperplanes are seeded and
-    generated in __init__ (once per actor)."""
+    """Random-hyperplane signatures over an embedding column — the
+    embedding-space analog of minhash banding: ``n_bands`` independent
+    seeded plane sets OR-ed together (one band row per vector per band).
 
-    def __init__(self, col: str, id_col: str, dim: int, n_planes: int = 16,
-                 seed: int = 42):
+    A single 12-plane band has recall ≈ (1−θ/π)¹² ≈ 0.16 at cosine 0.9
+    — near-zero; OR-ing B independent bands lifts it to 1−(1−p)^B
+    (≈ 0.93 for B=8 at cosine 0.95). Planes are seeded and generated in
+    __init__ (once per worker)."""
+
+    def __init__(self, col: str, id_col: str, dim: int, n_planes: int = 12,
+                 n_bands: int = 8, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        # (dim, bands*planes): one contiguous matmul for all bands
+        self.planes = rng.standard_normal((dim, n_bands * n_planes))
         self.col = col
         self.id_col = id_col
         self.n_planes = n_planes
+        self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[self.col].to_pylist(), dtype=np.float64)
-        bits = (vecs @ self.planes) > 0  # (n, planes)
-        keys = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(self.n_planes):
-            keys |= bits[:, j].astype(np.int64) << j
+        n = len(vecs)
+        bits = (vecs @ self.planes) > 0          # (n, bands*planes)
+        powers = (np.int64(1) << np.arange(self.n_planes, dtype=np.int64))
+        keys = np.empty((n, self.n_bands), dtype=np.int64)
+        for b in range(self.n_bands):
+            seg = bits[:, b * self.n_planes:(b + 1) * self.n_planes]
+            # band index in the high bits keeps band keyspaces disjoint
+            keys[:, b] = (seg @ powers) | (np.int64(b) << np.int64(56))
         norms = np.linalg.norm(vecs, axis=1)
+        rep = pa.array(np.repeat(np.arange(n), self.n_bands))
         return pa.table({
-            "band_key": pa.array(keys),
-            "id": batch[self.id_col],
-            "vec": batch[self.col],
-            "norm": pa.array(norms),
+            "band_key": pa.array(keys.reshape(-1)),
+            "id": batch[self.id_col].take(rep),
+            "vec": batch[self.col].take(rep),
+            "norm": pa.array(np.repeat(norms, self.n_bands)),
         })
 
 
 def embedding_near_dup_pairs(ds, col: str = "embedding", id_col: str = "vec_id",
                              dim: int | None = None, n_planes: int = 12,
-                             cosine_threshold: float = 0.95,
+                             n_bands: int = 8, cosine_threshold: float = 0.95,
                              block_cap: int = 512):
-    """Near-duplicate embedding pairs: hyperplane-LSH bucket → exact
-    cosine verify. Returns (id_a, id_b, cosine)."""
+    """Near-duplicate embedding pairs: OR-of-bands hyperplane LSH →
+    exact cosine verify per bucket → cross-band pair dedup.
+    Returns (id_a, id_b, cosine)."""
     if dim is None:
         first = ds.take(1)[0][col]
         dim = len(first)
 
     def emit(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_pylist()
+        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
         vecs = np.asarray(group["vec"].to_pylist(), dtype=np.float64)
         norms = np.asarray(group["norm"].to_pylist())
-        order = np.argsort(ids)[:block_cap]
+        uniq_ids, first_pos = np.unique(ids, return_index=True)
+        order = first_pos[:block_cap]
         a_out, b_out, c_out = [], [], []
         V = vecs[order]
-        N = norms[order]
-        S = V @ V.T
-        for x in range(len(order) - 1):
-            for y in range(x + 1, len(order)):
-                denom = N[x] * N[y]
-                c = S[x, y] / denom if denom > 0 else 0.0
-                if c >= cosine_threshold:
-                    a_out.append(ids[order[x]])
-                    b_out.append(ids[order[y]])
-                    c_out.append(c)
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "cosine": pa.array(c_out, pa.float64())})
+        N = np.maximum(norms[order], 1e-300)
+        S = (V @ V.T) / N[:, None] / N[None, :]
+        iu, ju = np.triu_indices(len(order), k=1)
+        hit = S[iu, ju] >= cosine_threshold
+        a_out = ids[order[iu[hit]]]
+        b_out = ids[order[ju[hit]]]
+        c_out = S[iu[hit], ju[hit]]
+        return pa.table({"id_a": pa.array(a_out, type=pa.int64()),
+                         "id_b": pa.array(b_out, type=pa.int64()),
+                         "cosine": pa.array(c_out, type=pa.float64())})
 
     keys = ds.map_batches(
         HyperplaneLSH, fn_constructor_kwargs={
-            "col": col, "id_col": id_col, "dim": dim, "n_planes": n_planes},
+            "col": col, "id_col": id_col, "dim": dim, "n_planes": n_planes,
+            "n_bands": n_bands},
         batch_format="pyarrow", concurrency=(1, 4))
     pairs = keys.groupby("band_key").map_groups(emit, batch_format="pyarrow")
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine", alias_name="cosine"))
+    # an empty aggregate emits a zero-COLUMN block that erases the
+    # downstream schema — rebuild explicitly so empties stay typed
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("cosine", pa.float64())])
+
+    def stable(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table({f.name: t[f.name].cast(f.type) for f in schema})
+
+    return out.map_batches(stable, batch_format="pyarrow")

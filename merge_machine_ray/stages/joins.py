@@ -17,12 +17,15 @@ import pyarrow as pa
 
 def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
                      num_buckets: int = 64, right_suffix: str = "",
-                     right_unique: bool = True):
-    """INNER join: every left row picks up the matching right row's
+                     right_unique: bool = True, how: str = "inner"):
+    """Hash join: every left row picks up the matching right row's
     columns (suffixed). The right side's join keys must be unique when
     ``right_unique`` (features keyed by doc id). ONE shuffle of
     left ∪ right; within a bucket the probe is a vectorized
-    searchsorted + Arrow take."""
+    searchsorted + Arrow take. ``how``: "inner" drops unmatched left
+    rows; "left" keeps them with null right columns (Arrow ``take``
+    with a null index yields nulls — no per-row work)."""
+    left_outer = how == "left"
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -66,20 +69,32 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side == 1)
         empty_cols = left_cols + out_right_names
-        if l_idx.size == 0 or r_idx.size == 0:
+        if l_idx.size == 0 or (r_idx.size == 0 and not left_outer):
             return pa.table({c: group[c].take(pa.array([], pa.int64()))
                              for c in empty_cols})
+        if r_idx.size == 0:  # left outer, no right rows in this bucket
+            li = pa.array(l_idx)
+            nulls = pa.array([None] * l_idx.size, pa.int64())
+            return pa.table(
+                {**{c: group[c].take(li) for c in left_cols},
+                 **{c: group[c].take(nulls) for c in out_right_names}})
         r_keys = keys[r_idx]
         order = np.argsort(r_keys, kind="stable")
         r_sorted = r_keys[order]
         pos = np.searchsorted(r_sorted, keys[l_idx])
         pos_c = pos.clip(max=r_sorted.size - 1)
         hit = r_sorted[pos_c] == keys[l_idx]
-        l_hit = l_idx[hit]
-        r_hit = r_idx[order[pos_c[hit]]]
         out = {}
-        li = pa.array(l_hit)
-        ri = pa.array(r_hit)
+        if left_outer:
+            li = pa.array(l_idx)
+            # null index → null output row: unmatched lefts keep their
+            # columns and get nulls for the right side's
+            ri_full = np.zeros(l_idx.size, dtype=np.int64)
+            ri_full[hit] = r_idx[order[pos_c[hit]]]
+            ri = pa.array(ri_full, mask=~hit)
+        else:
+            li = pa.array(l_idx[hit])
+            ri = pa.array(r_idx[order[pos_c[hit]]])
         for c in left_cols:
             out[c] = group[c].take(li)
         for c in out_right_names:
@@ -87,4 +102,51 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         return pa.table(out)
 
     return tagged.groupby("__jb").map_groups(join_bucket,
+                                             batch_format="pyarrow")
+
+
+def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
+                     num_buckets: int = 64):
+    """ANTI join: keep left rows whose key does NOT appear in the right
+    side. Same one-shuffle bucket pattern as :func:`bucket_hash_join`;
+    the right side contributes only its key column."""
+    left_cols = list(left_ds.schema().names)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t[left_on].to_numpy(zero_copy_only=False)
+        cols = {c: t[c] for c in left_cols}
+        cols["__jb"] = pa.array((keys % num_buckets).astype(np.int32))
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols["__key"] = pa.array(keys)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = np.unique(t[right_on].to_numpy(zero_copy_only=False))
+        cols = {c: pa.nulls(len(keys), left_ds.schema().types[
+            left_cols.index(c)]) for c in left_cols}
+        cols["__jb"] = pa.array((keys % num_buckets).astype(np.int32))
+        cols["__side"] = pa.array(np.ones(len(keys), dtype=np.int8))
+        cols["__key"] = pa.array(keys)
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        keys = group["__key"].to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        if l_idx.size == 0:
+            return pa.table({c: group[c].take(pa.array([], pa.int64()))
+                             for c in left_cols})
+        r_keys = np.unique(keys[side == 1])
+        if r_keys.size:
+            pos = np.searchsorted(r_keys, keys[l_idx]).clip(
+                max=r_keys.size - 1)
+            l_idx = l_idx[r_keys[pos] != keys[l_idx]]
+        li = pa.array(l_idx)
+        return pa.table({c: group[c].take(li) for c in left_cols})
+
+    return tagged.groupby("__jb").map_groups(anti_bucket,
                                              batch_format="pyarrow")

@@ -93,6 +93,54 @@ def test_embedding_near_dup_and_ann(ray_session):
     assert got == want
 
 
+def test_embedding_lsh_recall_at_moderate_cosine(ray_session):
+    """OR-of-bands recall gate: pairs at cosine ≈0.93-0.97 (NOT
+    near-identical) must still be found. A single 12-plane band only
+    catches ~20% of these — this is the regression test for the
+    round-1 single-band recall bug."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    d, n_pairs = 32, 60
+    base = rng.standard_normal((n_pairs, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.standard_normal((n_pairs, d))
+    noise -= (noise * base).sum(1, keepdims=True) * base  # orthogonalize
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    alpha = 0.30  # cos = 1/sqrt(1+α²) ≈ 0.958
+    dup = base + alpha * noise
+    vecs = np.vstack([base, dup])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))]
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup_pairs(
+                 rd.from_items(rows), dim=d,
+                 cosine_threshold=0.9).take_all()}
+    planted = {(i, n_pairs + i) for i in range(n_pairs)}
+    recall = len(pairs & planted) / n_pairs
+    assert recall >= 0.8, f"OR-of-bands recall {recall:.2f}"
+    # verify step is exact → no pair below the threshold sneaks in
+    import itertools
+
+    for a, b in pairs:
+        c = float(vecs[a] @ vecs[b]
+                  / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        assert c >= 0.9
+
+
+def test_ngram_jaccard_exact_pairs(ray_session, docs_ds):
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard_micro"]
+           for r in ngram_jaccard_pairs(
+               docs_ds, shingle_width=2, threshold_micro=500_000).take_all()}
+    assert got[(1, 2)] == 1_000_000  # identical docs
+    assert (1, 3) in got and 500_000 <= got[(1, 3)] < 1_000_000
+    assert not any(4 in p or 5 in p or 6 in p for p in got)
+
+
 def test_textstats(ray_session):
     import ray.data as rd
 

@@ -58,6 +58,29 @@ def test_candidate_pairs_match_oracle(ray_session, pages_ds, tiny_pages, params)
     assert len(got) > 0
 
 
+def test_candidate_pairs_join_mode_parity(ray_session, pages_ds, tiny_pages,
+                                          params):
+    """attach='join' (the at-scale light-shuffle path) must yield the
+    same deduplicated pair id-set as the oracle, with both sides'
+    scoring features attached."""
+    from merge_machine_ray.stages.blocking import candidate_pairs
+    from merge_machine_ray.stages.normalize_stage import featurize
+
+    feats = featurize(pages_ds, analyzer=params.analyzer)
+    pairs = candidate_pairs(feats, num_perm=params.num_perm,
+                            num_bands=params.num_bands,
+                            shingle_width=params.shingle_width,
+                            block_cap=params.block_cap, attach="join")
+    rows = pairs.take_all()
+    got = {(r["a"], r["b"]) for r in rows}
+    docs = oracle.featurize_rows(tiny_pages, params)
+    want = oracle.candidate_pairs_oracle(docs, params)
+    assert got == want
+    assert len(got) == len(rows)  # exact dedup — one row per pair
+    for c in ("tok_hashes_a", "tok_hashes_b", "host_a", "host_b"):
+        assert c in rows[0]
+
+
 def test_idf_matches_oracle(ray_session, pages_ds, tiny_pages, params):
     import numpy as np
 

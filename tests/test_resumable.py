@@ -61,6 +61,35 @@ def test_resume_skips_completed_and_matches_full_run(
         assert os.path.getmtime(f) == m, f"feature shard recomputed: {f}"
 
 
+def test_changed_shard_content_invalidates(ray_session, tmp_path_factory):
+    """Same path, different bytes → the input fingerprint must change
+    and the features stage must recompute (no stale-shard reuse)."""
+    import pyarrow.parquet as pq
+
+    from merge_machine_ray.pipelines.resumable import resolve_entities_resumable
+
+    d = str(tmp_path_factory.mktemp("pages_mut"))
+    write_fixture(d, n_entities=60, shard_size=30)
+    paths = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    out_root = str(tmp_path_factory.mktemp("ckpt3"))
+    params = MatchParams()
+    resolve_entities_resumable(paths, out_root, params).take_all()
+    fp1 = json.load(open(os.path.join(out_root, "features",
+                                      "_manifest.json")))["input_fingerprint"]
+
+    # rewrite shard 0 in place: drop its last row
+    t = pq.read_table(paths[0])
+    pq.write_table(t.slice(0, t.num_rows - 1), paths[0])
+    os.utime(paths[0])  # ensure mtime moves even on coarse filesystems
+
+    out = resolve_entities_resumable(paths, out_root, params).take_all()
+    fp2 = json.load(open(os.path.join(out_root, "features",
+                                      "_manifest.json")))["input_fingerprint"]
+    assert fp1 != fp2
+    want = sum(pq.read_table(p_).num_rows for p_ in paths)
+    assert len(out) == want
+
+
 def test_changed_config_invalidates(ray_session, corpus_dir,
                                     tmp_path_factory):
     from merge_machine_ray.pipelines.resumable import resolve_entities_resumable
