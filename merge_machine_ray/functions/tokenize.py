@@ -142,16 +142,50 @@ def english(s: str) -> list[str]:
 
 def city(s: str, keep: frozenset[str] | None = None,
          synonyms: dict[str, str] | None = None) -> list[str]:
-    """A5/A6 resource analyzers: shingled tokens filtered by a keep list,
-    canonicalized by a synonym table (reference
-    resource_analyzer_definitions.py:116-233). Resource tables are
-    injected (loaded once per actor), not fetched from the network."""
+    """A5 resource analyzer: shingled tokens (space-joined, the stock
+    ``shingle`` filter) → length ≥ 4 → keep list → synonym
+    canonicalization (reference resource_analyzer_definitions.py:
+    116-170, chain asciifolding→shingle→city_length→city_keep→
+    city_synonym). Defaults to the shipped public city tables
+    (functions/resources.py); custom tables are injectable."""
+    if keep is None and synonyms is None:
+        from merge_machine_ray.functions.resources import (
+            CITY_KEEP,
+            CITY_SYNONYMS,
+        )
+
+        keep, synonyms = CITY_KEEP, CITY_SYNONYMS
     toks = _WORD_RE.findall(normalize_text(s))
     shingles = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
     out = []
     for sh in shingles:
         if len(sh) < 4:
             continue
+        if keep is not None and sh not in keep:
+            continue
+        out.append((synonyms or {}).get(sh, sh))
+    return out
+
+
+def country(s: str, keep: frozenset[str] | None = None,
+            synonyms: dict[str, str] | None = None) -> list[str]:
+    """A6 resource analyzer: like :func:`city` but shingles join with
+    '_' (the reference's ``my_shingle`` token_separator) and there is
+    NO length filter in the chain (reference
+    resource_analyzer_definitions.py:172-233, chain asciifolding→
+    my_shingle→country_keep→country_synonym). Canonical form is
+    ISO-3166 alpha-3."""
+    if keep is None and synonyms is None:
+        from merge_machine_ray.functions.resources import (
+            COUNTRY_KEEP,
+            COUNTRY_SYNONYMS,
+        )
+
+        keep, synonyms = COUNTRY_KEEP, COUNTRY_SYNONYMS
+    toks = _WORD_RE.findall(normalize_text(s))
+    shingles = toks + ["_".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    out = []
+    for sh in shingles:
         if keep is not None and sh not in keep:
             continue
         out.append((synonyms or {}).get(sh, sh))
@@ -168,6 +202,7 @@ ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "french": french,
     "english": english,
     "city": city,
+    "country": country,
 }
 
 

@@ -82,25 +82,51 @@ def resolve_entities(ds, params=None, id_col: str = "url",
     docs = features.select_columns(keep)
 
     # The assignment table covers only docs in the match graph (≪ corpus:
-    # one row per duplicated doc). Broadcast it once (ray.put) and fill
-    # cluster_id = own doc_id for singletons map-side — the J6
-    # "re-duplication join" pattern without a corpus-wide shuffle. If the
-    # match graph ever outgrew driver memory, swap for a hash join keyed
-    # on doc_id bucket.
-    assign_map = {}
-    for b in assign.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for d, c in zip(b["doc_id"].to_pylist(), b["cluster_id"].to_pylist()):
-            assign_map[d] = c
-    assign_ref = ray.put(assign_map)
+    # one row per duplicated doc). Broadcast it once as SORTED numpy
+    # arrays (zero-copy ray.put) and fill cluster_id = own doc_id for
+    # singletons with a vectorized searchsorted probe in stateless tasks
+    # — the J6 "re-duplication join" pattern without a corpus-wide
+    # shuffle. Above the broadcast cutoff, a bucketed left hash join
+    # takes over (no driver- or worker-resident full map).
+    import numpy as np
 
-    class FillCluster:
-        def __init__(self, ref):
-            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    n_assign = assign.count()
+    if n_assign > 50_000_000:
+        from merge_machine_ray.stages.joins import bucket_hash_join
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_pylist()
-            cl = [self.map.get(d, d) for d in ids]
-            return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
+        joined = bucket_hash_join(docs, assign, "doc_id", "doc_id",
+                                  num_buckets=256, how="left")
 
-    return docs.map_batches(FillCluster, fn_constructor_kwargs={"ref": assign_ref},
-                            batch_format="pyarrow", concurrency=2)
+        def fill_nulls(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cl = pc.coalesce(batch["cluster_id"], batch["doc_id"])
+            return batch.set_column(
+                batch.column_names.index("cluster_id"), "cluster_id", cl)
+
+        return joined.map_batches(fill_nulls, batch_format="pyarrow")
+
+    parts = [(b["doc_id"].to_numpy(zero_copy_only=False),
+              b["cluster_id"].to_numpy(zero_copy_only=False))
+             for b in assign.iter_batches(batch_size=262144,
+                                          batch_format="pyarrow")]
+    if parts:
+        keys = np.concatenate([p[0] for p in parts])
+        vals = np.concatenate([p[1] for p in parts])
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+    else:
+        keys = vals = np.empty(0, dtype=np.int64)
+    assign_ref = ray.put((keys, vals))
+
+    def fill_cluster(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(assign_ref)  # zero-copy shared-memory read
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cl = ids.copy()
+        if k.size:
+            pos = np.searchsorted(k, ids).clip(max=k.size - 1)
+            hit = k[pos] == ids
+            cl[hit] = v[pos[hit]]
+        return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
+
+    return docs.map_batches(fill_cluster, batch_format="pyarrow")

@@ -95,42 +95,45 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def revenue_by_segment(sf_dir: str):
-    """Broadcast hash join (small dim side via ray.put) + grouped sum —
-    the J5/J6 lookup-join pattern (SURVEY.md §2.5)."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    """Scale-safe fact⋈dim aggregate: per-batch PARTIAL sums by custkey
+    (combiner before any shuffle, in exact integer cents) → bucketed
+    hash join against the customer table (a SCALING table — never
+    broadcast or driver-materialized) → tiny segment groupby."""
+    from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
-    ref = ray.put(seg_map)
+    from merge_machine_ray.stages.joins import bucket_hash_join
 
-    class AttachSegment:
-        def __init__(self, r):
-            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        rev = np.zeros(uniq.size, dtype=np.int64)
+        cnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(rev, inv, cents)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"o_custkey": pa.array(uniq),
+                         "rev_cents": pa.array(rev),
+                         "n_orders": pa.array(cnt)})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.m.get(k) for k in t["o_custkey"].to_pylist()]
-            t = t.append_column("c_mktsegment", pa.array(segs, pa.string()))
-            return t.filter(pc.is_valid(t["c_mktsegment"]))
-
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    out = orders.map_batches(AttachSegment, fn_constructor_kwargs={"r": ref},
-                             batch_format="pyarrow", concurrency=(1, 2)) \
-        .groupby("c_mktsegment") \
-        .aggregate(Sum("o_totalprice", alias_name="total_revenue"),
-                   Count(alias_name="n_orders"))
-
-    def post(t: pa.Table) -> pa.Table:
-        t = _quantize(t, "total_revenue", "revenue_cents", 100)
-        return t.set_column(t.column_names.index("n_orders"), "n_orders",
-                            t["n_orders"].cast(pa.int64()))
-
-    return out.map_batches(post, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = bucket_hash_join(orders, cust, "o_custkey", "c_custkey")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"),
+        Sum("n_orders", alias_name="n_orders"))
+    return out.map_batches(
+        lambda t: pa.table({"c_mktsegment": t["c_mktsegment"],
+                            "revenue_cents": t["revenue_cents"].cast(pa.int64()),
+                            "n_orders": t["n_orders"].cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 REVENUE_BY_SEGMENT_SQL = """
 SELECT c_mktsegment,
-       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
        CAST(count(*) AS BIGINT)    AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -189,19 +192,32 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def topk_per_priority(sf_dir: str, k: int = 3):
-    """Per-group top-k via groupby().map_groups (SURVEY.md §2.7 K1 —
-    the reference's per-query hit-list truncation)."""
+    """Per-group top-k, scale-safe (SURVEY.md §2.7 K1): per-BATCH local
+    top-k inside map_batches (the _reduce_topk combiner pattern — a
+    5-value groupby would drag ~20% of orders into one task), then one
+    tiny final reduce over ≤ k·groups·blocks rows."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
 
-    def topk(g: pa.Table) -> pa.Table:
-        import pandas as pd
+    def local_topk(t: pa.Table, with_rank: bool = False) -> pa.Table:
+        t = t.sort_by([("o_orderpriority", "ascending"),
+                       ("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")]).combine_chunks()
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        n = len(pr)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(pr[1:] != pr[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n) - np.repeat(starts, sizes) + 1
+        t = t.filter(pa.array(rank <= k))
+        if with_rank:
+            t = t.append_column("rank", pa.array(
+                rank[rank <= k].astype(np.int64)))
+        return t
 
-        df = g.to_pandas().sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return ds.groupby("o_orderpriority").map_groups(topk, batch_format="pyarrow")
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    # final exact reduce over the tiny survivor set (one block)
+    return local.repartition(1).map_batches(
+        lambda t: local_topk(t, with_rank=True), batch_format="pyarrow")
 
 
 TOPK_PER_PRIORITY_SQL = """
@@ -526,6 +542,50 @@ SELECT id_a, id_b, jaccard_micro FROM jac WHERE jaccard_micro >= 500000
 """
 
 
+def link_suppliers_to_nations(sf_dir: str):
+    """Driver-oracle twin for the flagship LINKING pipeline
+    (``pipelines.linking.link_datasets``, reference es_match.py:241-417):
+    a deterministic dirty→clean subset. The dirty side is supplier rows
+    carrying a lowercased/hyphenated rendering of their nation's name;
+    the clean referential is the nation table. Every pipeline stage runs
+    (featurize → LSH blocking → per-template tf·idf scoring → priority
+    selection → left join back), and the winner is provably the exact
+    nation (cosine 1.0 beats any partial token overlap), so DuckDB's
+    plain equi-join is an exact oracle."""
+    import ray
+    import ray.data as rd
+
+    from merge_machine_ray.pipelines.linking import LinkParams, link_datasets
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    n_rows = nat.take_all()
+    n_map = {r["n_nationkey"]: r["n_name"] for r in n_rows}  # 25 rows
+    ref = ray.put(n_map)
+
+    def attach_text(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        # deterministic 'dirtying': lowercase + hyphens — exercised the
+        # normalizer/analyzer path, undone by special_keyword+normalize
+        vals = [m[k].lower().replace(" ", "-")
+                for k in t["s_nationkey"].to_pylist()]
+        return t.append_column("nation_text", pa.array(vals, pa.string()))
+
+    src = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(attach_text, batch_format="pyarrow") \
+        .drop_columns(["s_nationkey"])
+    match_cols = [{"source": "nation_text", "ref": "n_name"}]
+    out = link_datasets(src, rd.from_arrow(pa.Table.from_pylist(n_rows)),
+                        match_cols, LinkParams.default_for(match_cols),
+                        source_id_col="s_suppkey", ref_keep_cols=["n_name"])
+    return out.select_columns(["s_suppkey", "n_name__REF"])
+
+
+LINK_SUPPLIERS_SQL = """
+SELECT s_suppkey, n_name AS n_name__REF
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
 def simhash_near_dups(sf_dir: str):
     from merge_machine_ray.stages.dedup import simhash_near_dup_pairs
 
@@ -789,6 +849,7 @@ def build_queries() -> dict:
         "filter_must_not": filter_must_not,
         "unique_langs": unique_langs,
         "ann_topk": ann_topk,
+        "link_suppliers_to_nations": link_suppliers_to_nations,
         # rows-only (non-SQL-expressible distributed ops)
         "doc_fingerprints": doc_fingerprints,
         "lang_id_pred": lang_id_pred,
@@ -824,6 +885,7 @@ def build_oracle_sql() -> dict:
         "filter_must_not": FILTER_SQL,
         "unique_langs": UNIQUE_LANGS_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        "link_suppliers_to_nations": LINK_SUPPLIERS_SQL,
         "minhash_near_dups": MINHASH_NEAR_DUPS_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,

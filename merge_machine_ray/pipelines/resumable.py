@@ -106,6 +106,15 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
 
     present = tuple(c for c in _FEATURE_COLS
                     if c in features.schema().names)
+    # global over-cap band keys (cheap: band_key+doc_id column read from
+    # the bands checkpoint) — deterministic given inputs+params, so
+    # every resumed partition sees the same capped/small decisions
+    from merge_machine_ray.stages.blocking import overcap_band_keys
+
+    oc_ref = None
+    if not all(edge_ck.is_done(r) for r in range_ids):
+        oc = overcap_band_keys(band_ck.read_all(), p.block_cap)
+        oc_ref = ray.put(oc) if oc.size else None
     for k, rid in enumerate(range_ids):
         if edge_ck.is_done(rid):
             continue
@@ -114,7 +123,7 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
         hi = (k + 1) * num_buckets // edge_ranges
         sub = bands.filter(expr=f"bucket >= {lo} and bucket < {hi}")
         pairs = sub.groupby("bucket").map_groups(
-            _emit_pairs_bucket_fn(p.block_cap, present),
+            _emit_pairs_bucket_fn(p.block_cap, present, overcap_ref=oc_ref),
             batch_format="pyarrow")
         scored = score_pairs(pairs, idf_ref=idf_ref, params=p)
         edges = scored.filter(expr="is_match").select_columns(["a", "b"])
@@ -139,11 +148,11 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
                           "cluster_id": pa.array([], pa.int64())})])
         clus_ck.write_partition("all", tbl)
 
-    assign_map: dict[int, int] = {}
     t = pq.read_table(clus_ck.partition_path("all"))
-    for d, c in zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()):
-        assign_map[d] = c
-    assign_ref = ray.put(assign_map)
+    a_keys = t["doc_id"].to_numpy(zero_copy_only=False)
+    a_vals = t["cluster_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(a_keys)
+    assign_ref = ray.put((a_keys[order], a_vals[order]))
 
     # ---- stage 5: output per input shard ------------------------------
     out_ck = StageCheckpoint(out_root, "output",
@@ -153,11 +162,16 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
     if pending_out:
         @ray.remote(num_cpus=1)
         def fill(pid: str, ref):
-            amap = ref
+            k, v = ref  # sorted assignment arrays (zero-copy broadcast)
             feats = pq.read_table(feat_ck.partition_path(pid))
             keep = [c for c in ("url", "doc_id") if c in feats.column_names]
             out = feats.select(keep)
-            cl = [amap.get(d, d) for d in out["doc_id"].to_pylist()]
+            ids = out["doc_id"].to_numpy(zero_copy_only=False)
+            cl = ids.copy()
+            if k.size:
+                pos = np.searchsorted(k, ids).clip(max=k.size - 1)
+                hit = k[pos] == ids
+                cl[hit] = v[pos[hit]]
             return pid, out.append_column("cluster_id",
                                           pa.array(cl, pa.int64()))
 

@@ -101,15 +101,27 @@ class BandKeys:
         return pa.table(cols)
 
 
-def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
+def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...],
+                          overcap_ref=None):
     """Per-BUCKET pair emitter, fully vectorized: one python call
     handles every band block hashing into the bucket. Blocks are
     contiguous runs after a lexsort; within a block the first-agreeing-
     band check runs as one (n×n×num_bands) numpy comparison; output
     columns are built with Arrow ``take`` over row-index arrays — no
-    per-pair python work at all."""
+    per-pair python work at all.
+
+    ``overcap_ref`` (carry mode): sorted int64 array (or ObjectRef) of
+    the band keys whose GLOBAL block size exceeds ``block_cap``. Bands
+    in this set are treated as non-agreeing when computing a pair's
+    first agreeing band — without it, a pair whose earlier shared band
+    was capped (star/chain only) is silently suppressed in every later
+    small block, dropping candidate edges under skew."""
 
     def emit_pairs(group: pa.Table) -> pa.Table:
+        import ray
+
+        overcap = (ray.get(overcap_ref)
+                   if isinstance(overcap_ref, ray.ObjectRef) else overcap_ref)
         group = group.combine_chunks()
         n_rows = group.num_rows
         idx_a: list[np.ndarray] = []
@@ -127,6 +139,12 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
                 nb = len(bh[0])
                 band_mat = bh.flatten().to_numpy(zero_copy_only=False) \
                     .reshape(n_rows, nb)
+                if overcap is not None and overcap.size:
+                    pos = np.searchsorted(overcap, band_mat).clip(
+                        max=overcap.size - 1)
+                    oc_mat = overcap[pos] == band_mat  # (n_rows, nb)
+                else:
+                    oc_mat = None
 
             order = np.lexsort((docs, keys))
             sk = keys[order]
@@ -145,13 +163,22 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
                 n = uniq.size
                 if n < 2:
                     continue
-                if n <= block_cap:
+                capped = n > block_cap
+                if first_band_dedup and oc_mat is not None and not capped:
+                    # global count is authoritative: this bucket may see
+                    # only part of a block that is capped elsewhere
+                    capped = bool(oc_mat[uniq[0], int(band_idx[uniq[0]])])
+                if not capped:
                     if first_band_dedup:
                         band = int(band_idx[uniq[0]])
                         B = band_mat[uniq]  # (n, nb)
                         eq = B[:, None, :] == B[None, :, :]
-                        first = eq.argmax(axis=2)  # all pairs share THIS
-                        # band, so argmax = first agreeing band
+                        if oc_mat is not None:
+                            # over-cap bands don't count as agreements
+                            eq &= ~oc_mat[uniq][:, None, :]
+                        first = eq.argmax(axis=2)  # this band always
+                        # agrees (and is not capped), so argmax = first
+                        # agreeing non-capped band
                         ii, jj = np.nonzero(np.triu(first == band, k=1))
                     else:
                         # light mode: emit every pair; duplicates across
@@ -201,6 +228,32 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...]):
 #: 8→32 scaling efficiency at 0.45-0.66 in round 1. Below the cutoff the
 #: join's three extra groupby barriers dominate and carry wins.
 AUTO_JOIN_CUTOFF = 120_000
+
+
+def overcap_band_keys(bands_ds, block_cap: int) -> np.ndarray:
+    """Sorted array of band keys whose GLOBAL block exceeds
+    ``block_cap`` distinct docs — the authority for the emitter's
+    capped-vs-small decision (partial per-batch distinct counts → one
+    small groupby; over-cap keys number ≤ total_rows/block_cap)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["band_key"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        kd = np.unique(np.stack([k, d], axis=1), axis=0)
+        uk, cnt = np.unique(kd[:, 0], return_counts=True)
+        return pa.table({"band_key": pa.array(uk),
+                         "pc": pa.array(cnt.astype(np.int64))})
+
+    counts = (bands_ds.select_columns(["band_key", "doc_id"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("band_key").aggregate(Sum("pc", alias_name="n")))
+    out = []
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys = b["band_key"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        out.append(keys[n > block_cap])
+    return np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
 
 
 def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
@@ -262,26 +315,95 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
             "bucket", pa.array((keys % num_buckets).astype(np.int32)))
 
     bucketed = bands.map_batches(add_bucket, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(
-        _emit_pairs_bucket_fn(block_cap, tuple(present) if carry else ()),
-        batch_format="pyarrow")
     if carry:
-        return pairs
+        import ray
 
-    from ray.data.aggregate import Count
+        # First-agreeing-band dedup needs the GLOBAL set of capped band
+        # keys, or a pair whose earlier shared band is capped would be
+        # dropped from every later small block (star/chain covers the
+        # capped block itself). Carry mode runs below AUTO_JOIN_CUTOFF,
+        # so materializing the band rows once is bounded.
+        bucketed = bucketed.materialize()
+        oc = overcap_band_keys(bucketed, block_cap)
+        oc_ref = ray.put(oc) if oc.size else None
+        return bucketed.groupby("bucket").map_groups(
+            _emit_pairs_bucket_fn(block_cap, tuple(present),
+                                  overcap_ref=oc_ref),
+            batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(
+        _emit_pairs_bucket_fn(block_cap, ()), batch_format="pyarrow")
 
-    from merge_machine_ray.stages.joins import bucket_hash_join
+    # light mode emits a pair once per agreeing band; dedupe by pair-
+    # hash BUCKET + one vectorized lexsort/diff per bucket. (A
+    # groupby(a,b).aggregate pays per-GROUP overhead on millions of
+    # 1-16-row groups: measured 46 s vs 2.8 s at 3.1M pairs.)
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return t.append_column("pbkt", pa.array(
+            ((a * 1000003 + b) % num_buckets).astype(np.int32)))
 
-    # light mode emits a pair once per agreeing band; dedupe the (tiny)
-    # id-only pair list with one vectorized aggregate
-    pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n")) \
-        .drop_columns(["__n"])
+    def uniq_pairs(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        keep = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    # only the scoring features ride the joins — url/norm_text/n_tokens
-    # re-attach later from the features dataset if a caller needs them
+    pairs = pairs.map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("pbkt").map_groups(uniq_pairs, batch_format="pyarrow")
+
+    # only the scoring features re-attach — url/norm_text/n_tokens come
+    # back from the features dataset if a caller needs them
     feats = features_ds.select_columns(["doc_id"] + list(present))
-    join_buckets = num_buckets
-    pairs = bucket_hash_join(pairs, feats, "a", "doc_id",
-                             num_buckets=join_buckets, right_suffix="_a")
-    return bucket_hash_join(pairs, feats, "b", "doc_id",
-                            num_buckets=join_buckets, right_suffix="_b")
+    return attach_features(pairs, feats, num_buckets=num_buckets)
+
+
+#: feature tables smaller than this broadcast once via ray.put and
+#: attach map-side (zero-copy shared-memory probe per worker); larger
+#: tables re-attach through two bucketed hash joins. 100 TB inputs take
+#: the join path; the broadcast path keeps small/medium corpora off the
+#: two extra all-to-alls (measured: joins 55 s vs probe ~4 s at 1M docs
+#: / 260 MB of features).
+BROADCAST_FEATURES_LIMIT = int(4e9)
+
+
+def attach_features(pairs_ds, feats_ds, num_buckets: int = 256,
+                    limit: int | None = None):
+    """Attach per-doc feature columns to an (a, b) pair list as
+    ``<col>_a`` / ``<col>_b`` — broadcast-probe or hash-join, chosen by
+    the feature table's actual byte size."""
+    import ray
+
+    limit = BROADCAST_FEATURES_LIMIT if limit is None else limit
+    feats_mat = feats_ds.materialize()
+    size = feats_mat.size_bytes() or 0
+    if size > limit:
+        from merge_machine_ray.stages.joins import bucket_hash_join
+
+        pairs_ds = bucket_hash_join(pairs_ds, feats_mat, "a", "doc_id",
+                                    num_buckets=num_buckets,
+                                    right_suffix="_a")
+        return bucket_hash_join(pairs_ds, feats_mat, "b", "doc_id",
+                                num_buckets=num_buckets, right_suffix="_b")
+
+    tbl = pa.concat_tables(
+        feats_mat.iter_batches(batch_size=262144, batch_format="pyarrow"))
+    tbl = tbl.sort_by("doc_id").combine_chunks()
+    ref = ray.put(tbl)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        feats = ray.get(ref)  # zero-copy shared-memory read per worker
+        ids = feats["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"a": batch["a"], "b": batch["b"]}
+        for side in ("a", "b"):
+            keys = batch[side].to_numpy(zero_copy_only=False)
+            take = pa.array(np.searchsorted(ids, keys))
+            for c in feats.column_names:
+                if c != "doc_id":
+                    out[f"{c}_{side}"] = feats[c].take(take)
+        return pa.table(out)
+
+    return pairs_ds.map_batches(probe, batch_format="pyarrow")

@@ -34,30 +34,56 @@ LANG_PROFILES: dict[str, frozenset[str]] = {
 class LangId:
     """Stopword-profile language ID (n-gram heuristic): the language
     whose stopword set covers the largest token fraction wins; 'und'
-    (undetermined) when no profile reaches ``min_ratio``."""
+    (undetermined) when no profile reaches ``min_ratio``.
+
+    Vectorized: Arrow lowercase + regex split tokenizes the whole
+    batch; per-language hits are one ``pc.is_in`` over the flattened
+    token array + a segment-sum (``np.add.reduceat``) per row — no
+    per-row python token loop. Stopword value-sets are built once in
+    ``__init__``."""
 
     def __init__(self, col: str = "text", out_col: str = "lang_pred",
                  min_ratio: float = 0.05):
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.col = col
         self.out_col = out_col
         self.min_ratio = min_ratio
+        self.langs = sorted(LANG_PROFILES)
+        self.stop_arrs = [pa.array(sorted(LANG_PROFILES[lang]))
+                          for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for s in batch[self.col].to_pylist():
-            toks = self.word.findall((s or "").lower())
-            if not toks:
-                preds.append("und")
-                continue
-            best_lang, best_hits = "und", 0
-            for lang in sorted(LANG_PROFILES):
-                hits = sum(1 for t in toks if t in LANG_PROFILES[lang])
-                if hits > best_hits:
-                    best_lang, best_hits = lang, hits
-            preds.append(best_lang if best_hits / len(toks) >= self.min_ratio
-                         else "und")
-        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+        n = batch.num_rows
+        text = pc.utf8_lower(pc.fill_null(batch[self.col], ""))
+        toks = pc.split_pattern_regex(text, r"[^\p{L}]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values
+        empty_seg = offsets[:-1] == offsets[1:]
+        # reduceat rejects index == len(values) (trailing empty lists) —
+        # clamp, then zero the empty segments explicitly
+        idx = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        n_tok = np.add.reduceat(
+            nonempty.astype(np.int64), idx) if len(flat) else \
+            np.zeros(n, dtype=np.int64)
+        n_tok[empty_seg] = 0
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, arr in enumerate(self.stop_arrs):
+            if not len(flat):
+                break
+            isin = pc.is_in(flat, value_set=arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hits[:, li] = np.add.reduceat(isin, idx)
+            hits[empty_seg, li] = 0
+        best = hits.argmax(axis=1)          # ties → first lang in sorted order
+        best_hits = hits[np.arange(n), best]
+        ok = (n_tok > 0) & (best_hits > 0) & \
+            (best_hits / np.maximum(n_tok, 1) >= self.min_ratio)
+        langs = np.array(self.langs)
+        preds = np.where(ok, langs[best], "und")
+        return batch.append_column(self.out_col, pa.array(preds.tolist(),
+                                                          pa.string()))
 
 
 def add_quality_scores(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -128,18 +154,44 @@ def bpe_ish_token_count(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, pa.array(out, pa.int64()))
 
 
+_FP_POW = np.uint64(0x100000001B3)          # FNV-ish odd multiplier
+_FP_MIX1 = np.uint64(0xFF51AFD7ED558CCD)     # murmur3 finalizer constants
+_FP_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _window_hashes(data: np.ndarray, window: int) -> np.ndarray:
+    """All ``window``-byte polynomial hashes of a byte array, fully
+    vectorized: H[i] = Σ_j data[i+j]·P^(w−1−j) (uint64 wraparound), then
+    a murmur-style finalizer so magnitude order doesn't leak into the
+    min. ``window`` shifted adds — no per-window python calls."""
+    m = data.size - window + 1
+    h = np.zeros(m, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(window - 1, -1, -1):
+        h += data[j:j + m].astype(np.uint64) * p
+        p *= _FP_POW
+    h ^= h >> np.uint64(33)
+    h *= _FP_MIX1
+    h ^= h >> np.uint64(33)
+    h *= _FP_MIX2
+    h ^= h >> np.uint64(33)
+    return h
+
+
 def fingerprint(batch: pa.Table, col: str = "text",
                 out_col: str = "fingerprint", window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling-hash over
-    ``window``-gram character windows of the normalized text — stable
-    under whitespace-only edits."""
+    ``window``-byte windows of the whitespace-normalized lowercased
+    text — stable under whitespace-only edits. One vectorized
+    numpy pass per doc (round 1 hashed every window with a separate
+    python crc call — O(len) python ops per doc)."""
     out = []
-    for s in batch[col].to_pylist():
-        s = " ".join((s or "").split()).lower()
-        if len(s) < window:
-            out.append(crc_hash64(s) & _MASK63)
-            continue
-        best = min(crc_hash64(s[i : i + window])
-                   for i in range(len(s) - window + 1))
-        out.append(best & _MASK63)
+    with np.errstate(over="ignore"):
+        for s in batch[col].to_pylist():
+            s = " ".join((s or "").split()).lower()
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            if b.size < window:
+                out.append(crc_hash64(s) & _MASK63)
+                continue
+            out.append(int(_window_hashes(b, window).min()) & _MASK63)
     return batch.append_column(out_col, pa.array(out, pa.int64()))

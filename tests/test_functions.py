@@ -88,6 +88,28 @@ def test_analyzers_golden():
     assert ANALYZERS["whitespace"]("a  b") == ["a", "b"]
 
 
+def test_city_country_resource_analyzers_with_shipped_tables():
+    """A5/A6 golden tokens using the in-repo keep/synonym resources
+    (no injection — the reference's generated resource files)."""
+    # city: space shingles, len≥4, keep + canonicalize
+    assert ANALYZERS["city"]("Université de Saint-Étienne") == ["saint etienne"]
+    assert ANALYZERS["city"]("LYCEE ST ETIENNE cedex") == ["saint etienne"]
+    assert ANALYZERS["city"]("10 rue de Rheims, London") == \
+        ["reims", "londres"]
+    assert ANALYZERS["city"]("nothing geographical here at all") == []
+    # country: '_' shingles, no length filter, canonical ISO alpha-3
+    # both 'etats_unis' and 'amerique' hit — token stream keeps both
+    assert ANALYZERS["country"]("Fabriqué aux États-Unis d'Amérique") == \
+        ["usa", "usa"]
+    assert ANALYZERS["country"]("shipped from United Kingdom") == ["gbr"]
+    assert ANALYZERS["country"]("France / Deutschland") == ["fra", "deu"]
+    assert ANALYZERS["country"]("no geography") == []
+    # addressing through the registry (A8)
+    from merge_machine_ray.functions.tokenize import analyze
+
+    assert analyze("country", "Suisse") == ["che"]
+
+
 def test_integers_shingles():
     # 3 ints → unigrams + bigrams + trigram, zeros trimmed
     assert ANALYZERS["integers"]("1 02 3") == ["1", "2", "3", "12", "23", "123"]

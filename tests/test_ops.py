@@ -184,6 +184,52 @@ def test_textstats(ray_session):
     assert all(0 <= r["stopword_ratio"] <= 1 for r in sr)
 
 
+def test_langid_vectorized_matches_scalar_reference():
+    """The Arrow/reduceat LangId must reproduce the per-row scalar
+    definition exactly (including ties, min_ratio gating, empties)."""
+    import re
+
+    from merge_machine_ray.stages.textstats import LANG_PROFILES, LangId
+
+    word = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def scalar(s, min_ratio=0.05):
+        toks = word.findall((s or "").lower())
+        if not toks:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang in sorted(LANG_PROFILES):
+            hits = sum(1 for x in toks if x in LANG_PROFILES[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang if best_hits / len(toks) >= min_ratio else "und"
+
+    texts = [
+        "the cat and the dog are in the house",
+        "le chat et le chien sont dans la maison",
+        "der Hund und die Katze sind in dem Haus",
+        "el gato y el perro en la casa", "", "   ", "12345 !!!",
+        "xyzzy plugh qwerty", None,
+        "the le der el and et und y",  # cross-language tie bait
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = LangId()(t)["lang_pred"].to_pylist()
+    want = [scalar(s) for s in texts]
+    assert got == want
+
+
+def test_fingerprint_whitespace_invariant_and_discriminative():
+    from merge_machine_ray.stages.textstats import fingerprint
+
+    texts = ["The quick   brown fox", "the\tquick brown  fox ",
+             "a completely different document body", "ab"]
+    t = pa.table({"text": pa.array(texts)})
+    fp = fingerprint(t)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]          # whitespace/case-only edits
+    assert fp[0] != fp[2]          # different content
+    assert all(0 <= v < 2**63 for v in fp)
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 

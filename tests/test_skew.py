@@ -65,3 +65,80 @@ def test_skewed_block_pair_budget(ray_session, skewed_ds):
                       if any("mirror-" in u for u in urls)}
     assert len(clone_clusters) == 1, f"clones split: {len(clone_clusters)}"
     assert len(clusters[clone_clusters.pop()]) == N_CLONES
+
+
+def test_carry_emitter_does_not_drop_pairs_behind_capped_bands():
+    """ADVICE r1: a pair whose FIRST shared band is globally capped must
+    still be emitted from a later small shared band (the oracle emits
+    it; without the overcap set, carry mode silently dropped it)."""
+    import numpy as np
+
+    from merge_machine_ray.stages.blocking import _emit_pairs_bucket_fn
+
+    K0, K1 = 111, 222  # band 0 capped globally, band 1 small
+    rows = []
+    for doc, band_key, band_idx in [(1, K1, 1), (2, K1, 1)]:
+        rows.append({"band_key": band_key, "doc_id": doc,
+                     "band_idx": band_idx, "band_hashes": [K0, K1]})
+    group = pa.Table.from_pylist(rows)
+
+    # without the overcap set: first agreeing band = 0 ≠ 1 → dropped
+    out = _emit_pairs_bucket_fn(64, ())(group)
+    assert out.num_rows == 0
+
+    # with K0 marked capped: band 0 doesn't count → emitted from band 1
+    oc = np.array([K0], dtype=np.int64)
+    out = _emit_pairs_bucket_fn(64, (), overcap_ref=oc)(group)
+    assert [(r["a"], r["b"]) for r in out.to_pylist()] == [(1, 2)]
+
+
+def test_carry_emitter_caps_by_global_count():
+    """A block that looks small in one bucket but whose key is globally
+    over cap must emit star/chain, not all-pairs."""
+    import numpy as np
+
+    from merge_machine_ray.stages.blocking import _emit_pairs_bucket_fn
+
+    K = 333
+    rows = [{"band_key": K, "doc_id": d, "band_idx": 0,
+             "band_hashes": [K, 999 + d]} for d in range(1, 6)]
+    group = pa.Table.from_pylist(rows)
+    oc = np.array([K], dtype=np.int64)
+    out = _emit_pairs_bucket_fn(64, (), overcap_ref=oc)(group)
+    got = {(r["a"], r["b"]) for r in out.to_pylist()}
+    # star (1-2,1-3,1-4,1-5) + chain (2-3,3-4,4-5): 7 edges, not C(5,2)=10
+    assert got == {(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (3, 4), (4, 5)}
+
+
+def test_candidate_pairs_carry_with_skew_matches_oracle(ray_session):
+    """End-to-end carry mode on a corpus engineered so near-dup pairs
+    share BOTH a capped band and small bands — pair set must equal the
+    oracle's exactly."""
+    import ray.data as rd
+
+    from merge_machine_ray.oracle import sequential as oracle
+    from merge_machine_ray.stages.blocking import candidate_pairs
+    from merge_machine_ray.stages.normalize_stage import featurize
+
+    params = MatchParams(block_cap=8)
+    rows = []
+    shared = "common boilerplate shared by every page in this corpus"
+    for i in range(40):
+        # high overlap with the shared block + per-pair unique tail
+        text = f"{shared} variant {i // 2} extra tail token{i // 2}"
+        rows.append({
+            "url": f"https://h{i}.example.org/p",
+            "warc_ts": 1_577_836_800_000_000 + i,
+            "html": f"<html><body>{text}</body></html>".encode(),
+            "text": text, "lang": "fr",
+        })
+    t = pa.Table.from_pylist(rows)
+    feats = featurize(rd.from_arrow(t), analyzer=params.analyzer)
+    pairs = candidate_pairs(feats, num_perm=params.num_perm,
+                            num_bands=params.num_bands,
+                            shingle_width=params.shingle_width,
+                            block_cap=params.block_cap, attach="carry")
+    got = {(r["a"], r["b"]) for r in pairs.take_all()}
+    docs = oracle.featurize_rows(t, params)
+    want = oracle.candidate_pairs_oracle(docs, params)
+    assert got == want
