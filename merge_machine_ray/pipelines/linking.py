@@ -223,6 +223,30 @@ class LinkFeaturize:
         self.extractions = _clause_keys(params)
         self.source_cols = sorted({c for q in params.queries
                                    for cl in q.clauses for c in cl.source})
+        # (ext_i, text) → (uniq hashes, counts, raw tokens): field
+        # values repeat heavily (cities, legal forms, categorical
+        # columns), and analyzer + per-token crc + np.unique dominate
+        # featurize time without it. Bounded; cleared when oversized.
+        self._ext_cache: dict[tuple[int, str], tuple] = {}
+
+    def _extract(self, i: int, analyzer: str, text: str):
+        key = (i, text)
+        got = self._ext_cache.get(key)
+        if got is None:
+            toks = ANALYZERS[analyzer](text) if text else []
+            if toks:
+                uniq, counts = np.unique(np.fromiter(
+                    (_to_i64(crc_hash64(t)) for t in toks),
+                    dtype=np.int64, count=len(toks)), return_counts=True)
+                counts = counts.astype(np.int32)
+            else:
+                uniq = np.empty(0, dtype=np.int64)
+                counts = np.empty(0, dtype=np.int32)
+            if len(self._ext_cache) > 200_000:
+                self._ext_cache.clear()
+            got = (uniq, counts, toks)
+            self._ext_cache[key] = got
+        return got
 
     def _key_of(self, row: dict) -> int:
         if self.side == 0:
@@ -244,6 +268,8 @@ class LinkFeaturize:
             f"toks_{i}": [] for i in range(len(self.extractions))}
         block_toks = []
         payloads = []
+        cnt_cols: dict[str, list] = {
+            f"cnts_{i}": [] for i in range(len(self.extractions))}
         for ridx, row in enumerate(rows):
             key = self._key_of(row)
             side_keys.append(key)
@@ -253,9 +279,12 @@ class LinkFeaturize:
                             all(c in row for c in cols)) or \
                            (self.side == 1 and all(c in row for c in cols))
                 text = _concat_cols(row, cols) if relevant else ""
-                toks = ANALYZERS[analyzer](text) if text else []
-                tok_cols[f"toks_{i}"].append(
-                    [_to_i64(crc_hash64(t)) for t in toks])
+                # SORTED UNIQUE + term counts, computed once per
+                # distinct (extraction, text) — the scorer consumes
+                # them without any per-batch np.unique
+                uniq, counts, toks = self._extract(i, analyzer, text)
+                tok_cols[f"toks_{i}"].append(uniq)
+                cnt_cols[f"cnts_{i}"].append(counts)
                 if analyzer != "n_grams":
                     bt.extend(toks)
             block_toks.append(sorted(set(bt)))
@@ -269,6 +298,8 @@ class LinkFeaturize:
         }
         for name, vals in tok_cols.items():
             out[name] = pa.array(vals, pa.list_(pa.int64()))
+        for name, vals in cnt_cols.items():
+            out[name] = pa.array(vals, pa.list_(pa.int32()))
         return pa.table(out)
 
 
@@ -355,13 +386,15 @@ def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int):
             pa.array([], pa.string()),
         }
         for i in range(n_tok_cols):
-            col = group[f"toks_{i}"]
-            if len(Ia):
-                arrays[f"toks_{i}_s"] = col.take(Ia)
-                arrays[f"toks_{i}_r"] = col.take(Ja)
-            else:
-                arrays[f"toks_{i}_s"] = pa.array([], pa.list_(pa.int64()))
-                arrays[f"toks_{i}_r"] = pa.array([], pa.list_(pa.int64()))
+            for base, typ in ((f"toks_{i}", pa.int64()),
+                              (f"cnts_{i}", pa.int32())):
+                col = group[base]
+                if len(Ia):
+                    arrays[f"{base}_s"] = col.take(Ia)
+                    arrays[f"{base}_r"] = col.take(Ja)
+                else:
+                    arrays[f"{base}_s"] = pa.array([], pa.list_(typ))
+                    arrays[f"{base}_r"] = pa.array([], pa.list_(typ))
         return pa.table(arrays)
 
     return emit
@@ -370,9 +403,14 @@ def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int):
 class LinkScorer:
     """Pair scorer: per template, weighted tf·idf cosine over the
     template's clauses; IDF per extraction from the REF side.
-    Vectorized: one np.unique/searchsorted per (doc, extraction), cached
-    by (extraction, key); each DISTINCT clause similarity is computed
-    once per pair and reused across templates."""
+
+    FULLY vectorized across the batch: per distinct clause, both sides'
+    ragged token lists are processed as flat (row, hash, weight) arrays
+    — one IDF searchsorted over the whole flat values array, per-row
+    norms by ``np.add.reduceat``, and the per-row sparse dot products
+    by one lexsort + adjacent-equal merge. No per-pair python at all
+    (a per-row loop with cached weights measured 5-7k pairs/s/core;
+    this form is bounded by a handful of O(total_tokens) array ops)."""
 
     def __init__(self, params: LinkParams, idf_ref=None):
         import ray
@@ -382,22 +420,27 @@ class LinkScorer:
         idf = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
         self.idf = idf or {}
 
-    def _weights(self, hashes, ext_i: int):
-        if len(hashes) == 0:
-            return (np.empty(0, dtype=np.int64),
-                    np.empty(0, dtype=np.float64), 0.0)
-        arr = np.asarray(hashes, dtype=np.int64)
-        uniq, counts = np.unique(arr, return_counts=True)
+    def _flat_weights(self, vals: np.ndarray, cnts: np.ndarray,
+                      ext_i: int) -> np.ndarray:
+        """IDF weights for a FLAT concatenated hash array (all rows)."""
         table = self.idf.get(ext_i)
-        if table is not None and table["keys"].size:
-            pos = np.searchsorted(table["keys"], uniq).clip(
+        if table is not None and table["keys"].size and vals.size:
+            pos = np.searchsorted(table["keys"], vals).clip(
                 max=table["keys"].size - 1)
-            hit = table["keys"][pos] == uniq
-            vals = np.where(hit, table["vals"][pos], table["default"])
+            hit = table["keys"][pos] == vals
+            idf = np.where(hit, table["vals"][pos], table["default"])
         else:
-            vals = np.ones(uniq.size)
-        w = counts * vals
-        return uniq, w, float(np.sqrt((w * w).sum()))
+            idf = np.ones(vals.size)
+        return cnts * idf
+
+    @staticmethod
+    def _row_norms(w: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
+        if not w.size:
+            return np.zeros(n)
+        idx = np.minimum(offsets[:-1], w.size - 1)
+        s = np.add.reduceat(w * w, idx)
+        s[offsets[:-1] == offsets[1:]] = 0.0
+        return np.sqrt(s)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.params
@@ -405,37 +448,15 @@ class LinkScorer:
         n = batch.num_rows
         ext_index = {(tuple(c[0]), c[1]): i
                      for i, c in enumerate(self.extractions)}
-        src_keys = batch["src_key"].to_numpy(zero_copy_only=False)
-        ref_keys = batch["ref_key"].to_numpy(zero_copy_only=False)
 
         def list_views(name):
-            """list<int64> column → (offsets, values) numpy views — no
-            python-list materialization (the PairScorer technique,
-            stages/scoring.py)."""
+            """list column → (offsets, values) numpy views — no python
+            materialization (the PairScorer technique, stages/scoring)."""
             arr = batch[name]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             return (arr.offsets.to_numpy(zero_copy_only=False),
                     arr.values.to_numpy(zero_copy_only=False))
-
-        toks_s = {i: list_views(f"toks_{i}_s")
-                  for i in range(len(self.extractions))}
-        toks_r = {i: list_views(f"toks_{i}_r")
-                  for i in range(len(self.extractions))}
-
-        # memoize per-record tf·idf weights by (side, extraction, record
-        # key): records repeat across pairs (the reference's
-        # ref_id_to_data cache, ST2)
-        wcache: dict[tuple, tuple] = {}
-
-        def weights(side: int, ext_tok: int, ext_idf: int, key: int, row: int):
-            ck = (side, ext_tok, ext_idf, key)
-            got = wcache.get(ck)
-            if got is None:
-                off, vals = toks_s[ext_tok] if side == 0 else toks_r[ext_tok]
-                got = self._weights(vals[off[row]:off[row + 1]], ext_idf)
-                wcache[ck] = got
-            return got
 
         # distinct clauses across all templates, with per-query boosts
         clause_ids: dict[tuple[int, int], int] = {}
@@ -450,20 +471,38 @@ class LinkScorer:
                 terms.append((cid, c.boost))
             query_terms.append(terms)
 
-        sims = np.zeros((n, len(clause_ids)))
+        sims = np.zeros((n, len(clause_ids))) if n else \
+            np.zeros((0, len(clause_ids)))
         for (si, ri), cid in clause_ids.items():
-            col = sims[:, cid]
-            for r in range(n):
-                ua, wa, na = weights(0, si, ri, src_keys[r], r)
-                if na == 0.0:
-                    continue
-                ub, wb, nb = weights(1, ri, ri, ref_keys[r], r)
-                if nb == 0.0:
-                    continue
-                _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
-                                           return_indices=True)
-                if ia.size:
-                    col[r] = float(wa[ia] @ wb[ib]) / (na * nb)
+            so, sv = list_views(f"toks_{si}_s")
+            _, sc = list_views(f"cnts_{si}_s")
+            ro, rv = list_views(f"toks_{ri}_r")
+            _, rc = list_views(f"cnts_{ri}_r")
+            if n == 0 or (sv.size == 0) or (rv.size == 0):
+                continue
+            ws = self._flat_weights(sv, sc, ri)   # idf keyed by REF ext
+            wr = self._flat_weights(rv, rc, ri)
+            ns = self._row_norms(ws, so, n)
+            nr = self._row_norms(wr, ro, n)
+            rows_s = np.repeat(np.arange(n), np.diff(so))
+            rows_r = np.repeat(np.arange(n), np.diff(ro))
+            # merge: sort all (row, hash) of both sides together; a
+            # src-entry immediately followed by an equal ref-entry is a
+            # shared term of that pair
+            R = np.concatenate((rows_s, rows_r))
+            K = np.concatenate((sv, rv))
+            S = np.concatenate((np.zeros(sv.size, np.int8),
+                                np.ones(rv.size, np.int8)))
+            W = np.concatenate((ws, wr))
+            o = np.lexsort((S, K, R))
+            Ro, Ko, So, Wo = R[o], K[o], S[o], W[o]
+            m = ((Ro[1:] == Ro[:-1]) & (Ko[1:] == Ko[:-1])
+                 & (So[:-1] == 0) & (So[1:] == 1))
+            num = np.zeros(n)
+            if m.any():
+                np.add.at(num, Ro[:-1][m], Wo[:-1][m] * Wo[1:][m])
+            denom = ns * nr
+            np.divide(num, denom, out=sims[:, cid], where=denom > 0)
         scores = np.zeros((n, len(p.queries)))
         for qi, terms in enumerate(query_terms):
             for cid, boost in terms:
@@ -475,10 +514,9 @@ class LinkScorer:
         return pa.table(out)
 
 
-def _select_best_bucket_fn(params: LinkParams, means: list[float]):
+def _select_best_bucket_fn(params: LinkParams):
     """Per-BUCKET reducer: priority first-match-wins (J2) with the
-    best-match fallback (J3) + confidence scaling (G1) — one row out per
-    distinct src_key.
+    best-match fallback (J3) — one row out per distinct src_key.
 
     Fully vectorized segment argmax (no per-group python): rows sort by
     src_key; each source's winning template is the minimum first-
@@ -486,10 +524,16 @@ def _select_best_bucket_fn(params: LinkParams, means: list[float]):
     winning row is the last of the segment after a lexsort by (segment,
     eligibility-gated score asc, ~ref_key asc) — i.e. max score, ties to
     the smallest ref_key (``~ref`` is the overflow-free descending
-    bijection on int64)."""
+    bijection on int64).
+
+    The G1 confidence estimator needs GLOBAL per-template mean scores;
+    rather than a separate aggregate pass over the scored pairs, each
+    bucket emits its per-template score sums/count as extra columns
+    (``__MSUM_i``/``__MCNT``, constant within the bucket) and the
+    driver folds them into means afterwards — one barrier instead of
+    three."""
     nq = len(params.queries)
     threshs = np.array([q.thresh for q in params.queries])
-    means_arr = np.array([m if m > 0 else 1.0 for m in means])
 
     def select(group: pa.Table) -> pa.Table:
         group = group.combine_chunks()
@@ -530,18 +574,23 @@ def _select_best_bucket_fn(params: LinkParams, means: list[float]):
         qi_seg = np.where(group_qi < nq, group_qi, 0)
         score_seg = sel[win_sorted]
         thresh_seg = threshs[qi_seg]
-        conf = 1.0 + (score_seg - thresh_seg) / means_arr[qi_seg]
         wa = pa.array(win)
-        return pa.table({
+        out = {
             "src_key": pa.array(s_sorted[starts]),
             "__ID_REF": pa.array(ref[win]),
             "__ID_QUERY": pa.array(qi_seg, pa.int64()),
             "__SCORE": pa.array(score_seg, pa.float64()),
             "__THRESH": pa.array(thresh_seg, pa.float64()),
-            "__CONFIDENCE": pa.array(conf, pa.float64()),
             "__IS_MATCH": pa.array(group_qi < nq),
             "ref_payload": group["ref_payload"].take(wa),
-        })
+            "__SBKT": pa.array(np.full(
+                n_seg, group["sbkt"][0].as_py(), dtype=np.int32)),
+            "__MCNT": pa.array(np.full(n_seg, n, dtype=np.int64)),
+        }
+        for qi in range(nq):
+            out[f"__MSUM_{qi}"] = pa.array(
+                np.full(n_seg, scores[:, qi].sum()))
+        return pa.table(out)
 
     return select
 
@@ -555,7 +604,6 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     metadata (reference output contract, es_match.py:398-417)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Mean
 
     if params is None:
         params = LinkParams.default_for(match_cols)
@@ -596,8 +644,6 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     # → one small groupby over (ext, tok) partials), not a driver loop.
     import math
 
-    from ray.data.aggregate import Sum
-
     def _partial_df(b: pa.Table) -> pa.Table:
         exts, toks, pdfs = [], [], []
         for i in range(n_ext):
@@ -612,9 +658,33 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
                          "tok": pa.array(toks, pa.int64()),
                          "pdf": pa.array(pdfs, pa.int64())})
 
+    _idf_buckets = 32
+
+    def _df_bucket(t: pa.Table) -> pa.Table:
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        return t.append_column("dbkt", pa.array(
+            (tok % _idf_buckets).astype(np.int32)))
+
+    def _df_sum(g: pa.Table) -> pa.Table:
+        # vectorized per-bucket (ext, tok) group-sum — a
+        # groupby(ext,tok).aggregate pays per-group overhead on ~1M
+        # tiny groups (same pathology as the blocking pair dedup)
+        e = g["ext"].to_numpy(zero_copy_only=False)
+        k = g["tok"].to_numpy(zero_copy_only=False)
+        v = g["pdf"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, e))
+        e, k, v = e[o], k[o], v[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero((e[1:] != e[:-1]) | (k[1:] != k[:-1])) + 1))
+        sums = np.add.reduceat(v, starts)
+        return pa.table({"ext": pa.array(e[starts]),
+                         "tok": pa.array(k[starts]),
+                         "df": pa.array(sums.astype(np.int64))})
+
     df_tbl = (feat_r.select_columns([f"toks_{i}" for i in range(n_ext)])
               .map_batches(_partial_df, batch_format="pyarrow")
-              .groupby(["ext", "tok"]).aggregate(Sum("pdf", alias_name="df")))
+              .map_batches(_df_bucket, batch_format="pyarrow")
+              .groupby("dbkt").map_groups(_df_sum, batch_format="pyarrow"))
     default_idf = math.log((n_ref + 1) / 2.0) + 1.0
     idf_tables = {i: {"keys": np.empty(0, dtype=np.int64),
                       "vals": np.empty(0), "default": default_idf}
@@ -659,39 +729,63 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
         return scorer(batch)
 
     scored = pairs.map_batches(score_fn, batch_format="pyarrow",
-                               batch_size=2048).materialize()
+                               batch_size=2048)
 
-    # G1 confidence estimator: mean score per template — ONE pass
+    # bucketed vectorized selection: shuffle by src_key % B (bounded
+    # python-group count), segment argmax inside each bucket. ONE
+    # materialization covers pair-gen + scoring + selection; the G1
+    # means ride out as per-bucket sums (see _select_best_bucket_fn).
     nq = len(params.queries)
-    if scored.count() == 0:
-        linked = rd.from_arrow(pa.table({
-            "src_key": pa.array([], pa.int64()),
-            "__ID_REF": pa.array([], pa.int64()),
-            "__ID_QUERY": pa.array([], pa.int64()),
-            "__SCORE": pa.array([], pa.float64()),
-            "__THRESH": pa.array([], pa.float64()),
-            "__CONFIDENCE": pa.array([], pa.float64()),
-            "__IS_MATCH": pa.array([], pa.bool_()),
-            "ref_payload": pa.array([], pa.string())}))
+    sel_buckets = int(min(512, max(8, n_src // 4000)))
+
+    def _sel_bucket(t: pa.Table) -> pa.Table:
+        k = t["src_key"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "sbkt", pa.array((k % sel_buckets).astype(np.int32)))
+
+    linked = (scored.map_batches(_sel_bucket, batch_format="pyarrow")
+              .groupby("sbkt")
+              .map_groups(_select_best_bucket_fn(params),
+                          batch_format="pyarrow")).materialize()
+
+    link_schema = pa.schema(
+        [("src_key", pa.int64()), ("__ID_REF", pa.int64()),
+         ("__ID_QUERY", pa.int64()), ("__SCORE", pa.float64()),
+         ("__THRESH", pa.float64()), ("__CONFIDENCE", pa.float64()),
+         ("__IS_MATCH", pa.bool_()), ("ref_payload", pa.string())])
+    if linked.count() == 0:
+        linked = rd.from_arrow(link_schema.empty_table())
     else:
-        aggs = scored.aggregate(*[Mean(f"q{qi}_score", alias_name=f"m{qi}")
-                                  for qi in range(nq)]) or {}
-        means = [float(aggs.get(f"m{qi}") or 0.0) for qi in range(nq)]
+        # G1 confidence estimator: global per-template means from the
+        # per-bucket sums, then one vectorized map applies the scaling
+        sums = np.zeros(nq)
+        cnt = 0
+        seen: set[int] = set()
+        for b in linked.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            sb = b["__SBKT"].to_numpy(zero_copy_only=False)
+            first = np.concatenate(([True], sb[1:] != sb[:-1]))
+            for i in np.flatnonzero(first):
+                k = int(sb[i])
+                if k in seen:
+                    continue
+                seen.add(k)
+                cnt += int(b["__MCNT"][i].as_py())
+                for qi in range(nq):
+                    sums[qi] += float(b[f"__MSUM_{qi}"][i].as_py())
+        means = np.array([s / cnt if cnt else 0.0 for s in sums])
+        means = np.where(means > 0, means, 1.0)
 
-        # bucketed vectorized selection: shuffle by src_key % B (bounded
-        # python-group count), segment argmax inside each bucket
-        sel_buckets = int(min(512, max(8, n_src // 4000)))
+        def add_conf(t: pa.Table) -> pa.Table:
+            qi = t["__ID_QUERY"].to_numpy(zero_copy_only=False)
+            sc = t["__SCORE"].to_numpy(zero_copy_only=False)
+            th = t["__THRESH"].to_numpy(zero_copy_only=False)
+            conf = 1.0 + (sc - th) / means[qi]
+            t = t.drop_columns(["__SBKT", "__MCNT"]
+                               + [f"__MSUM_{q}" for q in range(nq)])
+            return t.append_column("__CONFIDENCE", pa.array(conf))
 
-        def _sel_bucket(t: pa.Table) -> pa.Table:
-            k = t["src_key"].to_numpy(zero_copy_only=False)
-            return t.append_column(
-                "sbkt", pa.array((k % sel_buckets).astype(np.int32)))
-
-        linked = (scored.map_batches(_sel_bucket, batch_format="pyarrow")
-                  .groupby("sbkt")
-                  .map_groups(lambda g: _select_best_bucket_fn(params, means)
-                              (g.drop_columns(["sbkt"])),
-                              batch_format="pyarrow"))
+        linked = linked.map_batches(add_conf, batch_format="pyarrow")
 
     # re-attach the link to EVERY source row by a left hash join on the
     # D1 group key (__SOURCE_GROUP) — no driver-resident link map, so

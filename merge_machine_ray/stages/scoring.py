@@ -132,17 +132,29 @@ class PairScorer:
             ua, wa, na = weights(ids_a[i], toks_a, i)
             ub, wb, nb = weights(ids_b[i], toks_b, i)
             if na > 0 and nb > 0:
-                _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
-                                           return_indices=True)
-                if ia.size:
-                    sim_text[i] = float(wa[ia] @ wb[ib]) / (na * nb)
+                # sorted-unique intersection via ONE searchsorted — no
+                # concat+argsort per pair (np.intersect1d's constant)
+                if ua.size <= ub.size:
+                    pos = np.searchsorted(ub, ua).clip(max=ub.size - 1)
+                    hit = ub[pos] == ua
+                    if hit.any():
+                        sim_text[i] = float(wa[hit] @ wb[pos[hit]]) \
+                            / (na * nb)
+                else:
+                    pos = np.searchsorted(ua, ub).clip(max=ua.size - 1)
+                    hit = ua[pos] == ub
+                    if hit.any():
+                        sim_text[i] = float(wb[hit] @ wa[pos[hit]]) \
+                            / (na * nb)
             if ints_a is not None:
                 la = iv_a[io_a[i]:io_a[i + 1]]
                 lb = iv_b[io_b[i]:io_b[i + 1]]
                 if la.size and lb.size:
                     # int_hashes are pre-sorted unique sets (featurize)
-                    inter = np.intersect1d(la, lb,
-                                           assume_unique=True).size
+                    if la.size > lb.size:
+                        la, lb = lb, la
+                    pos = np.searchsorted(lb, la).clip(max=lb.size - 1)
+                    inter = int((lb[pos] == la).sum())
                     if inter:
                         sim_ints[i] = inter / (la.size + lb.size - inter)
             if host_a is not None and host_a[i] and host_b[i]:
