@@ -1,0 +1,306 @@
+"""Interactive labelling loop — the driver-side re-creation of the
+reference's ``ConsoleLabeller`` session (reference
+``merge_machine/es_labeller.py:1179-1243`` candidate proposal generator
+``_init_ref_gen``/``_next_row``, ``:1738-1867`` ``update``/
+``update_pair`` y/n/u/f/p protocol, ``:2713-2978`` console loop).
+
+The reference proposes, for one dirty source row at a time, candidate
+referential rows fetched by its current query templates, consumes
+keyboard answers, and updates its template learning state after each
+label. Here:
+
+* candidate proposal comes from the DISTRIBUTED blocking stage
+  (:func:`propose_candidates` — LinkFeaturize → LinkBandKeys → one
+  bucketed groupby — the same machinery the linking pipeline uses, so
+  labelling sees exactly the pairs linking would see);
+* answers feed :class:`PortfolioLearner` (D4-D6/G2-G5 math) after every
+  label, and templates are re-evaluated every ``refit_every`` labels;
+* the whole session state checkpoints to JSON (S6) and the learned
+  portfolio exports as :class:`LinkParams` (S7), ready for
+  :func:`~merge_machine_ray.pipelines.linking.link_datasets`.
+
+The loop itself is driver-side by nature (a human answers one pair at a
+time); all heavy work (blocking) is Ray-distributed.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from merge_machine_ray.pipelines.linking import (
+    LinkBandKeys,
+    LinkFeaturize,
+    LinkParams,
+    _emit_cross_pairs_fn,
+)
+from merge_machine_ray.state.labeller import PortfolioLearner
+
+#: reference VALID_ANSWERS (es_labeller.py:715-722)
+VALID_ANSWERS = {
+    "y": "y", "yes": "y", "1": "y",
+    "n": "n", "no": "n", "0": "n",
+    "u": "u", "uncertain": "u",
+    "f": "f", "forget_row": "f",
+    "p": "p", "previous": "p",
+}
+
+
+def propose_candidates(source_rows: list[dict], ref_rows: list[dict],
+                       match_cols: list[dict],
+                       params: LinkParams | None = None,
+                       max_per_source: int = 12) -> dict[int, list[int]]:
+    """Distributed candidate proposal: run the linking blocking stage
+    over both sides and return, per source row index, the candidate ref
+    row indices ranked by number of shared LSH bands (the analog of the
+    reference's per-query ES hit lists)."""
+    import copy
+
+    import ray.data as rd
+
+    p = copy.deepcopy(params or LinkParams.default_for(match_cols))
+    # labelling wants RECALL: more, narrower bands than the production
+    # linking run (128 perms / 32 bands → r=4; a dirty 6-token record
+    # with half its shingles edited still collides w.p. ≈ 1-(1-s⁴)³²)
+    p.num_bands = max(32, p.num_bands)
+    n_src = len(source_rows)
+
+    # key both sides by ROW INDEX via an injected id column so the pair
+    # list maps back to rows (the D1 group key would merge exact dups)
+    src_tagged = [dict(r, __row_idx=i) for i, r in enumerate(source_rows)]
+    ref_tagged = [dict(r, __row_idx=i) for i, r in enumerate(ref_rows)]
+    feat_s = rd.from_arrow(pa.Table.from_pylist(src_tagged)) \
+        .repartition(4).map_batches(
+            LinkFeaturize(p, 0, "__row_idx", []), batch_format="pyarrow")
+    feat_r = rd.from_arrow(pa.Table.from_pylist(ref_tagged)) \
+        .repartition(4).map_batches(
+            LinkFeaturize(p, 1, "__row_idx", []), batch_format="pyarrow")
+    # source rows are keyed by the D1 content hash — rebuild an index
+    # from that hash to row ids for the map-back
+    key_f = LinkFeaturize(p, 0, "__row_idx", [])
+    src_key_to_rows: dict[int, list[int]] = {}
+    for i, r in enumerate(src_tagged):
+        src_key_to_rows.setdefault(key_f._key_of(r), []).append(i)
+
+    bands = feat_s.union(feat_r).map_batches(
+        LinkBandKeys(p, 32), batch_format="pyarrow")
+    n_ext = len(key_f.extractions)
+    pairs = bands.groupby("bucket").map_groups(
+        _emit_cross_pairs_fn(p.block_cap, n_ext), batch_format="pyarrow")
+
+    counts: dict[tuple[int, int], int] = {}
+    for b in pairs.select_columns(["src_key", "ref_key"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for sk, rk in zip(b["src_key"].to_pylist(), b["ref_key"].to_pylist()):
+            for si in src_key_to_rows.get(sk, ()):
+                counts[(si, rk)] = counts.get((si, rk), 0) + 1
+
+    by_src: dict[int, list[tuple[int, int]]] = {}
+    for (si, rk), c in counts.items():
+        by_src.setdefault(si, []).append((c, rk))
+    out: dict[int, list[int]] = {}
+    for si in range(n_src):
+        cands = sorted(by_src.get(si, ()), key=lambda t: (-t[0], t[1]))
+        out[si] = [rk for _, rk in cands[:max_per_source]]
+    return out
+
+
+class InteractiveLabeller:
+    """y/n/u/f/p labelling session over blocking-proposed pairs.
+
+    Answers (reference semantics, ``es_labeller.py:1739-1867``):
+    ``y`` — pair is a match: record positive label, advance to the next
+    source row; ``n`` — not a match: record negative label, propose the
+    source's next candidate; ``u`` — uncertain: skip without labelling;
+    ``f`` — forget this source row entirely; ``p`` — undo the previous
+    answer and re-propose that pair.
+    """
+
+    def __init__(self, source_rows: list[dict], ref_rows: list[dict],
+                 match_cols: list[dict],
+                 candidates: dict[int, list[int]] | None = None,
+                 learner: PortfolioLearner | None = None,
+                 max_proposals_per_source: int = 4, refit_every: int = 10):
+        self.source_rows = source_rows
+        self.ref_rows = ref_rows
+        self.match_cols = match_cols
+        self.candidates = candidates if candidates is not None else \
+            propose_candidates(source_rows, ref_rows, match_cols)
+        self.learner = learner or PortfolioLearner(match_cols, ref_rows)
+        self.max_proposals = max_proposals_per_source
+        self.refit_every = refit_every
+        self.labels_since_fit = 0
+        # session state
+        self.matched: dict[int, int | None] = {}   # src → ref (None = no match)
+        self.answered: set[tuple[int, int]] = set()
+        self.src_order = [si for si in range(len(source_rows))
+                          if self.candidates.get(si)]
+        self.src_ptr = 0
+        self.ref_ptr = 0
+        self._undo: list[dict] = []
+        self.status = "ACTIVE" if self.src_order else "NO_ITEMS_TO_LABEL"
+        self._skip_answered_forward()
+
+    # -- proposal cursor -------------------------------------------------
+    def _ranked_candidates(self, si: int) -> list[int]:
+        """Current proposal order for one source: blocking rank, re-
+        ranked by the learner's best template once labels exist (the
+        reference re-ranks by current_query score). Early in the
+        session the K3 ``_sorta_sort`` explore/exploit schedule
+        interleaves lower-ranked candidates so the label sample
+        contains NEGATIVES even when the top proposal is almost always
+        the true match."""
+        pool = self.candidates.get(si, [])
+        if self.learner.results:
+            best = self.learner.results[0]
+            q = self.learner.templates[best["template"]]
+            srow = self.source_rows[si]
+            pool = sorted(pool, key=lambda rk: -self.learner.template_score(
+                q, srow, self.ref_rows[rk]))
+        elif len(pool) > 1:
+            scores = [-i for i in range(len(pool))]  # blocking rank
+            pool = PortfolioLearner.sorta_sort(pool, scores, seed=si)
+            if si % 2 == 1:
+                # alternate which arm leads: sorta_sort always starts
+                # with the top-ranked item, and a good blocker would
+                # then never surface a negative to label
+                pool[0], pool[1] = pool[1], pool[0]
+        return pool[:self.max_proposals]
+
+    def _skip_answered_forward(self) -> None:
+        while self.src_ptr < len(self.src_order):
+            si = self.src_order[self.src_ptr]
+            if si in self.matched:
+                self.src_ptr += 1
+                self.ref_ptr = 0
+                continue
+            cands = self._ranked_candidates(si)
+            while self.ref_ptr < len(cands) and \
+                    (si, cands[self.ref_ptr]) in self.answered:
+                self.ref_ptr += 1
+            if self.ref_ptr >= len(cands):
+                self.src_ptr += 1
+                self.ref_ptr = 0
+                continue
+            return
+        self.status = "NO_ITEMS_TO_LABEL"
+
+    def current_pair(self) -> tuple[int, int, dict, dict] | None:
+        """→ (source_idx, ref_idx, source_row, ref_row) or None when the
+        session is exhausted."""
+        if self.status != "ACTIVE" or self.src_ptr >= len(self.src_order):
+            return None
+        si = self.src_order[self.src_ptr]
+        cands = self._ranked_candidates(si)
+        if self.ref_ptr >= len(cands):
+            return None
+        rk = cands[self.ref_ptr]
+        return si, rk, self.source_rows[si], self.ref_rows[rk]
+
+    # -- answer protocol ---------------------------------------------------
+    def update(self, user_input: str) -> None:
+        ans = VALID_ANSWERS.get(str(user_input).strip().lower())
+        if ans is None:
+            raise ValueError(f"invalid answer {user_input!r}; one of "
+                             f"{sorted(set(VALID_ANSWERS))}")
+        if ans == "p":
+            self._undo_last()
+            return
+        cur = self.current_pair()
+        if cur is None:
+            return
+        si, rk, srow, rrow = cur
+        self._undo.append({"src_ptr": self.src_ptr, "ref_ptr": self.ref_ptr,
+                           "hist_len": len(self.learner.history),
+                           "answered": (si, rk),
+                           "matched": dict(self.matched)})
+        if ans == "y":
+            self.learner.add_labelled_pair(srow, rrow, True)
+            self.answered.add((si, rk))
+            self.matched[si] = rk
+            self.src_ptr += 1
+            self.ref_ptr = 0
+            self._maybe_refit()
+        elif ans == "n":
+            self.learner.add_labelled_pair(srow, rrow, False)
+            self.answered.add((si, rk))
+            self.ref_ptr += 1
+            self._maybe_refit()
+        elif ans == "u":
+            self.answered.add((si, rk))
+            self.ref_ptr += 1
+        elif ans == "f":
+            self.matched[si] = None
+            self.src_ptr += 1
+            self.ref_ptr = 0
+        self._skip_answered_forward()
+
+    def _maybe_refit(self) -> None:
+        self.labels_since_fit += 1
+        if self.labels_since_fit >= self.refit_every:
+            self.labels_since_fit = 0
+            if len(self.learner.history) >= 4:
+                self.learner.evaluate_templates()
+
+    def _undo_last(self) -> None:
+        if not self._undo:
+            return
+        snap = self._undo.pop()
+        self.src_ptr = snap["src_ptr"]
+        self.ref_ptr = snap["ref_ptr"]
+        del self.learner.history[snap["hist_len"]:]
+        self.answered.discard(snap["answered"])
+        self.matched = snap["matched"]
+        self.status = "ACTIVE"
+
+    # -- S6 checkpoint / S7 export ---------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "learner": self.learner.to_dict(),
+            "candidates": {str(k): v for k, v in self.candidates.items()},
+            "matched": {str(k): v for k, v in self.matched.items()},
+            "answered": sorted(self.answered),
+            "src_ptr": self.src_ptr, "ref_ptr": self.ref_ptr,
+            "status": self.status,
+        }
+
+    def to_json(self, path: str) -> None:
+        from merge_machine_ray.state.serialize import NumpySafeEncoder
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, cls=NumpySafeEncoder)
+
+    @classmethod
+    def from_json(cls, path: str, source_rows: list[dict],
+                  ref_rows: list[dict], match_cols: list[dict]
+                  ) -> "InteractiveLabeller":
+        with open(path) as f:
+            d = json.load(f)
+        learner = PortfolioLearner.from_dict(d["learner"], ref_rows)
+        self = cls(source_rows, ref_rows, match_cols,
+                   candidates={int(k): v for k, v in d["candidates"].items()},
+                   learner=learner)
+        self.matched = {int(k): v for k, v in d["matched"].items()}
+        self.answered = {tuple(p) for p in d["answered"]}
+        self.src_ptr = d["src_ptr"]
+        self.ref_ptr = d["ref_ptr"]
+        self.status = d["status"]
+        if self.learner.history:
+            self.learner.evaluate_templates()
+        self._skip_answered_forward()
+        return self
+
+    def export_params(self) -> LinkParams:
+        """Learned portfolio + the session's confirmed pairs as J5
+        exact-pair overrides (keyed by the D1 source-group hash, the key
+        link_datasets joins on)."""
+        params = self.learner.export_params()
+        key_f = LinkFeaturize(LinkParams.default_for(self.match_cols),
+                              0, None, [])
+        for si, rk in self.matched.items():
+            if rk is None:
+                continue
+            params.exact_pairs.append(
+                (key_f._key_of(self.source_rows[si]), rk))
+        return params

@@ -159,8 +159,10 @@ class PortfolioLearner:
         """G5: repeatedly pick the template adding most NEW true matches
         on the still-uncovered labelled positives; stop when no
         improvement or the portfolio cap is reached."""
-        if not self.results:
-            self.evaluate_templates()
+        if not self.results or (self.results and
+                                len(self.results[0]["scores"])
+                                != len(self.history)):
+            self.evaluate_templates()   # results stale vs grown history
         labels = np.array([y for _, _, y in self.history], dtype=bool)
         covered = np.zeros(len(self.history), dtype=bool)
         chosen: list[dict] = []
@@ -359,6 +361,11 @@ class PortfolioLearner:
         """S7 learned-params export (``es_labeller.py:2269-2301``):
         priority-ordered portfolio with thresholds + label ledgers."""
         chosen = self.greedy_portfolio()
+        # priority order for first-match-wins: highest-precision (then
+        # most-exact-analyzer) templates first — D5 dominance, the
+        # reference emits best_queries precision-sorted
+        chosen.sort(key=lambda d: (-d["precision"], d["analyzer_priority"],
+                                   -d["thresh"]))
         queries = []
         for res in chosen:
             q = self.templates[res["template"]]

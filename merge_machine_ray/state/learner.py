@@ -75,7 +75,14 @@ def learn_threshold(scores, labels, t_p: float = TARGET_PRECISION,
     else:
         # halfway between the last kept and first dropped score
         thresh = float((s[best] + s[best + 1]) / 2.0)
+    # a zero similarity means NO token overlap at all — a template must
+    # never declare such a pair a match, however the labelled sample
+    # shook out (an all-positive sample of zero-scoring pairs would
+    # otherwise learn a match-everything threshold)
+    thresh = max(thresh, 1e-9)
     kept = s >= thresh
+    if not (kept & l).any():
+        return None, 0.0, 0.0  # template carries no signal for matches
     tp = int((kept & l).sum())
     precision = tp / max(1, int(kept.sum()))
     recall = tp / max(1, int(l.sum()))
