@@ -304,9 +304,17 @@ class LinkFeaturize:
 
 
 class LinkBandKeys:
-    def __init__(self, params: LinkParams, num_buckets: int = 64):
+    """Band-key expansion (one row per record per band). ``light=True``
+    emits ONLY (band_key, bucket, side, key) ≈ 24 B/row — the at-scale
+    mode where features re-attach to the (far smaller) pair list by a
+    hash join instead of riding the band-multiplied shuffle num_bands
+    times (the same shuffle diet as stages/blocking attach='join')."""
+
+    def __init__(self, params: LinkParams, num_buckets: int = 64,
+                 light: bool = False):
         self.p = params
         self.num_buckets = num_buckets
+        self.light = light
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.p
@@ -324,18 +332,21 @@ class LinkBandKeys:
         karr = np.asarray(keys, dtype=np.int64)
         out = {"band_key": pa.array(karr),
                "bucket": pa.array((karr % self.num_buckets).astype(np.int32))}
-        for c in batch.column_names:
-            if c != "block_toks":
-                out[c] = batch[c].take(take)
+        carry = (("side", "key") if self.light else
+                 tuple(c for c in batch.column_names if c != "block_toks"))
+        for c in carry:
+            out[c] = batch[c].take(take)
         return pa.table(out)
 
 
-def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int):
+def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int,
+                         light: bool = False):
     """Per-BUCKET cross-side pair emitter (vectorized like the ER pair
     emitter): blocks are contiguous runs after a lexsort by band_key;
     within a block the src×ref cross product is built with repeat/tile
     index arrays; (src_key, ref_key) pairs are deduplicated within the
-    bucket; outputs use Arrow take."""
+    bucket; outputs use Arrow take. ``light`` emits id pairs only (the
+    features re-attach by hash join downstream)."""
 
     def emit(group: pa.Table) -> pa.Table:
         group = group.combine_chunks()
@@ -382,9 +393,11 @@ def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int):
             pa.array([], pa.int64()),
             "ref_key": group["key"].take(Ja) if len(Ja) else
             pa.array([], pa.int64()),
-            "ref_payload": group["payload"].take(Ja) if len(Ja) else
-            pa.array([], pa.string()),
         }
+        if light:
+            return pa.table(arrays)
+        arrays["ref_payload"] = (group["payload"].take(Ja) if len(Ja)
+                                 else pa.array([], pa.string()))
         for i in range(n_tok_cols):
             for base, typ in ((f"toks_{i}", pa.int64()),
                               (f"cnts_{i}", pa.int32())):
@@ -595,13 +608,67 @@ def _select_best_bucket_fn(params: LinkParams):
     return select
 
 
+def _attach_side(pairs_ds, feats_ds, on: str, suffix: str,
+                 num_buckets: int, limit: int | None = None):
+    """Attach one side's featurized columns to the pair list — zero-
+    copy broadcast searchsorted probe below the size limit, bucketed
+    hash join above it (same policy as stages/blocking.attach_features;
+    measured there: joins 55 s vs probe ~4 s at 1M docs / 260 MB)."""
+    import ray
+
+    from merge_machine_ray.stages.blocking import BROADCAST_FEATURES_LIMIT
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    limit = BROADCAST_FEATURES_LIMIT if limit is None else limit
+    feats = feats_ds.materialize()
+    if (feats.size_bytes() or 0) > limit:
+        return bucket_hash_join(pairs_ds, feats, on, "key",
+                                num_buckets=num_buckets,
+                                right_suffix=suffix)
+    tbl = pa.concat_tables(
+        feats.iter_batches(batch_size=262144, batch_format="pyarrow"))
+    tbl = tbl.sort_by("key").combine_chunks()
+    ref = ray.put(tbl)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)  # zero-copy shared-memory read per worker
+        ids = t["key"].to_numpy(zero_copy_only=False)
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        take = pa.array(np.searchsorted(ids, keys))
+        out = {c: batch[c] for c in batch.column_names}
+        for c in t.column_names:
+            if c != "key":
+                out[f"{c}{suffix}"] = t[c].take(take)
+        return pa.table(out)
+
+    return pairs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+#: above this many combined rows, ``attach="auto"`` switches to the
+#: LIGHT band shuffle: 24-byte band rows + id-only pair dedup + size-
+#: aware feature attach, so per-record token features cross the
+#: all-to-all once instead of once per band (the stages/blocking
+#: attach='join' diet — what lifted the ER scaling efficiency past the
+#: 0.8 gate). Measured vs carry at 32 CPUs: 3.4 s vs 7.4 s at 30k rows,
+#: 7.1 s vs 10.9 s at 90k — light wins from a few thousand rows up, so
+#: the cutoff only protects tiny interactive runs from the extra
+#: barriers.
+LINK_LIGHT_CUTOFF = 2_000
+
+
 def link_datasets(source_ds, ref_ds, match_cols: list[dict],
                   params: LinkParams | None = None,
                   source_id_col: str | None = None,
                   ref_id_col: str | None = None,
-                  ref_keep_cols: list[str] | None = None):
+                  ref_keep_cols: list[str] | None = None,
+                  attach: str = "auto"):
     """Full linking pipeline → Dataset of source rows + __REF columns +
-    metadata (reference output contract, es_match.py:398-417)."""
+    metadata (reference output contract, es_match.py:398-417).
+
+    ``attach``: "carry" ships features on the band rows (fewest
+    barriers — small runs), "light" ships 24-byte band rows and joins
+    features onto the deduped pair list (the 100 TB path), "auto"
+    picks by combined row count (``LINK_LIGHT_CUTOFF``)."""
     import ray
     import ray.data as rd
 
@@ -622,9 +689,13 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     source_ds = source_ds.repartition(max(2, blocks // 2))
     ref_ds = ref_ds.repartition(max(2, blocks // 2))
 
+    light = attach == "light" or (attach == "auto"
+                                  and (n_src + n_ref) >= LINK_LIGHT_CUTOFF)
     feat_s = source_ds.map_batches(
         LinkFeaturize(params, 0, source_id_col, []),
         batch_format="pyarrow")
+    if light:
+        feat_s = feat_s.materialize()   # reused by the pair join
     feat_r = ref_ds.map_batches(
         LinkFeaturize(params, 1, ref_id_col, ref_keep),
         batch_format="pyarrow").materialize()
@@ -632,12 +703,48 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
 
     num_buckets = int(min(2048, max(16, (n_src + n_ref)
                                     * params.num_bands // 20_000)))
-    bands = corpus.map_batches(LinkBandKeys(params, num_buckets),
+    bands = corpus.map_batches(LinkBandKeys(params, num_buckets, light=light),
                                batch_format="pyarrow")
     n_ext = len(_clause_keys(params))
     pairs = bands.groupby("bucket").map_groups(
-        _emit_cross_pairs_fn(params.block_cap, n_ext),
+        _emit_cross_pairs_fn(params.block_cap, n_ext, light=light),
         batch_format="pyarrow")
+    if light:
+        # cross-BUCKET duplicate pairs (one per shared band) would be
+        # scored num_bands× over — dedupe the id-only list with the
+        # bucketed vectorized pattern, then join the features back on
+        def _pair_bucket(t: pa.Table) -> pa.Table:
+            a = t["src_key"].to_numpy(zero_copy_only=False)
+            b = t["ref_key"].to_numpy(zero_copy_only=False)
+            return t.append_column("pbkt", pa.array(
+                ((a * 1000003 + b) % num_buckets).astype(np.int32)))
+
+        def _uniq(g: pa.Table) -> pa.Table:
+            a = g["src_key"].to_numpy(zero_copy_only=False)
+            b = g["ref_key"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            keep = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            return pa.table({"src_key": pa.array(a[keep]),
+                             "ref_key": pa.array(b[keep])})
+
+        pairs = pairs.map_batches(_pair_bucket, batch_format="pyarrow") \
+            .groupby("pbkt").map_groups(_uniq, batch_format="pyarrow")
+
+        tok_cols = [c for i in range(n_ext)
+                    for c in (f"toks_{i}", f"cnts_{i}")]
+        # duplicate keys on either side carry identical token features
+        # (the key IS the content hash of the featurized columns), so
+        # a pick-first probe is deterministic and correct
+        pairs = _attach_side(pairs, feat_s.select_columns(
+            ["key"] + tok_cols), "src_key", "_s", num_buckets)
+        pairs = _attach_side(pairs, feat_r.select_columns(
+            ["key", "payload"] + tok_cols), "ref_key", "_r", num_buckets)
+        pairs = pairs.map_batches(
+            lambda t: t.rename_columns(
+                [("ref_payload" if c == "payload_r" else c)
+                 for c in t.column_names]), batch_format="pyarrow")
 
     # IDF per extraction from the ref side: DISTRIBUTED partial-DF
     # aggregation (the stages/idf.py pattern — per-batch distinct counts

@@ -84,6 +84,28 @@ def test_link_end_to_end(ray_session, tables):
     assert precision > 0.9, f"linking precision {precision:.3f}"
 
 
+def test_link_light_mode_matches_carry(ray_session, tables):
+    """attach='light' (24-byte band rows + pair dedup + feature joins —
+    the 100 TB shuffle diet) must produce the same links as carry."""
+    import ray.data as rd
+
+    src, ref, truth = tables
+    params = LinkParams.default_for(MATCH_COLS)
+    kw = dict(source_id_col="id_row", ref_keep_cols=["numero_uai"])
+    carry = link_datasets(rd.from_arrow(src), rd.from_arrow(ref), MATCH_COLS,
+                          params, attach="carry", **kw).to_pandas()
+    light = link_datasets(rd.from_arrow(src), rd.from_arrow(ref), MATCH_COLS,
+                          params, attach="light", **kw).to_pandas()
+    c = carry.sort_values("id_row").reset_index(drop=True)
+    l = light.sort_values("id_row").reset_index(drop=True)
+    assert len(c) == len(l) == N_SRC
+    assert (c["__IS_MATCH"] == l["__IS_MATCH"]).all()
+    m = c["__IS_MATCH"]
+    assert (c.loc[m, "__ID_REF"].values == l.loc[m, "__ID_REF"].values).all()
+    assert (c.loc[m, "numero_uai__REF"].values
+            == l.loc[m, "numero_uai__REF"].values).all()
+
+
 def test_link_params_json_roundtrip(tmp_path):
     params = LinkParams.default_for(MATCH_COLS)
     params.exact_pairs = [(1, 2)]
