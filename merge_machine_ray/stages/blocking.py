@@ -225,9 +225,13 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...],
 #: join: the band shuffle moves num_bands rows per doc, so carrying the
 #: feature payload costs num_bands× the bytes of shuffling features once
 #: through a hash join — the DRAM/object-store traffic that capped the
-#: 8→32 scaling efficiency at 0.45-0.66 in round 1. Below the cutoff the
-#: join's three extra groupby barriers dominate and carry wins.
-AUTO_JOIN_CUTOFF = 120_000
+#: 8→32 scaling efficiency at 0.45-0.66 in round 1. Once the pair dedup
+#: became a bucketed vectorized lexsort and the feature attach a
+#: zero-copy broadcast probe, the light path won at EVERY measured size
+#: (32 CPUs: 5.3 vs 11.9 s at 3.5k docs, 5.4 vs 10.2 s at 17k, 11.1 vs
+#: 17.8 s at 139k), so auto now always picks join; ``attach="carry"``
+#: stays selectable for parity testing.
+AUTO_JOIN_CUTOFF = 0
 
 
 def overcap_band_keys(bands_ds, block_cap: int) -> np.ndarray:
@@ -274,10 +278,11 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
         set by two bucketed hash joins. Total shuffle bytes ≈
         num_bands×16 B + dup_pairs×16 B + 2×features — an order of
         magnitude below carrying features through the sort.
-      * ``"carry"`` — features ride the band rows; no joins. Wins below
-        ~100k docs where the join's extra barriers dominate.
-      * ``"auto"`` (default) — join above ``AUTO_JOIN_CUTOFF`` rows,
-        carry below.
+      * ``"carry"`` — features ride the band rows; no joins. Kept as a
+        parity/reference path; measured slower than join at every size
+        once pair dedup went vectorized (see ``AUTO_JOIN_CUTOFF`` note).
+      * ``"auto"`` (default) — join above ``AUTO_JOIN_CUTOFF`` rows
+        (currently 0: always join), carry below.
     """
     schema = features_ds.schema()
     if schema is None:  # empty input → no candidates
@@ -287,10 +292,11 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
                                        "b": pa.array([], pa.int64())}))
     present = [c for c in _FEATURE_COLS if c in schema.names]
     n_feat_rows = None
-    if attach == "auto" or num_buckets is None:
+    if num_buckets is None or (attach == "auto" and AUTO_JOIN_CUTOFF > 0):
         n_feat_rows = features_ds.count()
     if attach == "auto":
-        attach = "join" if n_feat_rows >= AUTO_JOIN_CUTOFF else "carry"
+        attach = ("join" if AUTO_JOIN_CUTOFF == 0
+                  or n_feat_rows >= AUTO_JOIN_CUTOFF else "carry")
     carry = attach == "carry"
     bands = features_ds.map_batches(
         BandKeys(num_perm=num_perm, num_bands=num_bands,
