@@ -596,11 +596,35 @@ def simhash_near_dups(sf_dir: str):
 def embedding_near_dups(sf_dir: str):
     """Hyperplane-LSH near-dup pair ids (OR of 8 seeded bands). The
     DuckDB twin is a brute-force list_cosine_similarity cross join —
-    id-only output, so last-ulp cosine differences can't flip the hash."""
+    id-only output, so last-ulp cosine differences can't flip the hash.
+
+    The sf-test embeddings are random (max pairwise cosine ≈ 0.51 at
+    sf0.01), so both engines deterministically PLANT near-dups: every
+    20th vector is re-emitted ×2 under vec_id+100000 — positive scaling
+    flips no hyperplane sign and keeps cosine exactly 1, so the planted
+    pairs must all surface; without them the oracle would compare
+    empty-to-empty and prove nothing."""
+    from merge_machine_ray.functions.vectors import list_to_matrix
     from merge_machine_ray.stages.dedup import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_near_dup_pairs(ds, cosine_threshold=0.9)
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ids % 20 == 0
+        if not m.any():
+            return t
+        sel = t.filter(pa.array(m))
+        scaled = list_to_matrix(sel["embedding"]) * 2.0
+        twin = pa.table({
+            "vec_id": pa.array(sel["vec_id"].to_numpy(
+                zero_copy_only=False) + 100000),
+            "embedding": pa.array(list(scaled),
+                                  type=t["embedding"].type)})
+        return pa.concat_tables([t, twin]).combine_chunks()
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    pairs = embedding_near_dup_pairs(aug, cosine_threshold=0.9)
     # the pair list is tiny (near-dups only); collect into one Arrow
     # table with a PINNED schema — an all-empty Ray result yields zero
     # blocks and would otherwise lose its column names entirely
@@ -612,8 +636,14 @@ def embedding_near_dups(sf_dir: str):
 
 
 EMBEDDING_NEAR_DUPS_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> x * 2)
+  FROM embeddings WHERE vec_id % 20 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
 """
 

@@ -35,8 +35,10 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        V = np.asarray(batch[self.col].to_pylist(), dtype=np.float64)
+        from merge_machine_ray.functions.vectors import list_to_matrix
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        V = list_to_matrix(batch[self.col])
         n = np.linalg.norm(V, axis=1, keepdims=True)
         n[n == 0] = 1.0
         V = V / n
@@ -87,8 +89,13 @@ def train_centroids(ds, col: str = "embedding", n_cells: int = 16,
                     sample_rows: int = 4096, iters: int = 10,
                     seed: int = 42) -> np.ndarray:
     """Driver-side k-means-lite on a bounded sample (seeded, numpy)."""
-    sample = ds.limit(sample_rows).to_pandas()[col].tolist()
-    X = np.asarray(sample, dtype=np.float64)
+    from merge_machine_ray.functions.vectors import list_to_matrix
+
+    parts = [list_to_matrix(b[col]) for b in
+             ds.limit(sample_rows).iter_batches(batch_size=4096,
+                                                batch_format="pyarrow")]
+    X = np.vstack([p for p in parts if p.size]) if parts \
+        else np.empty((0, 0))
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):
@@ -124,12 +131,15 @@ def ivf_topk(ds, queries: dict, col: str = "embedding",
             self.cells = set(got["cells"])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+            from merge_machine_ray.functions.vectors import list_to_matrix
+
+            V = list_to_matrix(batch[col])
             if V.size == 0:
                 return batch
             d = ((V[:, None, :] - self.C[None, :, :]) ** 2).sum(-1)
             a = d.argmin(1)
-            mask = pa.array([int(x) in self.cells for x in a])
+            cells = np.asarray(sorted(self.cells), dtype=np.int64)
+            mask = pa.array(np.isin(a, cells))
             return batch.filter(mask)
 
     filtered = ds.map_batches(CellFilter, fn_constructor_kwargs={"ref": c_ref},

@@ -347,14 +347,20 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------- embedding near-dup (cosine)
 class HyperplaneLSH:
-    """Random-hyperplane signatures over an embedding column — the
+    """Random-hyperplane band keys over an embedding column — the
     embedding-space analog of minhash banding: ``n_bands`` independent
     seeded plane sets OR-ed together (one band row per vector per band).
 
     A single 12-plane band has recall ≈ (1−θ/π)¹² ≈ 0.16 at cosine 0.9
     — near-zero; OR-ing B independent bands lifts it to 1−(1−p)^B
     (≈ 0.93 for B=8 at cosine 0.95). Planes are seeded and generated in
-    __init__ (once per worker)."""
+    ``__init__`` (once per actor).
+
+    Band rows are LIGHT — (band_key, id) ≈ 16 B. The vector itself
+    never rides the band shuffle: carrying it would cost n_bands× the
+    corpus bytes through the AllToAll (the scale-killer the minhash
+    path eliminated in round 2); vectors re-attach to the much smaller
+    deduplicated pair list instead."""
 
     def __init__(self, col: str, id_col: str, dim: int, n_planes: int = 12,
                  n_bands: int = 8, seed: int = 42):
@@ -367,7 +373,9 @@ class HyperplaneLSH:
         self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[self.col].to_pylist(), dtype=np.float64)
+        from merge_machine_ray.functions.vectors import list_to_matrix
+
+        vecs = list_to_matrix(batch[self.col])
         n = len(vecs)
         bits = (vecs @ self.planes) > 0          # (n, bands*planes)
         powers = (np.int64(1) << np.arange(self.n_planes, dtype=np.int64))
@@ -376,64 +384,129 @@ class HyperplaneLSH:
             seg = bits[:, b * self.n_planes:(b + 1) * self.n_planes]
             # band index in the high bits keeps band keyspaces disjoint
             keys[:, b] = (seg @ powers) | (np.int64(b) << np.int64(56))
-        norms = np.linalg.norm(vecs, axis=1)
         rep = pa.array(np.repeat(np.arange(n), self.n_bands))
         return pa.table({
             "band_key": pa.array(keys.reshape(-1)),
             "id": batch[self.id_col].take(rep),
-            "vec": batch[self.col].take(rep),
-            "norm": pa.array(np.repeat(norms, self.n_bands)),
         })
+
+
+_EMB_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                              ("cosine", pa.float64())])
 
 
 def embedding_near_dup_pairs(ds, col: str = "embedding", id_col: str = "vec_id",
                              dim: int | None = None, n_planes: int = 12,
                              n_bands: int = 8, cosine_threshold: float = 0.95,
-                             block_cap: int = 512):
-    """Near-duplicate embedding pairs: OR-of-bands hyperplane LSH →
-    exact cosine verify per bucket → cross-band pair dedup.
-    Returns (id_a, id_b, cosine)."""
-    if dim is None:
-        first = ds.take(1)[0][col]
-        dim = len(first)
+                             block_cap: int = 512,
+                             num_buckets: int | None = None):
+    """Near-duplicate embedding pairs, light-shuffle shape (mirrors the
+    minhash path): OR-of-bands hyperplane LSH emits 16-byte
+    (band_key, id) rows → bucketed vectorized pair emission (capped per
+    block) → pair dedup by hash bucket + lexsort/diff → vectors
+    re-attach to the deduped pairs (broadcast probe / hash join chosen
+    by size) → exact cosine verify, one numpy pass per batch.
+    Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    import ray.data as rd
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["id"].to_pylist(), dtype=np.int64)
-        vecs = np.asarray(group["vec"].to_pylist(), dtype=np.float64)
-        norms = np.asarray(group["norm"].to_pylist())
-        uniq_ids, first_pos = np.unique(ids, return_index=True)
-        order = first_pos[:block_cap]
-        a_out, b_out, c_out = [], [], []
-        V = vecs[order]
-        N = np.maximum(norms[order], 1e-300)
-        S = (V @ V.T) / N[:, None] / N[None, :]
-        iu, ju = np.triu_indices(len(order), k=1)
-        hit = S[iu, ju] >= cosine_threshold
-        a_out = ids[order[iu[hit]]]
-        b_out = ids[order[ju[hit]]]
-        c_out = S[iu[hit], ju[hit]]
-        return pa.table({"id_a": pa.array(a_out, type=pa.int64()),
-                         "id_b": pa.array(b_out, type=pa.int64()),
-                         "cosine": pa.array(c_out, type=pa.float64())})
+    from merge_machine_ray.functions.vectors import list_to_matrix
+    from merge_machine_ray.stages.blocking import attach_features
+
+    first = ds.take(1)
+    if not first:
+        return rd.from_arrow(_EMB_PAIR_SCHEMA.empty_table())
+    if dim is None:
+        dim = len(first[0][col])
+    if num_buckets is None:
+        num_buckets = int(min(4096, max(32, ds.count() * n_bands // 20_000)))
 
     keys = ds.map_batches(
         HyperplaneLSH, fn_constructor_kwargs={
             "col": col, "id_col": id_col, "dim": dim, "n_planes": n_planes,
             "n_bands": n_bands},
         batch_format="pyarrow", concurrency=(1, 4))
-    pairs = keys.groupby("band_key").map_groups(emit, batch_format="pyarrow")
-    from ray.data.aggregate import Max
 
-    out = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("cosine", alias_name="cosine"))
-    # an empty aggregate emits a zero-COLUMN block that erases the
-    # downstream schema — rebuild explicitly so empties stay typed
-    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                        ("cosine", pa.float64())])
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["band_key"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((k % num_buckets).astype(np.int32)))
 
+    def emit(group: pa.Table) -> pa.Table:
+        # one python call per BUCKET; blocks are contiguous runs after a
+        # lexsort; pairs come from numpy triu per block (ids unique
+        # within a band, sorted → id_a < id_b)
+        k = group["band_key"].to_numpy(zero_copy_only=False)
+        i = group["id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((i, k))
+        k, i = k[o], i[o]
+        cuts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((cuts[1:], [k.size]))
+        a_out, b_out = [], []
+        for s, e in zip(cuts, ends):
+            if e - s < 2:
+                continue
+            u = i[s:e][:block_cap]
+            iu, ju = np.triu_indices(u.size, k=1)
+            a_out.append(u[iu])
+            b_out.append(u[ju])
+        if not a_out:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(a_out)),
+                         "id_b": pa.array(np.concatenate(b_out))})
+
+    pairs = (keys.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+
+    # OR-of-bands emits a pair once per agreeing band — dedupe by pair-
+    # hash bucket + one vectorized lexsort/diff per bucket (a
+    # groupby(id_a,id_b).aggregate pays per-GROUP python overhead on
+    # millions of tiny groups; see stages/blocking.py measurement)
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return t.append_column("pbkt", pa.array(
+            ((a * 1000003 + b) % num_buckets).astype(np.int32)))
+
+    def uniq_pairs(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    uniq = (pairs.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("pbkt").map_groups(uniq_pairs, batch_format="pyarrow"))
+
+    feats = ds.map_batches(
+        lambda t: pa.table({"doc_id": t[id_col], "emb": t[col]}),
+        batch_format="pyarrow")
+    attached = attach_features(uniq, feats, num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMB_PAIR_SCHEMA.empty_table()
+        A = list_to_matrix(batch["emb_a"])
+        B = list_to_matrix(batch["emb_b"])
+        na = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
+        nb = np.maximum(np.linalg.norm(B, axis=1), 1e-300)
+        cos = (A * B).sum(axis=1) / (na * nb)
+        m = cos >= cosine_threshold
+        return pa.table({
+            "id_a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[m]),
+            "id_b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[m]),
+            "cosine": pa.array(cos[m], pa.float64())})
+
+    out = attached.map_batches(verify, batch_format="pyarrow")
+
+    # an all-empty result yields zero blocks and loses the schema —
+    # rebuild explicitly so empties stay typed
     def stable(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return schema.empty_table()
-        return pa.table({f.name: t[f.name].cast(f.type) for f in schema})
+            return _EMB_PAIR_SCHEMA.empty_table()
+        return pa.table({f.name: t[f.name].cast(f.type)
+                         for f in _EMB_PAIR_SCHEMA})
 
     return out.map_batches(stable, batch_format="pyarrow")
