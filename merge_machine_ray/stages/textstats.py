@@ -8,8 +8,6 @@ matching the reference's analyzer-resource pattern (SURVEY.md §2.4 ST1).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -29,6 +27,42 @@ LANG_PROFILES: dict[str, frozenset[str]] = {
     "es": frozenset("el la los las de del un una y en es que por con para "
                     "se su al lo como más pero sus le ya o este".split()),
 }
+
+
+
+def _token_stopword_hits(text_col, stop_arrs):
+    """Shared vectorized core for LangId/StopwordRatio: lowercase +
+    unicode-letter-run tokenize the whole column once, then per
+    stopword table one ``pc.is_in`` over the UNIQUE tokens
+    (dictionary-encoded once) and a ``np.bincount`` segment-sum per
+    row. Returns ``(n_tok[n], hits[n, len(stop_arrs)])`` — no per-row
+    python."""
+    n = len(text_col)
+    text = pc.utf8_lower(pc.fill_null(text_col, ""))
+    toks = pc.split_pattern_regex(text, r"[^\p{L}]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.values
+    hits = np.zeros((n, len(stop_arrs)), dtype=np.int64)
+    if not len(flat):
+        return np.zeros(n, dtype=np.int64), hits
+    # one row id per flat token: bincount over masked row ids is the
+    # fast segment-sum (np.add.reduceat measured 4-5× slower here)
+    row_ids = np.repeat(np.arange(n), np.diff(offsets))
+    # dictionary-encode once: every membership test then runs over the
+    # (few-thousand) UNIQUE tokens instead of re-hashing all ~millions
+    # of flat tokens per language table
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary
+    nonempty = pc.utf8_length(uniq).to_numpy(zero_copy_only=False) > 0
+    n_tok = np.bincount(row_ids[nonempty[codes]], minlength=n)
+    for li, arr in enumerate(stop_arrs):
+        isin_u = pc.is_in(uniq, value_set=arr).to_numpy(
+            zero_copy_only=False)
+        hits[:, li] = np.bincount(row_ids[isin_u[codes]], minlength=n)
+    return n_tok, hits
 
 
 class LangId:
@@ -53,29 +87,7 @@ class LangId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        text = pc.utf8_lower(pc.fill_null(batch[self.col], ""))
-        toks = pc.split_pattern_regex(text, r"[^\p{L}]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        flat = toks.values
-        empty_seg = offsets[:-1] == offsets[1:]
-        # reduceat rejects index == len(values) (trailing empty lists) —
-        # clamp, then zero the empty segments explicitly
-        idx = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
-        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
-        n_tok = np.add.reduceat(
-            nonempty.astype(np.int64), idx) if len(flat) else \
-            np.zeros(n, dtype=np.int64)
-        n_tok[empty_seg] = 0
-        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
-        for li, arr in enumerate(self.stop_arrs):
-            if not len(flat):
-                break
-            isin = pc.is_in(flat, value_set=arr).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            hits[:, li] = np.add.reduceat(isin, idx)
-            hits[empty_seg, li] = 0
+        n_tok, hits = _token_stopword_hits(batch[self.col], self.stop_arrs)
         best = hits.argmax(axis=1)          # ties → first lang in sorted order
         best_hits = hits[np.arange(n), best]
         ok = (n_tok > 0) & (best_hits > 0) & \
@@ -113,25 +125,39 @@ def add_quality_scores(batch: pa.Table, col: str = "text") -> pa.Table:
 
 class StopwordRatio:
     """Fraction of tokens that are stopwords of ``lang_col`` (quality
-    signal: natural prose has a stable stopword rate)."""
+    signal: natural prose has a stable stopword rate).
+
+    Vectorized through :func:`_token_stopword_hits` (one tokenize +
+    one ``pc.is_in`` per language per batch); the row's language picks
+    its hit column via ``pc.index_in`` — no per-row python loop.
+    Tokens are unicode-letter runs of the lowered text, the same
+    tokens LangId scores (round 1 ran a python ``findall`` per row)."""
 
     def __init__(self, col: str = "text", lang_col: str | None = "lang",
                  out_col: str = "stopword_ratio"):
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.col = col
         self.lang_col = lang_col
         self.out_col = out_col
+        self.langs = sorted(LANG_PROFILES)
+        self.lang_arr = pa.array(self.langs)
+        self.stop_arrs = [pa.array(sorted(LANG_PROFILES[lang]))
+                          for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = (batch[self.lang_col].to_pylist()
-                 if self.lang_col and self.lang_col in batch.column_names
-                 else ["en"] * batch.num_rows)
-        out = []
-        for s, lang in zip(batch[self.col].to_pylist(), langs):
-            toks = self.word.findall((s or "").lower())
-            stops = LANG_PROFILES.get(lang, LANG_PROFILES["en"])
-            out.append(sum(1 for t in toks if t in stops) / max(1, len(toks)))
-        return batch.append_column(self.out_col, pa.array(out, pa.float64()))
+        n = batch.num_rows
+        n_tok, hits = _token_stopword_hits(batch[self.col], self.stop_arrs)
+        en = self.langs.index("en")
+        if self.lang_col and self.lang_col in batch.column_names:
+            # unknown/missing languages fall back to the en profile
+            sel = pc.index_in(pc.fill_null(batch[self.lang_col], "en"),
+                              value_set=self.lang_arr)
+            sel = pc.fill_null(sel, en).to_numpy(zero_copy_only=False)
+        else:
+            sel = np.full(n, en)
+        chosen = hits[np.arange(n), sel]
+        ratio = chosen / np.maximum(n_tok, 1)
+        return batch.append_column(self.out_col,
+                                   pa.array(ratio, pa.float64()))
 
 
 def token_count(batch: pa.Table, col: str = "text",
@@ -142,16 +168,16 @@ def token_count(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, toks.cast(pa.int64()))
 
 
-_BPE_ISH = re.compile(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
-
-
 def bpe_ish_token_count(batch: pa.Table, col: str = "text",
                         out_col: str = "n_bpe_tokens") -> pa.Table:
     """BPE-flavoured token proxy: letter runs + single digits + single
     punctuation marks (a cheap, deterministic stand-in for a trained
-    BPE vocabulary)."""
-    out = [len(_BPE_ISH.findall(s or "")) for s in batch[col].to_pylist()]
-    return batch.append_column(out_col, pa.array(out, pa.int64()))
+    BPE vocabulary). One Arrow RE2 count kernel per batch (round 1 ran
+    a python ``findall`` per row); the alternation has no overlapping
+    branches, so RE2 leftmost-first counting matches python ``re``."""
+    text = pc.fill_null(batch[col], "")
+    out = pc.count_substring_regex(text, r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
+    return batch.append_column(out_col, out.cast(pa.int64()))
 
 
 _FP_POW = np.uint64(0x100000001B3)          # FNV-ish odd multiplier

@@ -230,6 +230,40 @@ def test_fingerprint_whitespace_invariant_and_discriminative():
     assert all(0 <= v < 2**63 for v in fp)
 
 
+def test_bpe_and_stopword_vectorized_match_scalar_reference():
+    """The Arrow RE2 / reduceat rewrites must reproduce the per-row
+    python definitions exactly (empties, unicode, unknown langs)."""
+    import re
+
+    from merge_machine_ray.stages.textstats import (
+        LANG_PROFILES,
+        StopwordRatio,
+        bpe_ish_token_count,
+    )
+
+    texts = ["Hello, world! 42", "", "   ", None, "a1b2c3!?", "é è ü ß 東京",
+             "the-quick_brown.fox", "!!!", "le chat est la", "der die das"]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+
+    bpe_pat = re.compile(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
+    got = bpe_ish_token_count(t)["n_bpe_tokens"].to_pylist()
+    want = [len(bpe_pat.findall(s or "")) for s in texts]
+    assert got == want
+
+    langs = ["en", "fr", "xx", None, "en", "de", "en", "fr", "fr", "de"]
+    word = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def scalar_ratio(s, lang):
+        toks = word.findall((s or "").lower())
+        stops = LANG_PROFILES.get(lang or "en", LANG_PROFILES["en"])
+        return sum(1 for x in toks if x in stops) / max(1, len(toks))
+
+    t2 = t.append_column("lang", pa.array(langs, pa.string()))
+    got_r = StopwordRatio()(t2)["stopword_ratio"].to_pylist()
+    want_r = [scalar_ratio(s, lang) for s, lang in zip(texts, langs)]
+    assert got_r == want_r
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
