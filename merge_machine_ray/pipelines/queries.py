@@ -480,12 +480,53 @@ def doc_fingerprints(sf_dir: str):
 
 
 def lang_id_pred(sf_dir: str):
+    """Stopword-profile language ID; the DuckDB twin re-states the
+    full scalar definition (letter-run tokens, per-profile hit counts,
+    argmax with ties to the first lang in sorted order, 0.05
+    min-ratio gate) with the pinned stopword tables inlined."""
     from merge_machine_ray.stages.textstats import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=(1, 2)) \
         .select_columns(["doc_id", "lang_pred"])
+
+
+def _lang_id_sql() -> str:
+    from merge_machine_ray.stages.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)  # argmax tie → first in this order
+    hit_cols = ",\n    ".join(
+        "len(list_filter(t, x -> list_contains([{}], x))) AS h_{}".format(
+            ", ".join("'%s'" % w for w in sorted(LANG_PROFILES[lang])), lang)
+        for lang in langs)
+    best = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    argmax = "CASE "
+    for lang in langs[:-1]:
+        rest = [f"h_{lang} >= h_{o}" for o in langs if o > lang]
+        argmax += "WHEN {} THEN '{}' ".format(" AND ".join(rest), lang)
+    argmax += f"ELSE '{langs[-1]}' END"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id, len(t) AS n_tok,
+    {hit_cols}
+  FROM toks)
+SELECT doc_id,
+  CASE WHEN n_tok = 0 OR {best} = 0
+         OR CAST({best} AS DOUBLE) / n_tok < 0.05 THEN 'und'
+       ELSE {argmax}
+  END AS lang_pred
+FROM hits
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 def minhash_near_dups(sf_dir: str):
@@ -880,9 +921,10 @@ def build_queries() -> dict:
         "unique_langs": unique_langs,
         "ann_topk": ann_topk,
         "link_suppliers_to_nations": link_suppliers_to_nations,
-        # rows-only (non-SQL-expressible distributed ops)
-        "doc_fingerprints": doc_fingerprints,
         "lang_id_pred": lang_id_pred,
+        # rows-only (non-SQL-expressible distributed ops: custom 64-bit
+        # hash families need wraparound multiplies SQL lacks)
+        "doc_fingerprints": doc_fingerprints,
         "minhash_near_dups": minhash_near_dups,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "simhash_near_dups": simhash_near_dups,
@@ -916,6 +958,7 @@ def build_oracle_sql() -> dict:
         "unique_langs": UNIQUE_LANGS_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "link_suppliers_to_nations": LINK_SUPPLIERS_SQL,
+        "lang_id_pred": LANG_ID_SQL,
         "minhash_near_dups": MINHASH_NEAR_DUPS_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
