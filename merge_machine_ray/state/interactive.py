@@ -106,6 +106,81 @@ def propose_candidates(source_rows: list[dict], ref_rows: list[dict],
     return out
 
 
+
+class StatsLedger:
+    """Per-step template-performance ledger — parity with the
+    reference's ``StatsLabeller`` (``es_labeller.py:2629-2707``): each
+    time the session finishes a source row it snapshots, per currently
+    ranked template, ``{precision, recall, utility, thresh, position}``
+    under the step counter, appends the step's template-id order, and
+    prunes stats for templates absent from the last ``keep_steps``
+    steps (the reference's ``_cleanup(5)``). Round-trips through the
+    session checkpoint."""
+
+    def __init__(self, keep_steps: int = 5):
+        self.query_definitions: dict[str, list] = {}
+        self.query_stats: dict[str, dict] = {}
+        self.query_order: list[list[str]] = []
+        self.current_step = 0
+        self.keep_steps = keep_steps
+
+    @staticmethod
+    def _template_id(q) -> str:
+        import hashlib
+
+        tup = tuple((tuple(c.source), c.ref, c.analyzer, c.boost)
+                    for c in q.clauses) + (q.thresh,)
+        return hashlib.md5(str(tup).encode("utf-8")).hexdigest()
+
+    def record(self, results: list[dict], templates: list) -> None:
+        order = []
+        for pos, r in enumerate(results):
+            q = templates[r["template"]]
+            tid = self._template_id(q)
+            self.query_definitions.setdefault(tid, [
+                {"source": list(c.source), "ref": c.ref,
+                 "analyzer": c.analyzer, "boost": c.boost}
+                for c in q.clauses])
+            self.query_stats.setdefault(tid, {})[str(self.current_step)] = {
+                "precision": r["precision"], "recall": r["recall"],
+                "utility": r["utility"], "thresh": r["thresh"],
+                "position": pos,
+            }
+            order.append(tid)
+        self.query_order.append(order)
+        self.current_step += 1
+        self._cleanup(self.keep_steps)
+
+    def _cleanup(self, num_empty: int) -> None:
+        if self.current_step < num_empty:
+            return
+        recent: set[str] = set()
+        for step in self.query_order[-num_empty:]:
+            recent.update(step)
+        for tid in list(self.query_stats):
+            if tid not in recent:
+                del self.query_stats[tid]
+                self.query_definitions.pop(tid, None)
+        self.query_order = [[t for t in step if t in self.query_stats]
+                            for step in self.query_order]
+
+    def to_dict(self) -> dict:
+        return {"query_definitions": self.query_definitions,
+                "query_stats": self.query_stats,
+                "query_order": self.query_order,
+                "current_step": self.current_step,
+                "keep_steps": self.keep_steps}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "StatsLedger":
+        self = cls(keep_steps=d.get("keep_steps", 5))
+        self.query_definitions = d.get("query_definitions", {})
+        self.query_stats = d.get("query_stats", {})
+        self.query_order = d.get("query_order", [])
+        self.current_step = d.get("current_step", 0)
+        return self
+
+
 class InteractiveLabeller:
     """y/n/u/f/p labelling session over blocking-proposed pairs.
 
@@ -131,6 +206,7 @@ class InteractiveLabeller:
         self.max_proposals = max_proposals_per_source
         self.refit_every = refit_every
         self.labels_since_fit = 0
+        self.stats = StatsLedger()
         # session state
         self.matched: dict[int, int | None] = {}   # src → ref (None = no match)
         self.answered: set[tuple[int, int]] = set()
@@ -222,6 +298,7 @@ class InteractiveLabeller:
             self.src_ptr += 1
             self.ref_ptr = 0
             self._maybe_refit()
+            self.stats.record(self.learner.results, self.learner.templates)
         elif ans == "n":
             self.learner.add_labelled_pair(srow, rrow, False)
             self.answered.add((si, rk))
@@ -234,6 +311,7 @@ class InteractiveLabeller:
             self.matched[si] = None
             self.src_ptr += 1
             self.ref_ptr = 0
+            self.stats.record(self.learner.results, self.learner.templates)
         self._skip_answered_forward()
 
     def _maybe_refit(self) -> None:
@@ -263,6 +341,7 @@ class InteractiveLabeller:
             "answered": sorted(self.answered),
             "src_ptr": self.src_ptr, "ref_ptr": self.ref_ptr,
             "status": self.status,
+            "stats": self.stats.to_dict(),
         }
 
     def to_json(self, path: str) -> None:
@@ -286,6 +365,7 @@ class InteractiveLabeller:
         self.src_ptr = d["src_ptr"]
         self.ref_ptr = d["ref_ptr"]
         self.status = d["status"]
+        self.stats = StatsLedger.from_dict(d.get("stats", {}))
         if self.learner.history:
             self.learner.evaluate_templates()
         self._skip_answered_forward()

@@ -79,6 +79,26 @@ def test_interactive_session_learns_linkable_params(ray_session, session_data,
     n_pos = sum(1 for _, _, y in lab.learner.history if y)
     assert n_pos >= 20, f"only {n_pos} positive labels"
 
+    # StatsLabeller-parity ledger: one step per finished source row,
+    # per-template {precision, recall, utility, thresh, position}
+    # snapshots, pruned to templates seen in the last 5 steps, and
+    # restored across the mid-session checkpoint above
+    st = lab.stats
+    assert st.current_step >= 20
+    assert len(st.query_order) == st.current_step
+    ranked_steps = [o for o in st.query_order if o]
+    assert ranked_steps, "no step recorded a ranked portfolio"
+    tid = ranked_steps[-1][0]
+    summary = st.query_stats[tid][str(len(st.query_order) - 1)]
+    assert {"precision", "recall", "utility", "thresh",
+            "position"} <= set(summary)
+    assert summary["position"] == 0
+    assert tid in st.query_definitions
+    recent = set()
+    for o in st.query_order[-5:]:
+        recent.update(o)
+    assert set(st.query_stats) <= recent  # _cleanup(5) pruning held
+
     params = lab.export_params()
     assert params.queries, "empty learned portfolio"
     assert params.exact_pairs   # confirmed matches exported as J5 pairs
