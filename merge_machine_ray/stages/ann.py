@@ -108,15 +108,85 @@ def train_centroids(ds, col: str = "embedding", n_cells: int = 16,
     return C
 
 
+def train_centroids_distributed(ds, col: str = "embedding",
+                                n_cells: int = 64, iters: int = 3,
+                                init_sample: int = 4096, seed: int = 42
+                                ) -> np.ndarray:
+    """Distributed Lloyd iterations — the 100 TB path for IVF training
+    (the driver-sample :func:`train_centroids` caps at a few thousand
+    rows). Per iteration: centroids broadcast once via ``ray.put``;
+    every batch assigns its vectors to the nearest centroid with one
+    matmul and emits ``n_cells`` partial rows (per-cell vector sum +
+    count); the driver reduces those tiny partials (n_cells × dim per
+    input block — never the corpus) and updates the centroids. Empty
+    cells keep their previous centroid. Init = seeded pick from a
+    bounded sample."""
+    import ray
+
+    from merge_machine_ray.functions.vectors import list_to_matrix
+
+    parts = [list_to_matrix(b[col]) for b in
+             ds.limit(init_sample).iter_batches(batch_size=4096,
+                                                batch_format="pyarrow")]
+    X0 = np.vstack([p for p in parts if p.size])
+    rng = np.random.RandomState(seed)
+    k = min(n_cells, len(X0))
+    C = X0[rng.choice(len(X0), size=k, replace=False)].copy()
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Ck = ray.get(ref)  # zero-copy shared-memory read
+            V = list_to_matrix(batch[col])
+            if not V.size:
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            # ||v−c||² argmin via the matmul form (no n×k×dim temp)
+            d = (V * V).sum(1)[:, None] - 2.0 * (V @ Ck.T) \
+                + (Ck * Ck).sum(1)[None, :]
+            a = d.argmin(1)
+            sums = np.zeros((Ck.shape[0], V.shape[1]))
+            np.add.at(sums, a, V)
+            cnt = np.bincount(a, minlength=Ck.shape[0])
+            return pa.table({
+                "cell": pa.array(np.arange(Ck.shape[0])),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64()))})
+
+        sums = np.zeros_like(C)
+        cnt = np.zeros(C.shape[0], dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=4096, batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            cells = b["cell"].to_numpy(zero_copy_only=False)
+            cnt_b = b["cnt"].to_numpy(zero_copy_only=False)
+            vs = list_to_matrix(b["vsum"])
+            np.add.at(sums, cells, vs)
+            np.add.at(cnt, cells, cnt_b)
+        nz = cnt > 0
+        C[nz] = sums[nz] / cnt[nz, None]
+    return C
+
+
 def ivf_topk(ds, queries: dict, col: str = "embedding",
              id_col: str = "vec_id", k: int = 5, n_cells: int = 16,
-             nprobe: int = 4, centroids: np.ndarray | None = None):
+             nprobe: int = 4, centroids: np.ndarray | None = None,
+             train: str = "driver"):
     """IVF-style ANN: restrict the matmul to the ``nprobe`` cells nearest
-    each query. One extra map_batches (cell assignment + filter)."""
+    each query. One extra map_batches (cell assignment + filter).
+    ``train="distributed"`` runs Lloyd over the WHOLE corpus via
+    broadcast-centroid partial sums (the at-scale path); ``"driver"``
+    trains on a bounded sample."""
     import ray
 
     if centroids is None:
-        centroids = train_centroids(ds, col=col, n_cells=n_cells)
+        centroids = (train_centroids_distributed(ds, col=col,
+                                                 n_cells=n_cells)
+                     if train == "distributed"
+                     else train_centroids(ds, col=col, n_cells=n_cells))
     qm = np.asarray(queries["matrix"], dtype=np.float64)
     qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
     probe_cells = set()

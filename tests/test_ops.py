@@ -93,6 +93,42 @@ def test_embedding_near_dup_and_ann(ray_session):
     assert got == want
 
 
+def test_distributed_centroid_training(ray_session):
+    """Distributed Lloyd (broadcast centroids + per-batch partial sums)
+    must reduce k-means inertia over the corpus and keep ivf_topk exact
+    when every cell is probed."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.ann import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids_distributed,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((6, 12)) * 4
+    X = np.vstack([c + rng.standard_normal((50, 12)) for c in centers])
+    rows = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(len(X))]
+    ds = rd.from_items(rows).repartition(4)
+
+    def inertia(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d.min(1).sum()
+
+    c0 = train_centroids_distributed(ds, n_cells=6, iters=0)
+    c3 = train_centroids_distributed(ds, n_cells=6, iters=3)
+    assert c3.shape == (6, 12)
+    assert inertia(c3) < inertia(c0) * 0.7, (inertia(c0), inertia(c3))
+
+    queries = {"ids": [0, 77], "matrix": [X[0].tolist(), X[77].tolist()]}
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in brute_force_topk(ds, queries, k=3).take_all()}
+    got = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(ds, queries, k=3, n_cells=6, nprobe=6,
+                             train="distributed").take_all()}
+    assert got == exact
+
+
 def test_embedding_lsh_recall_at_moderate_cosine(ray_session):
     """OR-of-bands recall gate: pairs at cosine ≈0.93-0.97 (NOT
     near-identical) must still be found. A single 12-plane band only
