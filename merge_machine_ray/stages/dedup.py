@@ -71,8 +71,12 @@ def dedup_representatives(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 # ------------------------------------------------------------- near-dup: LSH
-class MinHashKeys:
-    """map_batches: emit (band_key, id, tok_hashes) rows for near-dup."""
+class MinHashFeatures:
+    """map_batches: ONE row per doc — (id, shingles, band_keys) — the
+    featurize step of the light near-dup path. Shingle-less docs
+    (empty/symbol-only) emit nothing: they all share the all-MAX
+    signature and have no content to compare (banding them would
+    declare every such doc a duplicate of every other)."""
 
     def __init__(self, col: str, id_col: str, num_perm: int, num_bands: int,
                  shingle_width: int, analyzer: str = "standard"):
@@ -86,73 +90,106 @@ class MinHashKeys:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.col].to_pylist()
-        out_key, out_id, out_sh = [], [], []
+        out_id, out_sh, out_bk = [], [], []
         r = self.num_perm // self.num_bands
         for i, txt in zip(ids, texts):
             toks = self.tokenize(txt or "")
             sh = token_shingles(toks, self.shingle_width)
             if not sh:
-                # shingle-less docs (empty/symbol-only) all share the
-                # all-MAX signature; banding them would declare every
-                # such doc an exact duplicate of every other. They have
-                # no content to compare — emit no band rows.
                 continue
             sig = minhash_signature(sh, self.num_perm)
-            shingle_hashes = sorted(
-                {crc_hash64(s) & _MASK63 for s in sh})
-            for b in range(self.num_bands):
-                band = sig[b * r : (b + 1) * r]
-                out_key.append(
-                    crc_hash64(bytes([b]) + band.tobytes()) & _MASK63)
-                out_id.append(i)
-                out_sh.append(shingle_hashes)
+            out_id.append(i)
+            out_sh.append(sorted({crc_hash64(s) & _MASK63 for s in sh}))
+            out_bk.append([
+                _to_i64(crc_hash64(bytes([b]) + sig[b * r:(b + 1) * r]
+                                   .tobytes()) & _MASK63)
+                for b in range(self.num_bands)])
         return pa.table({
-            "band_key": pa.array(out_key, pa.int64()),
             "id": pa.array(out_id, pa.int64()),
             "shingles": pa.array(out_sh, pa.list_(pa.int64())),
+            "band_keys": pa.array(out_bk, pa.list_(pa.int64())),
         })
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _explode_band_keys(t: pa.Table) -> pa.Table:
+    """(id, band_keys list) → light (band_key, id) band rows."""
+    bk = t["band_keys"]
+    if isinstance(bk, pa.ChunkedArray):
+        bk = bk.combine_chunks()
+    off = bk.offsets.to_numpy(zero_copy_only=False)
+    rep = np.repeat(np.arange(t.num_rows), np.diff(off))
+    return pa.table({"band_key": bk.flatten(),
+                     "id": t["id"].take(pa.array(rep))})
+
+
+_MINHASH_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                  ("jaccard", pa.float64())])
 
 
 def minhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 128, num_bands: int = 32,
                            shingle_width: int = 3, jaccard_threshold: float = 0.8,
-                           block_cap: int = 64, analyzer: str = "standard"):
-    """MinHash-LSH near-duplicate candidate pairs verified by exact
-    shingle Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
+                           block_cap: int = 64, analyzer: str = "standard",
+                           num_buckets: int | None = None):
+    """MinHash-LSH near-duplicate pairs verified by exact shingle
+    Jaccard ≥ threshold, light-shuffle shape (``stages/pairs.py``):
+    featurize once per doc → 16-byte (band_key, id) rows through the
+    band exchange (round 1 carried every doc's full shingle set ×32
+    bands) → bucketed vectorized pair emission + dedup → shingle sets
+    re-attach to the deduped pairs only → one fully-vectorized
+    lexsort-adjacency Jaccard pass per batch (round 1 intersected
+    python sets per pair). Returns (id_a, id_b, jaccard)."""
+    import ray.data as rd
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_pylist()
-        sh = group["shingles"].to_pylist()
-        uniq: dict[int, int] = {}
-        for k, i in enumerate(ids):
-            uniq.setdefault(i, k)
-        order = sorted(uniq)
-        a_out, b_out, j_out = [], [], []
-        n = len(order)
-        limit = min(n, block_cap)
-        for x in range(limit - 1):
-            sx = set(sh[uniq[order[x]]])
-            for y in range(x + 1, limit):
-                sy = set(sh[uniq[order[y]]])
-                inter = len(sx & sy)
-                j = inter / max(1, len(sx) + len(sy) - inter)
-                if j >= jaccard_threshold:
-                    a_out.append(order[x])
-                    b_out.append(order[y])
-                    j_out.append(j)
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
+    from merge_machine_ray.stages.blocking import attach_features
+    from merge_machine_ray.stages.pairs import (
+        auto_buckets,
+        block_pairs,
+        intersect_counts,
+    )
 
-    keys = ds.map_batches(
-        MinHashKeys(col, id_col, num_perm, num_bands, shingle_width, analyzer),
+    feats = ds.map_batches(
+        MinHashFeatures(col, id_col, num_perm, num_bands, shingle_width,
+                        analyzer),
+        batch_format="pyarrow").materialize()
+    n_docs = feats.count()
+    if n_docs == 0:
+        return rd.from_arrow(_MINHASH_PAIR_SCHEMA.empty_table())
+    if num_buckets is None:
+        num_buckets = auto_buckets(n_docs * num_bands)
+
+    bands = feats.map_batches(_explode_band_keys, batch_format="pyarrow")
+    uniq = block_pairs(bands, block_cap, num_buckets)
+    feats_kv = feats.map_batches(
+        lambda t: pa.table({"doc_id": t["id"], "shingles": t["shingles"]}),
         batch_format="pyarrow")
-    pairs = keys.groupby("band_key").map_groups(emit, batch_format="pyarrow")
-    # same pair can emerge from several bands → dedupe (ids only, cheap)
-    from ray.data.aggregate import Max
+    attached = attach_features(uniq, feats_kv, num_buckets=num_buckets)
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard", alias_name="jaccard"))
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _MINHASH_PAIR_SCHEMA.empty_table()
+        inter, la, lb = intersect_counts(batch["shingles_a"],
+                                         batch["shingles_b"])
+        j = inter / np.maximum(la + lb - inter, 1)
+        m = j >= jaccard_threshold
+        return pa.table({
+            "id_a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[m]),
+            "id_b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[m]),
+            "jaccard": pa.array(j[m], pa.float64())})
+
+    out = attached.map_batches(verify, batch_format="pyarrow")
+
+    def stable(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MINHASH_PAIR_SCHEMA.empty_table()
+        return pa.table({f.name: t[f.name].cast(f.type)
+                         for f in _MINHASH_PAIR_SCHEMA})
+
+    return out.map_batches(stable, batch_format="pyarrow")
 
 
 def minhash_dedup_keep(ds, col: str = "text", id_col: str = "doc_id",
@@ -278,8 +315,9 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------- simhash
-class SimHashKeys:
-    """64-bit SimHash split into ``bands`` keyed segments: docs within
+class SimHashFeatures:
+    """map_batches: ONE row per doc — (id, simhash, band_keys) — the
+    64-bit SimHash split into ``bands`` keyed segments: docs within
     hamming distance k collide on ≥1 segment when bands > k."""
 
     def __init__(self, col: str, id_col: str, bands: int = 4,
@@ -294,55 +332,94 @@ class SimHashKeys:
         texts = batch[self.col].to_pylist()
         width = 64 // self.bands
         mask = (1 << width) - 1
-        out_key, out_id, out_sim = [], [], []
+        out_id, out_sim, out_bk = [], [], []
         for i, txt in zip(ids, texts):
             sh = simhash64(self.tokenize(txt or ""))
-            for b in range(self.bands):
-                seg = (sh >> (b * width)) & mask
-                out_key.append((b << 60) | seg)
-                out_id.append(i)
-                out_sim.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            out_id.append(i)
+            out_sim.append(_to_i64(sh))
+            out_bk.append([(b << 60) | ((sh >> (b * width)) & mask)
+                           for b in range(self.bands)])
         return pa.table({
-            "band_key": pa.array(out_key, pa.int64()),
             "id": pa.array(out_id, pa.int64()),
             "simhash": pa.array(out_sim, pa.int64()),
+            "band_keys": pa.array(out_bk, pa.list_(pa.int64())),
         })
+
+
+#: 16-bit popcount table (64 KiB, built once) — vectorized hamming for
+#: numpy versions without bitwise_count
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    s = np.uint64(16)
+    return (_POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+            + _POP16[((x >> s) & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[((x >> (s * np.uint64(2))) & np.uint64(0xFFFF))
+                     .astype(np.int64)]
+            + _POP16[((x >> (s * np.uint64(3))) & np.uint64(0xFFFF))
+                     .astype(np.int64)])
+
+
+_SIMHASH_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                  ("hamming", pa.int64())])
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                            bands: int = 4, max_hamming: int = 3,
-                           block_cap: int = 256, analyzer: str = "standard"):
+                           block_cap: int = 256, analyzer: str = "standard",
+                           num_buckets: int | None = None):
     """SimHash near-dup pairs: segment-collision blocking + exact
-    hamming verification. Returns (id_a, id_b, hamming)."""
+    hamming verification, light-shuffle shape (``stages/pairs.py``) —
+    (band_key, id) rows through the exchange, bucketed pair emission +
+    dedup, signatures re-attached to the deduped pairs, one vectorized
+    XOR+popcount pass per batch (round 1 verified per pair in python
+    inside a per-band-key groupby). Returns (id_a, id_b, hamming)."""
+    import ray.data as rd
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_pylist()
-        sims = group["simhash"].to_pylist()
-        uniq: dict[int, int] = {}
-        for k, i in enumerate(ids):
-            uniq.setdefault(i, k)
-        order = sorted(uniq)[:block_cap]
-        a_out, b_out, h_out = [], [], []
-        for x in range(len(order) - 1):
-            hx = sims[uniq[order[x]]] & ((1 << 64) - 1)
-            for y in range(x + 1, len(order)):
-                hy = sims[uniq[order[y]]] & ((1 << 64) - 1)
-                d = bin(hx ^ hy).count("1")
-                if d <= max_hamming:
-                    a_out.append(order[x])
-                    b_out.append(order[y])
-                    h_out.append(d)
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "hamming": pa.array(h_out, pa.int64())})
+    from merge_machine_ray.stages.blocking import attach_features
+    from merge_machine_ray.stages.pairs import auto_buckets, block_pairs
 
-    keys = ds.map_batches(SimHashKeys(col, id_col, bands, analyzer),
-                          batch_format="pyarrow")
-    pairs = keys.groupby("band_key").map_groups(emit, batch_format="pyarrow")
-    from ray.data.aggregate import Min
+    feats = ds.map_batches(
+        SimHashFeatures(col, id_col, bands, analyzer),
+        batch_format="pyarrow").materialize()
+    n_docs = feats.count()
+    if n_docs == 0:
+        return rd.from_arrow(_SIMHASH_PAIR_SCHEMA.empty_table())
+    if num_buckets is None:
+        num_buckets = auto_buckets(n_docs * bands)
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    band_rows = feats.map_batches(_explode_band_keys,
+                                  batch_format="pyarrow")
+    uniq = block_pairs(band_rows, block_cap, num_buckets)
+    feats_kv = feats.map_batches(
+        lambda t: pa.table({"doc_id": t["id"], "simhash": t["simhash"]}),
+        batch_format="pyarrow")
+    attached = attach_features(uniq, feats_kv, num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        ha = batch["simhash_a"].to_numpy(zero_copy_only=False)
+        hb = batch["simhash_b"].to_numpy(zero_copy_only=False)
+        d = _popcount64(ha.astype(np.uint64) ^ hb.astype(np.uint64))
+        m = d <= max_hamming
+        return pa.table({
+            "id_a": pa.array(batch["a"].to_numpy(zero_copy_only=False)[m]),
+            "id_b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[m]),
+            "hamming": pa.array(d[m], pa.int64())})
+
+    out = attached.map_batches(verify, batch_format="pyarrow")
+
+    def stable(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        return pa.table({f.name: t[f.name].cast(f.type)
+                         for f in _SIMHASH_PAIR_SCHEMA})
+
+    return out.map_batches(stable, batch_format="pyarrow")
 
 
 # ------------------------------------------------- embedding near-dup (cosine)
@@ -412,6 +489,7 @@ def embedding_near_dup_pairs(ds, col: str = "embedding", id_col: str = "vec_id",
 
     from merge_machine_ray.functions.vectors import list_to_matrix
     from merge_machine_ray.stages.blocking import attach_features
+    from merge_machine_ray.stages.pairs import auto_buckets, block_pairs
 
     first = ds.take(1)
     if not first:
@@ -419,7 +497,7 @@ def embedding_near_dup_pairs(ds, col: str = "embedding", id_col: str = "vec_id",
     if dim is None:
         dim = len(first[0][col])
     if num_buckets is None:
-        num_buckets = int(min(4096, max(32, ds.count() * n_bands // 20_000)))
+        num_buckets = auto_buckets(ds.count() * n_bands)
 
     keys = ds.map_batches(
         HyperplaneLSH, fn_constructor_kwargs={
@@ -427,58 +505,7 @@ def embedding_near_dup_pairs(ds, col: str = "embedding", id_col: str = "vec_id",
             "n_bands": n_bands},
         batch_format="pyarrow", concurrency=(1, 4))
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t["band_key"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket", pa.array((k % num_buckets).astype(np.int32)))
-
-    def emit(group: pa.Table) -> pa.Table:
-        # one python call per BUCKET; blocks are contiguous runs after a
-        # lexsort; pairs come from numpy triu per block (ids unique
-        # within a band, sorted → id_a < id_b)
-        k = group["band_key"].to_numpy(zero_copy_only=False)
-        i = group["id"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((i, k))
-        k, i = k[o], i[o]
-        cuts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
-        ends = np.concatenate((cuts[1:], [k.size]))
-        a_out, b_out = [], []
-        for s, e in zip(cuts, ends):
-            if e - s < 2:
-                continue
-            u = i[s:e][:block_cap]
-            iu, ju = np.triu_indices(u.size, k=1)
-            a_out.append(u[iu])
-            b_out.append(u[ju])
-        if not a_out:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(a_out)),
-                         "id_b": pa.array(np.concatenate(b_out))})
-
-    pairs = (keys.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
-
-    # OR-of-bands emits a pair once per agreeing band — dedupe by pair-
-    # hash bucket + one vectorized lexsort/diff per bucket (a
-    # groupby(id_a,id_b).aggregate pays per-GROUP python overhead on
-    # millions of tiny groups; see stages/blocking.py measurement)
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
-        return t.append_column("pbkt", pa.array(
-            ((a * 1000003 + b) % num_buckets).astype(np.int32)))
-
-    def uniq_pairs(g: pa.Table) -> pa.Table:
-        a = g["id_a"].to_numpy(zero_copy_only=False)
-        b = g["id_b"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-
-    uniq = (pairs.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("pbkt").map_groups(uniq_pairs, batch_format="pyarrow"))
+    uniq = block_pairs(keys, block_cap, num_buckets)
 
     feats = ds.map_batches(
         lambda t: pa.table({"doc_id": t[id_col], "emb": t[col]}),
