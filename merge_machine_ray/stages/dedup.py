@@ -30,44 +30,62 @@ def _content_hash_batch(batch: pa.Table, col: str) -> pa.Table:
     return batch.append_column("__h", h)
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def _hash_bucket_batch(batch: pa.Table, col: str, num_buckets: int
+                       ) -> pa.Table:
+    """content hash + its shuffle BUCKET: the groupby runs on ~B
+    buckets (one python group call each, pandas C-level groupby
+    inside), never on millions of distinct content hashes (a Ray
+    groupby pays per-GROUP python overhead; see stages/pairs.py)."""
+    t = _content_hash_batch(batch, col)
+    h = t["__h"].to_numpy(zero_copy_only=False)
+    return t.append_column("__bkt", pa.array(
+        (h % num_buckets).astype(np.int32)))
+
+
+def _dedup_buckets(ds, col: str, num_buckets: int | None):
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(ds.count())
+    return ds.map_batches(
+        lambda b: _hash_bucket_batch(b, col, num_buckets),
+        batch_format="pyarrow")
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                num_buckets: int | None = None):
     """Keep the min-id row per distinct value of ``col``.
 
-    Hash-partition on a 63-bit content hash (shuffle moves the hash, not
-    the full text ordering); within each hash group resolve per DISTINCT
-    value to stay exact under hash collisions."""
+    Hash-partition on a BUCKET of the 63-bit content hash (the shuffle
+    moves the hash, not the full text ordering); within each bucket one
+    vectorized pandas groupby per distinct VALUE keeps the result exact
+    under hash collisions."""
 
     def keep_first(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group.drop_columns(["__h"])
-        import pandas as pd
-
         df = group.to_pandas()
         idx = df.groupby(col, sort=False)[id_col].idxmin()
         return pa.Table.from_pandas(
-            df.loc[sorted(idx)].drop(columns="__h"), preserve_index=False)
+            df.loc[sorted(idx)].drop(columns=["__h", "__bkt"]),
+            preserve_index=False)
 
-    hashed = ds.map_batches(lambda b: _content_hash_batch(b, col),
-                            batch_format="pyarrow")
-    return hashed.groupby("__h").map_groups(keep_first, batch_format="pyarrow")
+    return _dedup_buckets(ds, col, num_buckets).groupby("__bkt") \
+        .map_groups(keep_first, batch_format="pyarrow")
 
 
-def dedup_representatives(ds, col: str = "text", id_col: str = "doc_id"):
+def dedup_representatives(ds, col: str = "text", id_col: str = "doc_id",
+                          num_buckets: int | None = None):
     """D1 with reinflation info: every row mapped to the min-id
     representative of its exact-duplicate group (``__SOURCE_GROUP``
     analog, reference ``es_match.py:151-164``)."""
 
     def assign_rep(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = group.to_pandas()
         df["rep_id"] = df.groupby(col, sort=False)[id_col].transform("min")
         return pa.Table.from_pandas(
             df[[id_col, "rep_id"]], preserve_index=False)
 
-    hashed = ds.map_batches(lambda b: _content_hash_batch(b, col),
-                            batch_format="pyarrow")
-    return hashed.groupby("__h").map_groups(assign_rep, batch_format="pyarrow")
+    return _dedup_buckets(ds, col, num_buckets).groupby("__bkt") \
+        .map_groups(assign_rep, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- near-dup: LSH
