@@ -275,8 +275,6 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
     ``df_cap`` drops hotter shingles (ultra-common boilerplate), making
     the result a documented under-approximation — leave None for exact
     semantics at oracle scale."""
-    from ray.data.aggregate import Max, Sum
-
     def postings(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[col].to_pylist()
@@ -292,30 +290,76 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
                          "id": pa.array(out_id, pa.int64()),
                          "sz": pa.array(out_sz, pa.int64())})
 
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    num_buckets = auto_buckets(ds.count() * 32)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (sh % num_buckets).astype(np.int32)))
+
     def co_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "sz_a": pa.array([], pa.int64()),
-                          "sz_b": pa.array([], pa.int64()),
-                          "one": pa.array([], pa.int64())})
-        if n < 2 or (df_cap is not None and n > df_cap):
-            return empty
+        # one python call per BUCKET of the shingle key space; shingle
+        # blocks are contiguous runs after a lexsort (a groupby on raw
+        # shingle hashes pays per-GROUP python overhead on millions of
+        # tiny postings lists)
+        sh = group["sh"].to_numpy(zero_copy_only=False)
         ids = group["id"].to_numpy(zero_copy_only=False)
         szs = group["sz"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, szs = ids[order], szs[order]
-        iu, ju = np.triu_indices(n, k=1)
-        return pa.table({"id_a": pa.array(ids[iu]), "id_b": pa.array(ids[ju]),
-                         "sz_a": pa.array(szs[iu]), "sz_b": pa.array(szs[ju]),
-                         "one": pa.array(np.ones(iu.size, dtype=np.int64))})
+        o = np.lexsort((ids, sh))
+        sh, ids, szs = sh[o], ids[o], szs[o]
+        cuts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+        ends = np.concatenate((cuts[1:], [sh.size]))
+        a_o, b_o, sa_o, sb_o = [], [], [], []
+        for s, e in zip(cuts, ends):
+            n = e - s
+            if n < 2 or (df_cap is not None and n > df_cap):
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            a_o.append(ids[s:e][iu])
+            b_o.append(ids[s:e][ju])
+            sa_o.append(szs[s:e][iu])
+            sb_o.append(szs[s:e][ju])
+        if not a_o:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sz_a": pa.array([], pa.int64()),
+                             "sz_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(a_o)),
+                         "id_b": pa.array(np.concatenate(b_o)),
+                         "sz_a": pa.array(np.concatenate(sa_o)),
+                         "sz_b": pa.array(np.concatenate(sb_o))})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return t.append_column("pbkt", pa.array(
+            ((a * 1000003 + b) % num_buckets).astype(np.int32)))
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        # one co-occurrence row per shared shingle → the intersection
+        # size is the run length after a pair lexsort
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        sa = g["sz_a"].to_numpy(zero_copy_only=False)
+        sb = g["sz_b"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b, sa, sb = a[o], b[o], sa[o], sb[o]
+        cuts = np.flatnonzero(np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))))
+        ends = np.concatenate((cuts[1:], [a.size]))
+        return pa.table({"id_a": pa.array(a[cuts]), "id_b": pa.array(b[cuts]),
+                         "n_inter": pa.array((ends - cuts).astype(np.int64)),
+                         "sz_a": pa.array(sa[cuts]),
+                         "sz_b": pa.array(sb[cuts])})
 
     inter = (ds.map_batches(postings, batch_format="pyarrow")
-             .groupby("sh").map_groups(co_pairs, batch_format="pyarrow")
-             .groupby(["id_a", "id_b"])
-             .aggregate(Sum("one", alias_name="n_inter"),
-                        Max("sz_a", alias_name="sz_a"),
-                        Max("sz_b", alias_name="sz_b")))
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(co_pairs, batch_format="pyarrow")
+             .map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("pbkt").map_groups(reduce_pairs,
+                                         batch_format="pyarrow"))
 
     def finish(t: pa.Table) -> pa.Table:
         inter_ = t["n_inter"].to_numpy(zero_copy_only=False)
