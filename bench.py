@@ -94,10 +94,14 @@ def run_bench() -> dict:
     timings["er_pages"] = round(headline, 3)
 
     def timed(name: str, fn):
+        import pyarrow as pa
+
         t = time.time()
         res = fn(SF_DIR)
-        for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            pass
+        if not isinstance(res, pa.Table):  # arrow results are already run
+            for _ in res.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+                pass
         timings[name] = round(time.time() - t, 3)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
@@ -134,6 +138,9 @@ def run_bench() -> dict:
     timed("events_hourly", Q.events_hourly)
     timed("idf_table", Q.idf_table)
     timed("minhash_near_dups", Q.minhash_near_dups)
+    timed("simhash_near_dups", Q.simhash_near_dups)
+    timed("embedding_near_dups", Q.embedding_near_dups)
+    timed("lang_id_pred", Q.lang_id_pred)
     timed("ann_topk", Q.ann_topk)
     timed("er_documents", Q.er_documents)
 

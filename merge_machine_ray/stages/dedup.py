@@ -485,49 +485,62 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
 
 
 # ------------------------------------------------- embedding near-dup (cosine)
-class HyperplaneLSH:
+def _hyperplanes(dim: int, n: int, seed: int) -> np.ndarray:
+    """Seeded plane matrix, cached per (dim, n, seed) per process —
+    cheap enough that the LSH stage can be a STATELESS task function
+    (no actor-pool startup latency) while still building planes once
+    per worker."""
+    key = (dim, n, seed)
+    got = _hyperplanes._cache.get(key)
+    if got is None:
+        got = np.random.RandomState(seed).standard_normal((dim, n))
+        _hyperplanes._cache[key] = got
+    return got
+
+
+_hyperplanes._cache = {}
+
+
+def hyperplane_band_keys(col: str, id_col: str, n_planes: int = 12,
+                         n_bands: int = 8, seed: int = 42):
     """Random-hyperplane band keys over an embedding column — the
     embedding-space analog of minhash banding: ``n_bands`` independent
     seeded plane sets OR-ed together (one band row per vector per band).
 
     A single 12-plane band has recall ≈ (1−θ/π)¹² ≈ 0.16 at cosine 0.9
     — near-zero; OR-ing B independent bands lifts it to 1−(1−p)^B
-    (≈ 0.93 for B=8 at cosine 0.95). Planes are seeded and generated in
-    ``__init__`` (once per actor).
+    (≈ 0.93 for B=8 at cosine 0.95).
 
     Band rows are LIGHT — (band_key, id) ≈ 16 B. The vector itself
     never rides the band shuffle: carrying it would cost n_bands× the
-    corpus bytes through the AllToAll (the scale-killer the minhash
-    path eliminated in round 2); vectors re-attach to the much smaller
-    deduplicated pair list instead."""
+    corpus bytes through the AllToAll; vectors re-attach to the much
+    smaller deduplicated pair list instead. The plane matrix is derived
+    from the batch's own vector width, so no driver-side ``take(1)``
+    barrier is needed to discover the dimension."""
 
-    def __init__(self, col: str, id_col: str, dim: int, n_planes: int = 12,
-                 n_bands: int = 8, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        # (dim, bands*planes): one contiguous matmul for all bands
-        self.planes = rng.standard_normal((dim, n_bands * n_planes))
-        self.col = col
-        self.id_col = id_col
-        self.n_planes = n_planes
-        self.n_bands = n_bands
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def fn(batch: pa.Table) -> pa.Table:
         from merge_machine_ray.functions.vectors import list_to_matrix
 
-        vecs = list_to_matrix(batch[self.col])
+        vecs = list_to_matrix(batch[col])
         n = len(vecs)
-        bits = (vecs @ self.planes) > 0          # (n, bands*planes)
-        powers = (np.int64(1) << np.arange(self.n_planes, dtype=np.int64))
-        keys = np.empty((n, self.n_bands), dtype=np.int64)
-        for b in range(self.n_bands):
-            seg = bits[:, b * self.n_planes:(b + 1) * self.n_planes]
+        if n == 0 or vecs.size == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64())})
+        planes = _hyperplanes(vecs.shape[1], n_bands * n_planes, seed)
+        bits = (vecs @ planes) > 0               # (n, bands*planes)
+        powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        keys = np.empty((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            seg = bits[:, b * n_planes:(b + 1) * n_planes]
             # band index in the high bits keeps band keyspaces disjoint
             keys[:, b] = (seg @ powers) | (np.int64(b) << np.int64(56))
-        rep = pa.array(np.repeat(np.arange(n), self.n_bands))
+        rep = pa.array(np.repeat(np.arange(n), n_bands))
         return pa.table({
             "band_key": pa.array(keys.reshape(-1)),
-            "id": batch[self.id_col].take(rep),
+            "id": batch[id_col].take(rep),
         })
+
+    return fn
 
 
 _EMB_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
@@ -547,25 +560,17 @@ def embedding_near_dup_pairs(ds, col: str = "embedding", id_col: str = "vec_id",
     by size) → exact cosine verify, one numpy pass per batch.
     Returns (id_a, id_b, cosine), id_a < id_b.
     """
-    import ray.data as rd
-
     from merge_machine_ray.functions.vectors import list_to_matrix
     from merge_machine_ray.stages.blocking import attach_features
     from merge_machine_ray.stages.pairs import auto_buckets, block_pairs
 
-    first = ds.take(1)
-    if not first:
-        return rd.from_arrow(_EMB_PAIR_SCHEMA.empty_table())
-    if dim is None:
-        dim = len(first[0][col])
     if num_buckets is None:
         num_buckets = auto_buckets(ds.count() * n_bands)
 
     keys = ds.map_batches(
-        HyperplaneLSH, fn_constructor_kwargs={
-            "col": col, "id_col": id_col, "dim": dim, "n_planes": n_planes,
-            "n_bands": n_bands},
-        batch_format="pyarrow", concurrency=(1, 4))
+        hyperplane_band_keys(col, id_col, n_planes=n_planes,
+                             n_bands=n_bands),
+        batch_format="pyarrow")
 
     uniq = block_pairs(keys, block_cap, num_buckets)
 
