@@ -393,3 +393,36 @@ def test_multimodal_real_decode(ray_session):
                               concurrency=(1, 2)).take_all()
     per_vid = [r["mean_rgb"][0] for r in frames if r["media_id"] == 0]
     assert per_vid == sorted(per_vid)      # planted brightness ramp
+
+
+def test_pairs_machinery_properties():
+    """Property tests for the shared light-pair helpers: the vectorized
+    lexsort-adjacency intersection must equal python set intersection,
+    and the popcount table must equal int.bit_count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from merge_machine_ray.stages.dedup import _popcount64
+    from merge_machine_ray.stages.pairs import intersect_counts
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(
+        st.sets(st.integers(0, 200), max_size=12),
+        st.sets(st.integers(0, 200), max_size=12)), max_size=8))
+    def check_intersect(rows):
+        la = pa.array([sorted(a) for a, _ in rows], pa.list_(pa.int64()))
+        lb = pa.array([sorted(b) for _, b in rows], pa.list_(pa.int64()))
+        inter, na, nb = intersect_counts(la, lb)
+        for i, (a, b) in enumerate(rows):
+            assert inter[i] == len(a & b)
+            assert na[i] == len(a) and nb[i] == len(b)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(0, 2**64 - 1), max_size=32))
+    def check_popcount(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        got = _popcount64(arr)
+        assert list(got) == [v.bit_count() for v in vals]
+
+    check_intersect()
+    check_popcount()
