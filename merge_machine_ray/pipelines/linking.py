@@ -686,8 +686,20 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     n_src = source_ds.count()
     n_ref = ref_ds.count()
     blocks = int(min(max(8, cpus * 4), max(4, (n_src + n_ref) // 2000)))
-    source_ds = source_ds.repartition(max(2, blocks // 2))
-    ref_ds = ref_ds.repartition(max(2, blocks // 2))
+
+    def _spread(ds):
+        # file-backed reads auto-split into enough blocks; only
+        # in-memory datasets (from_arrow — one block) need the extra
+        # AllToAll to reach full featurize parallelism
+        try:
+            if ds.input_files():
+                return ds
+        except Exception:
+            pass
+        return ds.repartition(max(2, blocks // 2))
+
+    source_ds = _spread(source_ds)
+    ref_ds = _spread(ref_ds)
 
     light = attach == "light" or (attach == "auto"
                                   and (n_src + n_ref) >= LINK_LIGHT_CUTOFF)
