@@ -731,27 +731,50 @@ def er_documents(sf_dir: str):
 
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30):
+def events_sessions(sf_dir: str, gap_minutes: int = 30,
+                    num_buckets: int | None = None):
     """Gap-based sessionization (streaming-shaped workload): per user,
     a new session starts after a >gap silence; grouped per-session
-    aggregates. Ray shape: ONE groupby(user) shuffle + in-group pandas."""
-    import pandas as pd
+    aggregates. Ray shape: ONE groupby on a BUCKET of the user key
+    space, then one fully-vectorized numpy pass per bucket (lexsort →
+    gap/user breaks → cumsum session ids → run-length aggregates) — no
+    per-user python call (a raw groupby(user) pays per-GROUP overhead
+    on millions of users at scale)."""
+    from merge_machine_ray.stages.pairs import auto_buckets
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    if num_buckets is None:
+        num_buckets = auto_buckets(ds.count())
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session_idx"] = new_s.cumsum().astype("int64")
-        out = g.groupby("session_idx", sort=True).agg(
-            n_events=("ts", "size"), t_start=("ts", "min"))
-        out = out.reset_index()
-        out["user_id"] = g["user_id"].iloc[0]
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_idx", "n_events", "t_start"]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (u % num_buckets).astype(np.int32)))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ts, u))
+        u, ts = u[o], ts[o]
+        user_change = np.concatenate(([True], u[1:] != u[:-1]))
+        new_s = user_change | np.concatenate(
+            ([True], (ts[1:] - ts[:-1]) > gap))
+        gs = np.cumsum(new_s)
+        # session_idx restarts at 1 per user
+        run_id = np.cumsum(user_change) - 1
+        session_idx = gs - gs[user_change][run_id] + 1
+        starts = np.flatnonzero(new_s)
+        ends = np.concatenate((starts[1:], [u.size]))
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "session_idx": pa.array(session_idx[starts].astype(np.int64)),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "t_start": pa.array(ts[starts]),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
 EVENTS_SESSIONS_SQL = """
