@@ -76,17 +76,36 @@ def _both_directions(batch: pa.Table) -> pa.Table:
     })
 
 
-def _large_star_group(group: pa.Table) -> pa.Table:
-    u = group["src"][0].as_py()
-    nbrs = sorted(set(group["dst"].to_pylist()))
-    m = min(nbrs[0], u) if nbrs else u
-    a, b = [], []
-    for v in nbrs:
-        if v > u:  # connect strictly-larger neighbors to the minimum
-            lo, hi = (m, v) if m < v else (v, m)
-            if lo != hi:
-                a.append(lo); b.append(hi)
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+def _runs(sorted_key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run starts/ids of a sorted key array: (starts, run_id_per_row)."""
+    change = np.concatenate(([True], sorted_key[1:] != sorted_key[:-1]))
+    return np.flatnonzero(change), np.cumsum(change) - 1
+
+
+def _sorted_unique_pairs(x: np.ndarray, y: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    o = np.lexsort((y, x))
+    x, y = x[o], y[o]
+    keep = np.concatenate(([True], (x[1:] != x[:-1]) | (y[1:] != y[:-1])))
+    return x[keep], y[keep]
+
+
+def _large_star_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized large-star over one BUCKET of src nodes: for each
+    node u, connect every strictly-larger neighbor v to m = min(u,
+    min-neighbor). One numpy pass handles every node hashing into the
+    bucket (a groupby on raw node ids pays per-GROUP python overhead
+    on millions of nodes)."""
+    s = group["src"].to_numpy(zero_copy_only=False)
+    d = group["dst"].to_numpy(zero_copy_only=False)
+    s, d = _sorted_unique_pairs(s, d)
+    starts, run_id = _runs(s)
+    m_row = np.minimum(d[starts], s[starts])[run_id]  # d sorted per run
+    mask = d > s
+    lo = np.minimum(m_row[mask], d[mask])
+    hi = np.maximum(m_row[mask], d[mask])
+    keep = lo != hi
+    return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
 
 
 def _orient_max_min(batch: pa.Table) -> pa.Table:
@@ -98,27 +117,60 @@ def _orient_max_min(batch: pa.Table) -> pa.Table:
     return pa.table({"src": src, "dst": dst})
 
 
-def _small_star_group(group: pa.Table) -> pa.Table:
-    u = group["src"][0].as_py()
-    nbrs = sorted(set(group["dst"].to_pylist()))  # all < u
-    m = nbrs[0]
-    a, b = [], []
-    for v in nbrs[1:]:
-        a.append(m); b.append(v)
-    a.append(m); b.append(u)
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+def _small_star_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized small-star over one bucket: per node u (src = max
+    endpoint), connect u and every non-min neighbor to the minimum
+    neighbor m."""
+    s = group["src"].to_numpy(zero_copy_only=False)
+    d = group["dst"].to_numpy(zero_copy_only=False)
+    s, d = _sorted_unique_pairs(s, d)
+    starts, run_id = _runs(s)
+    m_row = d[starts][run_id]                         # min neighbor per run
+    first = np.zeros(s.size, dtype=bool)
+    first[starts] = True
+    rest = ~first                                     # nbrs[1:]
+    a = np.concatenate((m_row[rest], d[starts]))
+    b = np.concatenate((d[rest], s[starts]))          # + (m, u) per run
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
-def _dedupe_edges(ds):
-    return ds.groupby(["a", "b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+def _add_node_bucket(col: str, num_buckets: int):
+    def fn(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (v % num_buckets).astype(np.int32)))
+
+    return fn
+
+
+def _dedupe_edges(ds, num_buckets: int):
+    """Distinct (a, b) rows via pair-hash bucket + one lexsort/diff per
+    bucket (a groupby(a, b) pays per-GROUP python overhead per EDGE)."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            ((a * 1000003 + b) % num_buckets).astype(np.int32)))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a, b = _sorted_unique_pairs(
+            g["a"].to_numpy(zero_copy_only=False),
+            g["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(uniq, batch_format="pyarrow")
 
 
 def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset":
-    import ray
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
-    edges = _dedupe_edges(edges_ds).materialize()
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    n_edges = edges_ds.count()
+    num_buckets = auto_buckets(n_edges * 2)
+    edges = _dedupe_edges(edges_ds, num_buckets).materialize()
     if edges.count() == 0:
         return edges.map_batches(
             lambda t: pa.table({"doc_id": t["a"], "cluster_id": t["a"]}),
@@ -127,14 +179,18 @@ def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset
     for _round in range(max_rounds):
         # large-star
         edges = edges.map_batches(_both_directions, batch_format="pyarrow") \
-            .groupby("src").map_groups(_large_star_group, batch_format="pyarrow")
+            .map_batches(_add_node_bucket("src", num_buckets),
+                         batch_format="pyarrow") \
+            .groupby("bucket").map_groups(_large_star_bucket,
+                                          batch_format="pyarrow")
         # small-star
         edges = edges.map_batches(_orient_max_min, batch_format="pyarrow") \
-            .groupby("src").map_groups(_small_star_group, batch_format="pyarrow")
-        edges = _dedupe_edges(edges).materialize()
+            .map_batches(_add_node_bucket("src", num_buckets),
+                         batch_format="pyarrow") \
+            .groupby("bucket").map_groups(_small_star_bucket,
+                                          batch_format="pyarrow")
+        edges = _dedupe_edges(edges, num_buckets).materialize()
         # convergence: content signature (count + sums of mixed endpoints)
-        import pyarrow.compute as pc
-
         def _mix(t: pa.Table) -> pa.Table:
             a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
             b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -148,15 +204,29 @@ def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset
             break
         prev_sig = sig
     # final star forest: every edge is (root=min, member); assignment =
-    # min over incident roots, plus roots mapping to themselves.
+    # min over incident roots, plus roots mapping to themselves. The
+    # per-node min is a bucketed lexsort run-min, not a per-node
+    # aggregate.
     assign = edges.map_batches(
         lambda t: pa.table({"doc_id": t["b"], "cluster_id": t["a"]}),
         batch_format="pyarrow")
     roots = edges.map_batches(
         lambda t: pa.table({"doc_id": t["a"], "cluster_id": t["a"]}),
         batch_format="pyarrow")
-    return assign.union(roots).groupby("doc_id").aggregate(
-        Min("cluster_id", alias_name="cluster_id"))
+
+    def node_min(g: pa.Table) -> pa.Table:
+        n = g["doc_id"].to_numpy(zero_copy_only=False)
+        c = g["cluster_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, n))
+        n, c = n[o], c[o]
+        starts, _ = _runs(n)
+        return pa.table({"doc_id": pa.array(n[starts]),
+                         "cluster_id": pa.array(c[starts])})
+
+    return assign.union(roots) \
+        .map_batches(_add_node_bucket("doc_id", num_buckets),
+                     batch_format="pyarrow") \
+        .groupby("bucket").map_groups(node_min, batch_format="pyarrow")
 
 
 def connected_components(edges_ds, mode: str = "auto",
