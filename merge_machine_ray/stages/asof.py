@@ -3,11 +3,13 @@ natively: for each left row, the latest right row with
 ``right.ts <= left.ts`` for the same key.
 
 Ray shape (per the guide's recipe): both sides tagged and unioned, ONE
-``groupby(key)`` shuffle, per-key vectorized resolution with
-``np.searchsorted`` over the right side's sorted timestamps. The
-partitioning assumption: one key's rows fit one group — true for
-per-user event streams; salt the key by time-range for pathological
-single-key streams.
+``groupby`` shuffle on a BUCKET of the key space, then one vectorized
+pass per bucket: rights lexsorted by (key, ts, tiebreak), every left
+row resolved by a single structured-array ``np.searchsorted`` over the
+composite (key, ts) ordering — no per-key python call (a raw
+groupby(key) pays per-GROUP overhead on millions of keys). The
+partitioning assumption: one bucket's rows fit one group; salt the key
+by time-range for pathological single-key streams.
 """
 
 from __future__ import annotations
@@ -65,10 +67,32 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
     unioned = left_tagged.union(right_tagged)
 
+    def _key_codes(arr: np.ndarray) -> np.ndarray:
+        """int keys pass through; other dtypes map to dense int codes
+        (consistent within the bucket — that is all ordering needs)."""
+        if arr.dtype.kind in "iu":
+            return arr.astype(np.int64)
+        _, inv = np.unique(arr, return_inverse=True)
+        return inv.astype(np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            bkt = (k.astype(np.int64) % num_buckets).astype(np.int32)
+        else:
+            from merge_machine_ray.functions.hashing import crc_hash64
+
+            uniq, inv = np.unique(k.astype(str), return_inverse=True)
+            h = np.array([crc_hash64(u) & ((1 << 63) - 1) for u in uniq],
+                         dtype=np.int64)
+            bkt = (h[inv] % num_buckets).astype(np.int32)
+        return t.append_column("__kb", pa.array(bkt))
+
     def resolve(group: pa.Table) -> pa.Table:
-        group = group.combine_chunks()
+        group = group.combine_chunks().drop_columns(["__kb"])
         side = group["__side"].to_numpy(zero_copy_only=False)
-        tsv = group[ts].to_numpy(zero_copy_only=False)
+        tsv = group[ts].to_numpy(zero_copy_only=False).view(np.int64)
+        keys = _key_codes(group[key].to_numpy(zero_copy_only=False))
         l_idx = np.flatnonzero(side == 0)
         out_cols = [c for c in group.column_names if c != "__side"]
         if l_idx.size == 0:
@@ -81,25 +105,35 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
             for oc in out_r:
                 out[oc] = pa.nulls(l_idx.size, group[oc].type)
             return pa.table(out)
-        r_ts = tsv[r_idx]
+        # rights lexsorted by (key, ts, tiebreak): among equal (key, ts)
+        # the LAST row wins = greatest tiebreak, the documented tie rule
         if right_tiebreak:
             tb = group[f"{right_tiebreak}{right_suffix}"] \
                 .to_numpy(zero_copy_only=False)[r_idx]
-            order = np.lexsort((tb, r_ts))
+            order = np.lexsort((tb, tsv[r_idx], keys[r_idx]))
         else:
-            order = np.argsort(r_ts, kind="stable")
-        r_sorted_ts = r_ts[order]
-        pos = np.searchsorted(r_sorted_ts, tsv[l_idx], side="right") - 1
-        has = pos >= 0
-        take_idx = np.where(has, r_idx[order[pos.clip(min=0)]], -1)
-        ri = pa.array(take_idx, pa.int64())  # -1 → null via take? no:
-        # Arrow take with -1 is invalid; build with mask
+            order = np.lexsort((tsv[r_idx], keys[r_idx]))
+        r_sorted = r_idx[order]
+        comp = np.dtype([("k", np.int64), ("t", np.int64)])
+        r_comp = np.empty(r_sorted.size, dtype=comp)
+        r_comp["k"], r_comp["t"] = keys[r_sorted], tsv[r_sorted]
+        l_comp = np.empty(l_idx.size, dtype=comp)
+        l_comp["k"], l_comp["t"] = keys[l_idx], tsv[l_idx]
+        # ONE composite searchsorted resolves every left row: pos-1 is
+        # the last right row with (key, ts) <= (key_l, ts_l); it is the
+        # as-of match iff it belongs to the same key
+        pos = np.searchsorted(r_comp, l_comp, side="right") - 1
+        has = (pos >= 0) & (keys[r_sorted[pos.clip(min=0)]] == keys[l_idx])
         valid = pa.array(has)
-        safe = pa.array(np.where(has, take_idx, r_idx[0]))
+        safe = pa.array(r_sorted[pos.clip(min=0)])
         for oc in out_r:
             vals = group[oc].take(safe)
             out[oc] = pa.compute.if_else(valid, vals,
                                          pa.nulls(l_idx.size, vals.type))
         return pa.table(out)
 
-    return unioned.groupby(key).map_groups(resolve, batch_format="pyarrow")
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    num_buckets = auto_buckets(left_ds.count() + right_ds.count())
+    return unioned.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__kb").map_groups(resolve, batch_format="pyarrow")
