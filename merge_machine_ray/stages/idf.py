@@ -19,25 +19,57 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Sum
-
-
 def _partial_df(batch: pa.Table) -> pa.Table:
-    counts: dict[int, int] = {}
-    for lst in batch["tok_hashes"].to_pylist():
-        for h in set(lst):
-            counts[h] = counts.get(h, 0) + 1
+    """Per-batch document frequencies, fully vectorized: flatten the
+    token-list column, lexsort (token, row), drop duplicate
+    (token, row) pairs, and count per-token runs (round 1 looped python
+    sets per row)."""
+    toks = batch["tok_hashes"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    if not flat.size:
+        return pa.table({"tok": pa.array([], pa.int64()),
+                         "pdf": pa.array([], pa.int64())})
+    row_ids = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+    o = np.lexsort((row_ids, flat))
+    t, r = flat[o], row_ids[o]
+    keep = np.concatenate(([True], (t[1:] != t[:-1]) | (r[1:] != r[:-1])))
+    t = t[keep]
+    starts = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
+    ends = np.concatenate((starts[1:], [t.size]))
     return pa.table({
-        "tok": pa.array(list(counts.keys()), pa.int64()),
-        "pdf": pa.array(list(counts.values()), pa.int64()),
+        "tok": pa.array(t[starts]),
+        "pdf": pa.array((ends - starts).astype(np.int64)),
     })
 
 
-def document_frequencies(features_ds):
-    """features → Dataset[(tok:int64, df:int64)] via partial-agg + groupby."""
+def document_frequencies(features_ds, num_buckets: int = 256):
+    """features → Dataset[(tok:int64, df:int64)] via partial-agg + one
+    bucketed groupby: partials sum per token with a lexsort/bincount
+    pass per BUCKET of the token space (a groupby on raw tokens pays
+    per-GROUP python overhead across the whole vocabulary)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["tok"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (k % num_buckets).astype(np.int32)))
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        t = g["tok"].to_numpy(zero_copy_only=False)
+        p = g["pdf"].to_numpy(zero_copy_only=False)
+        o = np.argsort(t, kind="stable")
+        t, p = t[o], p[o]
+        change = np.concatenate(([True], t[1:] != t[:-1]))
+        run_id = np.cumsum(change) - 1
+        sums = np.bincount(run_id, weights=p).astype(np.int64)
+        return pa.table({"tok": pa.array(t[change]), "df": pa.array(sums)})
+
     partials = features_ds.select_columns(["tok_hashes"]).map_batches(
         _partial_df, batch_format="pyarrow")
-    return partials.groupby("tok").aggregate(Sum("pdf", alias_name="df"))
+    return partials.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(sum_bucket, batch_format="pyarrow")
 
 
 def build_idf_table(features_ds, n_docs: int | None = None,
