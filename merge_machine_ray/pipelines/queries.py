@@ -263,18 +263,51 @@ FROM events GROUP BY 1, 2
 """
 
 
-def distinct_types_per_user(sf_dir: str):
-    """count(distinct) via two-level groupby (pre-aggregation pattern)."""
-    from ray.data.aggregate import Count
+def distinct_types_per_user(sf_dir: str, num_buckets: int | None = None):
+    """count(distinct) scale-safe: per-batch PARTIAL distinct
+    (user, type) pairs (dictionary-coded, one lexsort per batch — the
+    combiner before any shuffle) → one bucketed groupby on the user key
+    space → per-bucket lexsort dedup + run-length count. No per-user or
+    per-(user,type) python group calls."""
+    from merge_machine_ray.stages.pairs import auto_buckets
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    pairs = ds.groupby(["user_id", "event_type"]).aggregate(
-        Count(alias_name="_c"))
-    out = pairs.groupby("user_id").aggregate(Count(alias_name="n_types"))
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("n_types"), "n_types",
-                               t["n_types"].cast(pa.int64())),
-        batch_format="pyarrow")
+    if num_buckets is None:
+        num_buckets = auto_buckets(ds.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        c = enc.indices.to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, u))
+        u, c = u[o], c[o]
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (c[1:] != c[:-1])))
+        return pa.table({
+            "user_id": pa.array(u[keep]),
+            "event_type": enc.dictionary.take(pa.array(c[keep])),
+            "bucket": pa.array((u[keep] % num_buckets).astype(np.int32))})
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        c = enc.indices.to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, u))
+        u, c = u[o], c[o]
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (c[1:] != c[:-1])))
+        u = u[keep]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [u.size]))
+        return pa.table({"user_id": pa.array(u[starts]),
+                         "n_types": pa.array((ends - starts).astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(count_distinct, batch_format="pyarrow")
 
 
 DISTINCT_TYPES_SQL = """
