@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two paths:
+Three paths:
 
 * :func:`brute_force_topk` — exact cosine top-k: the query matrix is
   broadcast ONCE via ``ray.put``; every batch does one numpy matmul and
@@ -12,6 +12,9 @@ Two paths:
   ``map_batches`` pass; queries probe only ``nprobe`` cells, so the
   matmul touches a fraction of the corpus. Exactness degrades gracefully
   with nprobe — the standard IVF trade-off.
+* :func:`lsh_topk` — hyperplane-LSH-bucketed scale path: a map-side
+  band-collision filter (no shuffle) keeps only candidates sharing a
+  band with some query, then the exact top-k runs on that subset.
 """
 
 from __future__ import annotations
@@ -214,4 +217,49 @@ def ivf_topk(ds, queries: dict, col: str = "embedding",
 
     filtered = ds.map_batches(CellFilter, fn_constructor_kwargs={"ref": c_ref},
                               batch_format="pyarrow", concurrency=(1, 4))
+    return brute_force_topk(filtered, queries, col=col, id_col=id_col, k=k)
+
+
+def lsh_topk(ds, queries: dict, col: str = "embedding",
+             id_col: str = "vec_id", k: int = 5, n_planes: int = 10,
+             n_bands: int = 8, seed: int = 42):
+    """LSH-bucketed ANN (the hyperplane counterpart of IVF): corpus
+    vectors keep only the rows sharing ≥1 hyperplane band with ANY
+    query, then the exact top-k matmul runs on that candidate subset.
+
+    The query band keys are computed driver-side with the SAME cached
+    seeded planes the corpus stage uses, broadcast as one sorted array;
+    the filter is a vectorized ``np.isin`` per batch — no shuffle at
+    all, just a map-side filter before the brute-force reduce. Recall
+    follows the OR-of-bands curve (≈1−(1−p^r)^B); misses degrade to
+    fewer-than-k rows per query, never wrong rows."""
+    import ray
+
+    from merge_machine_ray.functions.vectors import list_to_matrix
+    from merge_machine_ray.stages.dedup import _hyperplanes
+
+    qm = np.asarray(queries["matrix"], dtype=np.float64)
+    dim = qm.shape[1]
+    planes = _hyperplanes(dim, n_bands * n_planes, seed)
+    powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def band_keys(V: np.ndarray) -> np.ndarray:
+        bits = (V @ planes) > 0
+        keys = np.empty((len(V), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            seg = bits[:, b * n_planes:(b + 1) * n_planes]
+            keys[:, b] = (seg @ powers) | (np.int64(b) << np.int64(56))
+        return keys
+
+    q_keys = ray.put(np.unique(band_keys(qm).reshape(-1)))
+
+    def candidate_filter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(q_keys)  # zero-copy shared-memory read
+        V = list_to_matrix(batch[col])
+        if not V.size:
+            return batch
+        hit = np.isin(band_keys(V), wanted).any(axis=1)
+        return batch.filter(pa.array(hit))
+
+    filtered = ds.map_batches(candidate_filter, batch_format="pyarrow")
     return brute_force_topk(filtered, queries, col=col, id_col=id_col, k=k)

@@ -426,3 +426,28 @@ def test_pairs_machinery_properties():
 
     check_intersect()
     check_popcount()
+
+
+def test_lsh_bucketed_ann(ray_session):
+    """lsh_topk: the band-collision filter must keep every query's own
+    vector (identical sign pattern → all bands agree) and the surviving
+    candidates must rank identically to brute force on that subset."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.ann import lsh_topk
+
+    rng = np.random.RandomState(11)
+    X = rng.standard_normal((300, 24))
+    rows = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(len(X))]
+    ds = rd.from_items(rows)
+    qids = [5, 120, 250]
+    queries = {"ids": qids, "matrix": [X[i].tolist() for i in qids]}
+    got = lsh_topk(ds, queries, k=3)
+    by_q = {}
+    for r in got.take_all():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in qids:
+        best = min(by_q[q], key=lambda r: r["rank"])
+        assert best["vec_id"] == q          # self always collides
+        assert abs(best["cosine"] - 1.0) < 1e-9
+        assert len(by_q[q]) <= 3
