@@ -154,11 +154,14 @@ def nation_region_counts(sf_dir: str):
 
     class AttachRegion:
         def __init__(self, r):
-            self.m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            m = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.keys = pa.array(list(m.keys()))
+            self.names = pa.array(list(m.values()), pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vals = [self.m.get(k) for k in t["c_nationkey"].to_pylist()]
-            return t.append_column("r_name", pa.array(vals, pa.string()))
+            # vectorized probe of the broadcast dim: index_in + take
+            idx = pc.index_in(t["c_nationkey"], value_set=self.keys)
+            return t.append_column("r_name", self.names.take(idx))
 
     out = _read(sf_dir, "customer", ["c_nationkey"]) \
         .map_batches(AttachRegion, fn_constructor_kwargs={"r": ref},
