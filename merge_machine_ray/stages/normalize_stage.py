@@ -91,14 +91,32 @@ class Featurize:
         tok_hash_lists = []
         int_hash_lists = []
         n_tokens = []
+        # batch-level token→hash memo: the vocabulary repeats heavily
+        # (stopwords, shared entity tokens), so most tokens hash once
+        # per batch instead of once per occurrence (profiled: the hash
+        # step was 38% of featurize)
+        memo: dict[str, int] = {}
         for s in norm.to_pylist():
             toks = self._tokenize(s)
             n_tokens.append(len(toks))
-            tok_hash_lists.append([tok31(crc_hash64(t)) for t in toks])
+            hl = []
+            for t in toks:
+                v = memo.get(t)
+                if v is None:
+                    v = tok31(crc_hash64(t))
+                    memo[t] = v
+                hl.append(v)
+            tok_hash_lists.append(hl)
             # integers-analyzer feature set (reference A3): ids/codes
             # buried in text are strong per-entity discriminators
-            int_hash_lists.append(
-                sorted({tok31(crc_hash64(t)) for t in integers(s)}))
+            ih = set()
+            for t in integers(s):
+                v = memo.get(t)
+                if v is None:
+                    v = tok31(crc_hash64(t))
+                    memo[t] = v
+                ih.add(v)
+            int_hash_lists.append(sorted(ih))
 
         cols: dict[str, pa.Array] = {}
         if "url" in names:
