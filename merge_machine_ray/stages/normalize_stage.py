@@ -21,7 +21,6 @@ import pyarrow as pa
 
 from merge_machine_ray.functions.hashing import crc_hash64, stable_hash64
 from merge_machine_ray.functions.normalize import (
-    extract_text_from_html,
     normalize_column,
     url_host,
 )
@@ -63,8 +62,11 @@ class Featurize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = set(batch.column_names)
         if "html" in names:
-            raw = [extract_text_from_html(h) for h in batch["html"].to_pylist()]
-            text = pa.array(raw, pa.string())
+            from merge_machine_ray.functions.normalize import (
+                extract_text_column,
+            )
+
+            text = extract_text_column(batch["html"])
         else:
             text = batch[self.text_col]
         norm = normalize_column(text)

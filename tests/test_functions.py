@@ -184,3 +184,35 @@ def test_extract_html_malformed():
     assert extract_text_from_html(
         b"<script>var a='<p>x</p>';</script>done") == "done"
     assert extract_text_from_html(b"") == ""
+
+
+def test_extract_text_column_matches_scalar():
+    """Vectorized RE2 extraction chain == scalar python extraction,
+    byte-for-byte, over arbitrary html-ish unicode (including binary
+    payloads with invalid utf-8)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from merge_machine_ray.functions.normalize import (
+        extract_text_column,
+        extract_text_from_html,
+    )
+
+    frag = st.sampled_from(
+        ["<script>x=1</script>", "<STYLE a>.c{}</style  >", "<!--c-->",
+         "<p class='x'>", "</p>", "&amp;", "&nbsp;", "&euro;", "text",
+         "é　ü", "<b", "> ", "\n\t", "&bogus;", " ", " "])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.lists(frag, max_size=12).map("".join), max_size=6))
+    def check(docs):
+        col = pa.array(docs, pa.string())
+        assert extract_text_column(col).to_pylist() == \
+            [extract_text_from_html(d) for d in docs]
+
+    check()
+
+    bcol = pa.array([b"\xff\xfe<p>ok</p>", b"<i>a</i>", None], pa.binary())
+    assert extract_text_column(bcol).to_pylist() == \
+        [extract_text_from_html(b) for b in bcol.to_pylist()]
