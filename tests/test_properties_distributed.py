@@ -1,0 +1,154 @@
+"""Randomized-input parity for the distributed operators: each Ray
+pipeline must reproduce a straightforward python reference on arbitrary
+small inputs (hypothesis-driven, few examples — each example runs a
+real Ray pipeline)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(max_examples=6, deadline=None,
+                 suppress_health_check=list(HealthCheck))
+
+
+def test_block_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.pairs import block_pairs
+
+    @settings(**_SETTINGS)
+    @given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 30)),
+                    min_size=1, max_size=120))
+    def check(rows):
+        t = pa.table({"band_key": pa.array([k for k, _ in rows], pa.int64()),
+                      "id": pa.array([i for _, i in rows], pa.int64())})
+        got = {(r["a"], r["b"]) for r in
+               block_pairs(rd.from_arrow(t), block_cap=1000,
+                           num_buckets=4).take_all()}
+        want = set()
+        by_band = {}
+        for k, i in rows:
+            by_band.setdefault(k, set()).add(i)
+        for ids in by_band.values():
+            s = sorted(ids)
+            for x in range(len(s)):
+                for y in range(x + 1, len(s)):
+                    want.add((s[x], s[y]))
+        assert got == want
+
+    check()
+
+
+def test_asof_join_matches_reference(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.asof import asof_join
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    @settings(**_SETTINGS)
+    @given(
+        st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)),
+                 min_size=1, max_size=40),
+        st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50),
+                           st.integers(0, 9)),
+                 min_size=1, max_size=40))
+    def check(left, right):
+        lt = pa.table({
+            "k": pa.array([k for k, _ in left], pa.int64()),
+            "ts": pa.array([ts0 + np.timedelta64(s, "s") for _, s in left],
+                           pa.timestamp("us")),
+            "lv": pa.array(list(range(len(left))), pa.int64())})
+        rt = pa.table({
+            "k": pa.array([k for k, _, _ in right], pa.int64()),
+            "ts": pa.array([ts0 + np.timedelta64(s, "s")
+                            for _, s, _ in right], pa.timestamp("us")),
+            "rv": pa.array([v for _, _, v in right], pa.int64())})
+        out = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), key="k",
+                        ts="ts", left_cols=["lv"], right_cols=["rv"],
+                        right_tiebreak="rv").take_all()
+        got = {r["lv"]: r["rv_r"] for r in out}
+        for li, (k, s) in enumerate(left):
+            cands = [(s2, v) for k2, s2, v in right if k2 == k and s2 <= s]
+            want = max(cands)[1] if cands else None
+            assert got[li] == want, (li, k, s, cands)
+        assert len(got) == len(left)
+
+    check()
+
+
+def test_sessions_matches_reference(ray_session):
+    """Bucketed numpy sessionization == per-user python reference."""
+    import duckdb  # noqa: F401  (env sanity: same engine the oracle uses)
+
+    from merge_machine_ray.pipelines import queries as Q
+
+    @settings(**_SETTINGS)
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 400)),
+                    min_size=1, max_size=80))
+    def check(rows):
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+        t = pa.table({
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([ts0 + np.timedelta64(m, "m") for _, m in rows],
+                           pa.timestamp("us"))})
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            got = {(r["user_id"], r["session_idx"]):
+                   (r["n_events"], r["t_start"])
+                   for r in Q.events_sessions(d, gap_minutes=30).take_all()}
+        want = {}
+        for u in {u for u, _ in rows}:
+            times = sorted(m for uu, m in rows if uu == u)
+            sess, start, prev, n = 0, None, None, 0
+            for m in times:
+                if prev is None or m - prev > 30:
+                    if sess:
+                        want[(u, sess)] = (n, start)
+                    sess += 1
+                    start, n = m, 0
+                n += 1
+                prev = m
+            want[(u, sess)] = (n, start)
+        assert len(got) == len(want)
+        for (u, s), (n, m) in want.items():
+            gn, gt = got[(u, s)]
+            assert gn == n
+            assert np.datetime64(gt, "us") == ts0 + np.timedelta64(m, "m")
+
+    check()
+
+
+def test_distributed_cc_random_graphs(ray_session):
+    """Distributed star rounds == driver union-find on random graphs."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.clustering import (
+        _distributed_components,
+        _driver_components,
+    )
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                    min_size=1, max_size=80))
+    def check(raw):
+        edges = [(min(a, b), max(a, b)) for a, b in raw if a != b]
+        if not edges:
+            return
+        t = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                      "b": pa.array([b for _, b in edges], pa.int64())})
+        want = {r["doc_id"]: r["cluster_id"]
+                for r in _driver_components(rd.from_arrow(t)).to_pylist()}
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in _distributed_components(rd.from_arrow(t)).take_all()}
+        assert got == want
+
+    check()
