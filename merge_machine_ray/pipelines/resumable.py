@@ -14,6 +14,15 @@ Lineage: each stage manifest records the input fingerprint (upstream
 manifest fingerprint + file list) and the config fingerprint (params).
 Changing either invalidates that stage and everything downstream, so a
 resume can never mix stale partitions (SURVEY.md §7.4).
+
+Design note: this pipeline deliberately keeps the CARRY-style band
+checkpoint (band rows store the scoring features) even though the
+streaming pipeline defaults to the lighter attach="join" — here the
+bands parquet is the recovery unit, and carrying features makes each
+edge bucket-range re-scoreable in isolation without a features
+re-attach join per resumed partition. The trade-off buys partition-
+local recovery at the cost of a fatter bands checkpoint on disk (not a
+shuffle: bands are written shard-parallel, never sorted globally).
 """
 
 from __future__ import annotations
