@@ -38,3 +38,28 @@ def test_bucket_hash_join_empty_sides(ray_session):
                                     "y": pa.array(["z"])}))
     out = bucket_hash_join(left, right, "a", "doc_id", num_buckets=2)
     assert out.count() == 0
+
+
+def test_minhash_dedup_keep_anti_join_path(ray_session):
+    """broadcast_drop_limit=0 forces the bucketed anti-join branch (the
+    100 TB path); it must keep exactly the same docs as the broadcast
+    pc.is_in branch."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.dedup import minhash_dedup_keep
+
+    rows = []
+    for i in range(40):
+        text = f"the quick brown fox jumps over dog number {i} " \
+               f"with unique content token u{i}"
+        rows.append({"doc_id": i, "text": text})
+        if i % 4 == 0:  # plant exact near-dup copies
+            rows.append({"doc_id": 1000 + i, "text": text})
+    ds = rd.from_items(rows)
+    kept_bc = sorted(r["doc_id"] for r in minhash_dedup_keep(
+        ds, jaccard_threshold=0.8).take_all())
+    kept_aj = sorted(r["doc_id"] for r in minhash_dedup_keep(
+        ds, jaccard_threshold=0.8, broadcast_drop_limit=0).take_all())
+    assert kept_bc == kept_aj
+    assert len(kept_bc) == 40                 # one per distinct text
+    assert all(d < 1000 for d in kept_bc)     # min-id representative kept
