@@ -266,6 +266,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sliding_3h(sf_dir: str):
+    """SLIDING-window aggregate (completes the window family beside the
+    tumbling events_hourly and gap-based events_sessions): per hour,
+    the event count over the trailing 3-hour window. Ray shape:
+    per-batch PARTIAL hour counts (combiner) → one small groupby over
+    the bounded hour domain → vectorized trailing-window sum over the
+    sorted hour axis (searchsorted + prefix sums — the hour table is
+    tiny regardless of corpus size, so this final pass is safe
+    anywhere)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t["ts"], unit="hour").to_numpy(
+            zero_copy_only=False)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"hour": pa.array(uniq),
+                         "pc": pa.array(cnt.astype(np.int64))})
+
+    hourly = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour").aggregate(Sum("pc", alias_name="n_events"))
+    tbl = pa.concat_tables(
+        list(hourly.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    h = tbl["hour"].to_numpy(zero_copy_only=False)
+    n = tbl["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(h)
+    h, n = h[o], n[o]
+    csum = np.concatenate(([0], np.cumsum(n)))
+    lo = np.searchsorted(h, h - np.timedelta64(2, "h"), side="left")
+    w3h = csum[np.arange(1, h.size + 1)] - csum[lo]
+    return pa.table({"hour": pa.array(h),
+                     "n_events": pa.array(n),
+                     "n_events_3h": pa.array(w3h.astype(np.int64))})
+
+
+EVENTS_SLIDING_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT hour, n_events,
+       CAST(sum(n_events) OVER (
+         ORDER BY hour
+         RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_events_3h
+FROM hourly
+"""
+
+
 def distinct_types_per_user(sf_dir: str, num_buckets: int | None = None):
     """count(distinct) scale-safe: per-batch PARTIAL distinct
     (user, type) pairs (dictionary-coded, one lexsort per batch — the
@@ -963,6 +1013,7 @@ def build_queries() -> dict:
         "top10_orders": top10_orders,
         "topk_per_priority": topk_per_priority,
         "events_hourly": events_hourly,
+        "events_sliding_3h": events_sliding_3h,
         "distinct_types_per_user": distinct_types_per_user,
         "events_sessions": events_sessions,
         "parts_by_brand": parts_by_brand,
@@ -1001,6 +1052,7 @@ def build_oracle_sql() -> dict:
         "top10_orders": TOP10_ORDERS_SQL,
         "topk_per_priority": TOPK_PER_PRIORITY_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "events_sliding_3h": EVENTS_SLIDING_SQL,
         "distinct_types_per_user": DISTINCT_TYPES_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "parts_by_brand": PARTS_BY_BRAND_SQL,
