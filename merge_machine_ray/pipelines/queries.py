@@ -133,7 +133,7 @@ def revenue_by_segment(sf_dir: str):
 
 REVENUE_BY_SEGMENT_SQL = """
 SELECT c_mktsegment,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(count(*) AS BIGINT)    AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment

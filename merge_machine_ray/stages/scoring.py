@@ -22,6 +22,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from merge_machine_ray.functions.similarity import jaro_winkler
 from merge_machine_ray.state.params import MatchParams
@@ -35,8 +36,17 @@ class PairScorer:
 
     Input: candidate-pair rows with per-side features (suffix ``_a`` /
     ``_b``): tok_hashes, and optionally url / host / lang. Output: the
-    pair ids (+urls when present) + per-field similarities + weighted
-    ``score`` + ``is_match``. Missing or empty fields contribute 0.
+    pair ids + per-field similarities + weighted ``score`` +
+    ``is_match``. Missing or empty fields contribute 0.
+
+    FULLY vectorized across the batch (the LinkScorer flat form,
+    pipelines/linking.py:458): both sides' ragged token lists are
+    deduped per row with ONE lexsort, IDF is one searchsorted over the
+    flat uniques, norms accumulate with ``np.add.at`` (element-
+    sequential → deterministic), and the per-pair sparse dot products /
+    set intersections come from one lexsort + adjacent-equal merge.
+    Jaro-Winkler runs once per DISTINCT string pair (dictionary-encode
+    + cross-batch cache — the reference's ref_id_to_data cache, ST2).
     """
 
     def __init__(self, idf_ref=None, params: dict | MatchParams | None = None):
@@ -52,6 +62,7 @@ class PairScorer:
             self.idf_vals = idf["vals"]
             self.default_idf = float(idf["default"])
         self.params = MatchParams.from_any(params)
+        self._jw_cache: dict[tuple[str, str], float] = {}
 
     def _weights(self, hashes) -> tuple[np.ndarray, np.ndarray, float]:
         """→ (sorted unique hashes, tf·idf weights, vector norm) — fully
@@ -71,14 +82,87 @@ class PairScorer:
         w = counts * idf
         return uniq, w, float(np.sqrt((w * w).sum()))
 
+    def _idf_of(self, vals: np.ndarray) -> np.ndarray:
+        """IDF lookup for a flat hash array (searchsorted + hit check)."""
+        if self.idf_keys.size and vals.size:
+            pos = np.searchsorted(self.idf_keys, vals).clip(
+                max=self.idf_keys.size - 1)
+            hit = self.idf_keys[pos] == vals
+            return np.where(hit, self.idf_vals[pos], self.default_idf)
+        return np.full(vals.size, self.default_idf)
+
+    @staticmethod
+    def _row_unique(offsets: np.ndarray, values: np.ndarray, n: int):
+        """Flat list column → per-row sorted-unique entries with counts:
+        (row_ids, uniq_vals, counts), ascending by (row, hash). One
+        lexsort over the whole batch — the vectorized replacement for a
+        per-row ``np.unique`` (LinkScorer's flat form, linking.py:458)."""
+        if values.size == 0:
+            return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        o = np.lexsort((values, rows))
+        r, v = rows[o], values[o]
+        first = np.concatenate(
+            ([True], (r[1:] != r[:-1]) | (v[1:] != v[:-1])))
+        starts = np.flatnonzero(first)
+        cnts = np.diff(np.concatenate((starts, [r.size])))
+        return r[starts], v[starts], cnts
+
+    @staticmethod
+    def _merge_dot(rows_a, keys_a, w_a, rows_b, keys_b, w_b, n):
+        """Per-row sparse dot product of two flat (row, key, weight)
+        sets by ONE lexsort + adjacent-equal merge (no per-pair python).
+        ``np.add.at`` accumulates element-sequentially in ascending
+        (row, hash) order — deterministic, matches a scalar loop."""
+        R = np.concatenate((rows_a, rows_b))
+        K = np.concatenate((keys_a, keys_b))
+        S = np.concatenate((np.zeros(rows_a.size, np.int8),
+                            np.ones(rows_b.size, np.int8)))
+        W = np.concatenate((w_a, w_b))
+        o = np.lexsort((S, K, R))
+        Ro, Ko, So, Wo = R[o], K[o], S[o], W[o]
+        m = ((Ro[1:] == Ro[:-1]) & (Ko[1:] == Ko[:-1])
+             & (So[:-1] == 0) & (So[1:] == 1))
+        num = np.zeros(n)
+        if m.any():
+            np.add.at(num, Ro[:-1][m], Wo[:-1][m] * Wo[1:][m])
+        return num
+
+    def _jw_col(self, batch: pa.Table, name_a: str, name_b: str,
+                n: int) -> np.ndarray:
+        """Vectorized Jaro-Winkler column: dictionary-encode the
+        distinct (a, b) string pairs (docs repeat across pairs — the
+        reference's ref_id_to_data cache, ST2), compute JW once per
+        distinct pair through the cross-batch cache, scatter back."""
+        ca, cb = batch[name_a], batch[name_b]
+        valid = pc.and_kleene(
+            pc.and_kleene(ca.is_valid(), cb.is_valid()),
+            pc.and_kleene(pc.not_equal(ca, ""), pc.not_equal(cb, "")))
+        mask = pc.fill_null(valid, False).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return np.zeros(n)
+        combined = pc.binary_join_element_wise(
+            pc.fill_null(ca, ""), pc.fill_null(cb, ""), "\x00")
+        if isinstance(combined, pa.ChunkedArray):
+            combined = combined.combine_chunks()
+        enc = combined.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vals = np.empty(len(enc.dictionary))
+        for j, s in enumerate(enc.dictionary.to_pylist()):
+            x, y = s.split("\x00", 1)
+            key = (x, y) if x <= y else (y, x)
+            got = self._jw_cache.get(key)
+            if got is None:
+                got = jaro_winkler(x, y)
+                self._jw_cache[key] = got
+            vals[j] = got
+        return np.where(mask, vals[codes], 0.0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.params
         batch = batch.combine_chunks()
         n = batch.num_rows
         names = set(batch.column_names)
-
-        def col(name):
-            return batch[name].to_pylist() if name in names else None
 
         def list_col(name):
             """list<int32/64> column → (offsets, values) numpy views —
@@ -93,78 +177,57 @@ class PairScorer:
 
         toks_a, toks_b = list_col("tok_hashes_a"), list_col("tok_hashes_b")
         ints_a, ints_b = list_col("int_hashes_a"), list_col("int_hashes_b")
-        path_a, path_b = col("path_a"), col("path_b")
-        host_a, host_b = col("host_a"), col("host_b")
-        lang_a, lang_b = col("lang_a"), col("lang_b")
 
-        ids_a = batch["a"].to_pylist()
-        ids_b = batch["b"].to_pylist()
         sim_text = np.zeros(n)
         sim_ints = np.zeros(n)
         sim_host = np.zeros(n)
         sim_url = np.zeros(n)
         sim_lang = np.zeros(n)
-        # memoize per-doc tf·idf weights by doc id within the batch (docs
-        # repeat across pairs — the reference's ref_id_to_data cache, ST2)
-        cache: dict[int, tuple[np.ndarray, np.ndarray, float]] = {}
-        jw_cache: dict[tuple[str, str], float] = {}
 
-        def weights(doc_id: int, lc, i: int):
-            got = cache.get(doc_id)
-            if got is None:
-                offsets, values = lc
-                got = self._weights(values[offsets[i]:offsets[i + 1]])
-                cache[doc_id] = got
-            return got
+        # -- tf·idf cosine over token hashes: flat lexsort-merge form --
+        if toks_a is not None and n:
+            ra, va, ca_cnt = self._row_unique(toks_a[0], toks_a[1], n)
+            rb, vb, cb_cnt = self._row_unique(toks_b[0], toks_b[1], n)
+            wa = ca_cnt * self._idf_of(va)
+            wb = cb_cnt * self._idf_of(vb)
+            na2 = np.zeros(n)
+            nb2 = np.zeros(n)
+            np.add.at(na2, ra, wa * wa)
+            np.add.at(nb2, rb, wb * wb)
+            denom = np.sqrt(na2) * np.sqrt(nb2)
+            num = self._merge_dot(ra, va, wa, rb, vb, wb, n)
+            np.divide(num, denom, out=sim_text, where=denom > 0)
 
-        def jw(x: str, y: str) -> float:
-            key = (x, y) if x <= y else (y, x)
-            got = jw_cache.get(key)
-            if got is None:
-                got = jaro_winkler(x, y)
-                jw_cache[key] = got
-            return got
-
-        if ints_a is not None:
+        # -- integers-analyzer Jaccard: int_hashes are pre-sorted unique
+        # sets (featurize), so counts are 1 and the merge counts the
+        # intersection directly --
+        if ints_a is not None and n:
             io_a, iv_a = ints_a
             io_b, iv_b = ints_b
-        for i in range(n):
-            ua, wa, na = weights(ids_a[i], toks_a, i)
-            ub, wb, nb = weights(ids_b[i], toks_b, i)
-            if na > 0 and nb > 0:
-                # sorted-unique intersection via ONE searchsorted — no
-                # concat+argsort per pair (np.intersect1d's constant)
-                if ua.size <= ub.size:
-                    pos = np.searchsorted(ub, ua).clip(max=ub.size - 1)
-                    hit = ub[pos] == ua
-                    if hit.any():
-                        sim_text[i] = float(wa[hit] @ wb[pos[hit]]) \
-                            / (na * nb)
-                else:
-                    pos = np.searchsorted(ua, ub).clip(max=ua.size - 1)
-                    hit = ua[pos] == ub
-                    if hit.any():
-                        sim_text[i] = float(wb[hit] @ wa[pos[hit]]) \
-                            / (na * nb)
-            if ints_a is not None:
-                la = iv_a[io_a[i]:io_a[i + 1]]
-                lb = iv_b[io_b[i]:io_b[i + 1]]
-                if la.size and lb.size:
-                    # int_hashes are pre-sorted unique sets (featurize)
-                    if la.size > lb.size:
-                        la, lb = lb, la
-                    pos = np.searchsorted(lb, la).clip(max=lb.size - 1)
-                    inter = int((lb[pos] == la).sum())
-                    if inter:
-                        sim_ints[i] = inter / (la.size + lb.size - inter)
-            if host_a is not None and host_a[i] and host_b[i]:
-                sim_host[i] = jw(host_a[i], host_b[i])
-            if path_a is not None and path_a[i] and path_b[i]:
-                # JW over the pre-truncated url path (featurize keeps
-                # exactly the 24-char slice JW consumes)
-                sim_url[i] = jw(path_a[i], path_b[i])
-            if lang_a is not None and lang_a[i] and lang_a[i] == lang_b[i]:
-                sim_lang[i] = 1.0
+            sz_a = np.diff(io_a).astype(np.float64)
+            sz_b = np.diff(io_b).astype(np.float64)
+            rows_ia = np.repeat(np.arange(n, dtype=np.int64), np.diff(io_a))
+            rows_ib = np.repeat(np.arange(n, dtype=np.int64), np.diff(io_b))
+            inter = self._merge_dot(
+                rows_ia, iv_a.astype(np.int64, copy=False),
+                np.ones(iv_a.size),
+                rows_ib, iv_b.astype(np.int64, copy=False),
+                np.ones(iv_b.size), n)
+            union = sz_a + sz_b - inter
+            np.divide(inter, union, out=sim_ints, where=union > 0)
+
+        if "host_a" in names and n:
+            sim_host = self._jw_col(batch, "host_a", "host_b", n)
+        if "path_a" in names and n:
+            # JW over the pre-truncated url path (featurize keeps
+            # exactly the 24-char slice JW consumes)
+            sim_url = self._jw_col(batch, "path_a", "path_b", n)
+        if "lang_a" in names and n:
+            la, lb = batch["lang_a"], batch["lang_b"]
+            eq = pc.and_kleene(pc.equal(la, lb), pc.not_equal(la, ""))
+            sim_lang = pc.fill_null(eq, False) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+
         score = (p.w_text * sim_text + p.w_ints * sim_ints
                  + p.w_host * sim_host
                  + p.w_url * sim_url + p.w_lang * sim_lang)
