@@ -20,9 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def entry() -> Any:
     """Flagship ER pipeline on sf0.001: pages-style resolution over the
     documents table (doc_id/text/lang) → (doc_id, cluster_id)."""
-    from merge_machine_ray.pipelines.queries import er_documents
+    from merge_machine_ray.pipelines.queries import er_documents_full
 
-    return er_documents("/root/testdata/sf0.001")
+    return er_documents_full("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

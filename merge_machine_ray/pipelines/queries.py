@@ -556,13 +556,108 @@ def unique_langs(sf_dir: str):
 UNIQUE_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
 
 
-# --------------------------------------------- non-SQL (rows-only checked)
+# ------------------------------------------------- planted-twin oracles
+# Near-dup / fingerprint / ER math is not SQL-expressible (64-bit
+# wraparound hash families, LSH, transitive closure over approximate
+# pairs). The driver-checkable slice is the PLANTED relation: re-emit
+# every k-th doc under doc_id+offset, optionally through a transform the
+# operator is provably invariant to — those pairs MUST surface through
+# the full distributed machinery, and the SQL twin enumerates them.
+# The full (unplanted) outputs stay pytest-verified against brute-force
+# references (tests/test_dedup.py, test_textstats.py, test_er_*).
+_PLANT_EVERY = 20
+_PLANT_OFFSET = 100_000
+
+
+def _plant_doc_twins(ds, transform=None, every: int = _PLANT_EVERY,
+                     offset: int = _PLANT_OFFSET):
+    """Deterministic duplicate planting (the embedding-oracle trick,
+    ``embedding_near_dups``): every ``every``-th row is re-emitted under
+    ``doc_id + offset``, optionally with a text ``transform`` the
+    operator under test is provably invariant to."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % every == 0
+        if not m.any():
+            return t
+        sel = t.filter(pa.array(m))
+        cols = {}
+        for name in t.column_names:
+            if name == "doc_id":
+                cols[name] = pa.array(
+                    sel["doc_id"].to_numpy(zero_copy_only=False) + offset)
+            elif name == "text" and transform is not None:
+                cols[name] = pa.array(
+                    [transform(x) for x in sel["text"].to_pylist()],
+                    pa.string())
+            else:
+                cols[name] = sel[name]
+        twin = pa.table(cols).select(t.column_names).cast(t.schema)
+        return pa.concat_tables([t, twin]).combine_chunks()
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def _planted_equal_pairs(kv_ds, val_col: str, every: int = _PLANT_EVERY,
+                         offset: int = _PLANT_OFFSET):
+    """(doc_id, value) over a twin-planted corpus → ``(id_a, id_b)`` for
+    every planted pair whose two rows carry EQUAL values. Distributed
+    shape: bucket by the base id (original and twin co-locate), one
+    lexsort + adjacent-compare pass per bucket — at most 2 rows share a
+    base id, so equal-adjacent IS the pair test."""
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    num_buckets = auto_buckets(kv_ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            ((ids % offset) % num_buckets).astype(np.int32)))
+
+    def emit(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        vals = g[val_col].to_numpy(zero_copy_only=False)
+        base = ids % offset
+        is_twin = ids >= offset
+        o = np.lexsort((is_twin, base))
+        b, tw, v, idv = base[o], is_twin[o], vals[o], ids[o]
+        m = (b[1:] == b[:-1]) & ~tw[:-1] & tw[1:] & (v[1:] == v[:-1])
+        return pa.table({"id_a": pa.array(idv[:-1][m]),
+                         "id_b": pa.array(idv[1:][m])})
+
+    return (kv_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(emit, batch_format="pyarrow"))
+
+
+_PLANTED_PAIRS_SQL = f"""
+SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b
+FROM documents WHERE doc_id % {_PLANT_EVERY} = 0
+"""
+
+
 def doc_fingerprints(sf_dir: str):
+    """Winnowing fingerprint with a planted-twin driver oracle: every
+    20th doc is re-emitted under doc_id+100000 through a WHITESPACE-ONLY
+    transform (tabs + doubled/leading/trailing spaces). The fingerprint
+    normalizes ``' '.join(s.split()).lower()`` first, so the twin's
+    fingerprint provably equals its base's — each planted pair must come
+    out value-equal through the distributed pass; the SQL twin
+    enumerates the planted relation. (Fingerprint VALUES are a 63-bit
+    rolling polynomial hash — not SQL-expressible; the value math is
+    pinned by tests/test_textstats.py.)"""
     from merge_machine_ray.stages.textstats import fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(lambda t: fingerprint(t), batch_format="pyarrow") \
+    planted = _plant_doc_twins(
+        ds, transform=lambda s: "  " + (s or "").replace(" ", " \t") + " ")
+    fp = planted.map_batches(lambda t: fingerprint(t),
+                             batch_format="pyarrow") \
         .select_columns(["doc_id", "fingerprint"])
+    return _planted_equal_pairs(fp, "fingerprint")
+
+
+DOC_FINGERPRINTS_SQL = _PLANTED_PAIRS_SQL
 
 
 def lang_id_pred(sf_dir: str):
@@ -714,10 +809,32 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 
 
 def simhash_near_dups(sf_dir: str):
+    """SimHash near-dup with a planted-twin driver oracle: every 20th
+    doc is re-emitted VERBATIM under doc_id+100000 — identical text ⇒
+    identical 64-bit signature ⇒ hamming 0, so each planted pair must
+    surface through the full banding/verify machinery. Output is the
+    pair list restricted to the planted relation (the only subset SQL
+    can prove; arbitrary hamming≤8 needs 64-bit wraparound multiplies
+    DuckDB lacks — the full pair math is pytest-verified against a
+    brute-force reference instead). ``block_cap`` is raised above the
+    test-corpus size so cap truncation (a documented recall bound at
+    scale) can't hide a planted pair."""
     from merge_machine_ray.stages.dedup import simhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=8)
+    pairs = simhash_near_dup_pairs(_plant_doc_twins(ds), max_hamming=8,
+                                   block_cap=8192)
+
+    def planted_only(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        m = (b - a == _PLANT_OFFSET) & (a % _PLANT_EVERY == 0)
+        return pa.table({"id_a": pa.array(a[m]), "id_b": pa.array(b[m])})
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow")
+
+
+SIMHASH_NEAR_DUPS_SQL = _PLANTED_PAIRS_SQL
 
 
 def embedding_near_dups(sf_dir: str):
@@ -804,8 +921,11 @@ WHERE rank <= 5
 """
 
 
-def er_documents(sf_dir: str):
-    """Flagship ER on the documents table (text-only features)."""
+def er_documents_full(sf_dir: str):
+    """Flagship ER on the documents table (text-only features): full
+    (doc_id, cluster_id) assignment for every input row. This is the
+    ``entry()`` surface; ``er_documents`` wraps the same pipeline in the
+    planted-twin driver oracle."""
     from merge_machine_ray.pipelines.entity_resolution import resolve_entities
     from merge_machine_ray.state.params import MatchParams
 
@@ -813,6 +933,37 @@ def er_documents(sf_dir: str):
     p = MatchParams(w_text=0.9, w_ints=0.0, w_url=0.0, w_host=0.0,
                     w_lang=0.1, threshold=0.8)
     return resolve_entities(ds, p, id_col="doc_id", text_col="text")
+
+
+def er_documents(sf_dir: str):
+    """Flagship ER on the documents table with a planted-twin driver
+    oracle (the reference's conformance-corpus analog, SURVEY §5): every
+    20th doc is re-emitted VERBATIM under doc_id+100000 and the FULL
+    pipeline runs (featurize → minhash-LSH blocking → tf·idf scoring →
+    transitive clustering, the north rule). Identical text ⇒ identical
+    minhash signature ⇒ co-blocked in every band; sim_text = 1.0 and
+    sim_lang = 1.0 ⇒ score 1.0 ≥ threshold ⇒ a direct edge ⇒ provable
+    cluster CO-MEMBERSHIP. Output is the planted pairs that ended
+    co-clustered; the SQL twin enumerates the planted relation, so a
+    missed pair (broken blocking, scoring, or clustering) is a driver
+    hash fail. ``block_cap`` is raised above the test-corpus size so cap
+    truncation (a documented recall bound at scale) can't mask a planted
+    pair via an under-threshold star edge. Cluster LABELS are
+    representative-elected (arbitrary) — co-membership is the provable
+    slice; full assignments stay pytest-verified."""
+    from merge_machine_ray.pipelines.entity_resolution import resolve_entities
+    from merge_machine_ray.state.params import MatchParams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    p = MatchParams(w_text=0.9, w_ints=0.0, w_url=0.0, w_host=0.0,
+                    w_lang=0.1, threshold=0.8, block_cap=8192)
+    assign = resolve_entities(_plant_doc_twins(ds), p,
+                              id_col="doc_id", text_col="text") \
+        .select_columns(["doc_id", "cluster_id"])
+    return _planted_equal_pairs(assign, "cluster_id")
+
+
+ER_DOCUMENTS_SQL = _PLANTED_PAIRS_SQL
 
 
 
@@ -1032,14 +1183,15 @@ def build_queries() -> dict:
         "ann_topk": ann_topk,
         "link_suppliers_to_nations": link_suppliers_to_nations,
         "lang_id_pred": lang_id_pred,
-        # rows-only (non-SQL-expressible distributed ops: custom 64-bit
-        # hash families need wraparound multiplies SQL lacks)
         "doc_fingerprints": doc_fingerprints,
         "minhash_near_dups": minhash_near_dups,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "simhash_near_dups": simhash_near_dups,
         "embedding_near_dups": embedding_near_dups,
         "er_documents": er_documents,
+        # rows-only: reads a generated fixture corpus the driver's
+        # DuckDB views can't see (er_documents carries the planted-twin
+        # ER oracle over the registered documents table instead)
         "er_pages_fixture": er_pages_fixture,
     }
 
@@ -1072,5 +1224,8 @@ def build_oracle_sql() -> dict:
         "lang_id_pred": LANG_ID_SQL,
         "minhash_near_dups": MINHASH_NEAR_DUPS_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+        "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
+        "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+        "er_documents": ER_DOCUMENTS_SQL,
     }

@@ -89,6 +89,25 @@ def test_rows_only_queries_run(ray_session):
         assert len(df) >= 0
 
 
+def test_planted_oracle_detects_content_change(ray_session):
+    """Negative control for the planted-twin oracles: a twin with a REAL
+    content edit (not the whitespace-only transform the fingerprint is
+    invariant to) must drop planted pairs — i.e. the oracle can fail."""
+    from merge_machine_ray.pipelines import queries as Q
+    from merge_machine_ray.stages.textstats import fingerprint
+
+    ds = Q._read(SF_DIR, "documents", ["doc_id", "text"])
+    n_planted = len(_duck(Q._PLANTED_PAIRS_SQL))
+    planted = Q._plant_doc_twins(
+        ds, transform=lambda s: (s or "")[::-1])  # every window changes
+    fp = planted.map_batches(lambda t: fingerprint(t),
+                             batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+    pairs = _to_pandas(Q._planted_equal_pairs(fp, "fingerprint"))
+    assert n_planted > 0
+    assert len(pairs) < n_planted
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as e
 
