@@ -13,7 +13,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from merge_machine_ray.stages.blocking import candidate_pairs
-from merge_machine_ray.stages.clustering import connected_components
+from merge_machine_ray.stages.clustering import (attach_assignments,
+                                                 connected_components)
 from merge_machine_ray.stages.idf import build_idf_table
 from merge_machine_ray.stages.normalize_stage import featurize
 from merge_machine_ray.stages.scoring import score_pairs
@@ -90,53 +91,6 @@ def resolve_entities(ds, params=None, id_col: str = "url",
     assign = connected_components(edges, mode=cc_mode)
     keep = ["url", "doc_id"] if "url" in schema.names else ["doc_id"]
     docs = features.select_columns(keep)
-
-    # The assignment table covers only docs in the match graph (≪ corpus:
-    # one row per duplicated doc). Broadcast it once as SORTED numpy
-    # arrays (zero-copy ray.put) and fill cluster_id = own doc_id for
-    # singletons with a vectorized searchsorted probe in stateless tasks
-    # — the J6 "re-duplication join" pattern without a corpus-wide
-    # shuffle. Above the broadcast cutoff, a bucketed left hash join
-    # takes over (no driver- or worker-resident full map).
-    import numpy as np
-
-    n_assign = assign.count()
-    if n_assign > 50_000_000:
-        from merge_machine_ray.stages.joins import bucket_hash_join
-
-        joined = bucket_hash_join(docs, assign, "doc_id", "doc_id",
-                                  num_buckets=256, how="left")
-
-        def fill_nulls(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            cl = pc.coalesce(batch["cluster_id"], batch["doc_id"])
-            return batch.set_column(
-                batch.column_names.index("cluster_id"), "cluster_id", cl)
-
-        return joined.map_batches(fill_nulls, batch_format="pyarrow")
-
-    parts = [(b["doc_id"].to_numpy(zero_copy_only=False),
-              b["cluster_id"].to_numpy(zero_copy_only=False))
-             for b in assign.iter_batches(batch_size=262144,
-                                          batch_format="pyarrow")]
-    if parts:
-        keys = np.concatenate([p[0] for p in parts])
-        vals = np.concatenate([p[1] for p in parts])
-        order = np.argsort(keys)
-        keys, vals = keys[order], vals[order]
-    else:
-        keys = vals = np.empty(0, dtype=np.int64)
-    assign_ref = ray.put((keys, vals))
-
-    def fill_cluster(batch: pa.Table) -> pa.Table:
-        k, v = ray.get(assign_ref)  # zero-copy shared-memory read
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        cl = ids.copy()
-        if k.size:
-            pos = np.searchsorted(k, ids).clip(max=k.size - 1)
-            hit = k[pos] == ids
-            cl[hit] = v[pos[hit]]
-        return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
-
-    return docs.map_batches(fill_cluster, batch_format="pyarrow")
+    # Singleton fill / re-duplication join: stages.clustering.attach_assignments
+    # (size-aware broadcast searchsorted probe vs bucketed left hash join).
+    return attach_assignments(docs, assign)

@@ -764,6 +764,42 @@ SELECT id_a, id_b, jaccard_micro FROM jac WHERE jaccard_micro >= 500000
 """
 
 
+def cluster_exact_jaccard(sf_dir: str):
+    """North-rule transitive clustering, FULLY driver-checked: exact
+    n-gram-Jaccard pairs (the hash-matched postings join) → connected
+    components (labels = component min id, deterministic) → complete
+    (doc_id, cluster_id) coverage with singleton fill. Unlike the
+    planted-twin ER oracles (provable subset only), the DuckDB twin here
+    recomputes the whole transitive closure with a recursive CTE, so the
+    clustering math itself is value-checked end to end."""
+    from merge_machine_ray.stages.clustering import (attach_assignments,
+                                                     connected_components)
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = ngram_jaccard_pairs(ds, threshold_micro=500_000) \
+        .select_columns(["id_a", "id_b"]) \
+        .rename_columns({"id_a": "a", "id_b": "b"})
+    assign = connected_components(edges)
+    return attach_assignments(ds.select_columns(["doc_id"]), assign)
+
+
+CLUSTER_EXACT_JACCARD_SQL = (
+    _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks") + """
+, edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard_micro >= 500000),
+undirected AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, r) AS (
+  SELECT a AS node, b AS r FROM undirected
+  UNION
+  SELECT reach.node, u.b AS r FROM reach JOIN undirected u ON reach.r = u.a),
+comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""")
+
+
 def link_suppliers_to_nations(sf_dir: str):
     """Driver-oracle twin for the flagship LINKING pipeline
     (``pipelines.linking.link_datasets``, reference es_match.py:241-417):
@@ -1186,6 +1222,7 @@ def build_queries() -> dict:
         "doc_fingerprints": doc_fingerprints,
         "minhash_near_dups": minhash_near_dups,
         "ngram_jaccard_dups": ngram_jaccard_dups,
+        "cluster_exact_jaccard": cluster_exact_jaccard,
         "simhash_near_dups": simhash_near_dups,
         "embedding_near_dups": embedding_near_dups,
         "er_documents": er_documents,
@@ -1224,6 +1261,7 @@ def build_oracle_sql() -> dict:
         "lang_id_pred": LANG_ID_SQL,
         "minhash_near_dups": MINHASH_NEAR_DUPS_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+        "cluster_exact_jaccard": CLUSTER_EXACT_JACCARD_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,

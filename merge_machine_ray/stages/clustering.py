@@ -245,3 +245,58 @@ def connected_components(edges_ds, mode: str = "auto",
     if mode == "driver":
         return rd.from_arrow(_driver_components(edges_ds))
     return _distributed_components(edges_ds)
+
+
+def attach_assignments(docs, assign, id_col: str = "doc_id",
+                       broadcast_limit: int = 50_000_000):
+    """docs + (doc_id, cluster_id) assignment → docs with ``cluster_id``
+    (own id for rows absent from the match graph — singletons).
+
+    The assignment covers only matched docs (≪ corpus). Below
+    ``broadcast_limit`` rows it is broadcast ONCE as sorted numpy arrays
+    (zero-copy ``ray.put``) and filled with a vectorized searchsorted
+    probe in stateless tasks — the J6 "re-duplication join" pattern
+    without a corpus-wide shuffle. Above the limit, a bucketed left hash
+    join takes over (no driver- or worker-resident full map)."""
+    import ray
+
+    n_assign = assign.count()
+    if n_assign > broadcast_limit:
+        import pyarrow.compute as pc
+
+        from merge_machine_ray.stages.joins import bucket_hash_join
+
+        joined = bucket_hash_join(docs, assign, id_col, "doc_id",
+                                  num_buckets=256, how="left")
+
+        def fill_nulls(batch: pa.Table) -> pa.Table:
+            cl = pc.coalesce(batch["cluster_id"], batch[id_col])
+            return batch.set_column(
+                batch.column_names.index("cluster_id"), "cluster_id", cl)
+
+        return joined.map_batches(fill_nulls, batch_format="pyarrow")
+
+    parts = [(b["doc_id"].to_numpy(zero_copy_only=False),
+              b["cluster_id"].to_numpy(zero_copy_only=False))
+             for b in assign.iter_batches(batch_size=262144,
+                                          batch_format="pyarrow")]
+    if parts:
+        keys = np.concatenate([p[0] for p in parts])
+        vals = np.concatenate([p[1] for p in parts])
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+    else:
+        keys = vals = np.empty(0, dtype=np.int64)
+    assign_ref = ray.put((keys, vals))
+
+    def fill_cluster(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(assign_ref)  # zero-copy shared-memory read
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cl = ids.copy()
+        if k.size:
+            pos = np.searchsorted(k, ids).clip(max=k.size - 1)
+            hit = k[pos] == ids
+            cl[hit] = v[pos[hit]]
+        return batch.append_column("cluster_id", pa.array(cl, pa.int64()))
+
+    return docs.map_batches(fill_cluster, batch_format="pyarrow")
