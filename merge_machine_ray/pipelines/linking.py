@@ -634,7 +634,17 @@ def _attach_side(pairs_ds, feats_ds, on: str, suffix: str,
         t = ray.get(ref)  # zero-copy shared-memory read per worker
         ids = t["key"].to_numpy(zero_copy_only=False)
         keys = batch[on].to_numpy(zero_copy_only=False)
-        take = pa.array(np.searchsorted(ids, keys))
+        # Verify every probe hits (unique-keyed side table): a silent
+        # nearest-neighbor take would attach the WRONG row's features.
+        pos = np.searchsorted(ids, keys)
+        if ids.size:
+            pos = pos.clip(max=ids.size - 1)
+        if not ids.size or not (ids[pos] == keys).all():
+            n_miss = int((ids[pos] != keys).sum()) if ids.size else keys.size
+            raise KeyError(
+                f"_attach_side: {n_miss} ids absent from the feature "
+                "table (callers must cover every pair endpoint)")
+        take = pa.array(pos)
         out = {c: batch[c] for c in batch.column_names}
         for c in t.column_names:
             if c != "key":

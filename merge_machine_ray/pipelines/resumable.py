@@ -105,7 +105,14 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
 
     # ---- stage 3: edges per bucket-range ------------------------------
     bands_fp = fingerprint_of([in_fp, cfg_fp, "bands", num_buckets])
-    edge_ck = StageCheckpoint(out_root, "edges", bands_fp, cfg_fp)
+    # EMITTER_SEMVER salts the fingerprint with the pair-EMITTER
+    # semantics version (bumped with _emit_pairs_bucket_fn's rules), so
+    # a resume never mixes edge partitions computed under old and new
+    # emission rules — stale ones recompute instead.
+    from merge_machine_ray.stages.blocking import EMITTER_SEMVER
+
+    edge_fp = fingerprint_of([bands_fp, EMITTER_SEMVER])
+    edge_ck = StageCheckpoint(out_root, "edges", edge_fp, cfg_fp)
     range_ids = [f"r{k:04d}" for k in range(edge_ranges)]
     from merge_machine_ray.stages.blocking import (
         _FEATURE_COLS,
@@ -145,7 +152,7 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
 
     # ---- stage 4: clustering ------------------------------------------
     clus_ck = StageCheckpoint(out_root, "clusters",
-                              fingerprint_of([bands_fp, "edges"]), cfg_fp)
+                              fingerprint_of([edge_fp, "edges"]), cfg_fp)
     if not clus_ck.is_done("all"):
         from merge_machine_ray.stages.clustering import connected_components
 

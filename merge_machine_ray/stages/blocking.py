@@ -101,6 +101,14 @@ class BandKeys:
         return pa.table(cols)
 
 
+# Semantics version of the pair emitter below. BUMP whenever the set of
+# pairs it emits changes (not mere speedups): resumable checkpoints fold
+# this into the edges-stage fingerprint so partitions computed under old
+# rules recompute instead of silently mixing with new ones.
+# v2 = global over-cap set + capped-block star/chain first-band dedup.
+EMITTER_SEMVER = "edges-v2"
+
+
 def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...],
                           overcap_ref=None):
     """Per-BUCKET pair emitter, fully vectorized: one python call
@@ -190,11 +198,27 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...],
                 else:
                     # skewed block: star to the minimum + chain — O(n)
                     # edges, same connected components.
-                    idx_a.append(np.full(n - 1, uniq[0]))
-                    idx_b.append(uniq[1:])
+                    x = [np.full(n - 1, uniq[0])]
+                    y = [uniq[1:]]
                     if n > 2:
-                        idx_a.append(uniq[1:-1])
-                        idx_b.append(uniq[2:])
+                        x.append(uniq[1:-1])
+                        y.append(uniq[2:])
+                    ex, ey = np.concatenate(x), np.concatenate(y)
+                    if first_band_dedup and oc_mat is not None:
+                        # Carry mode promises ONE row per pair. A
+                        # star/chain pair that also agrees in a
+                        # non-capped band is emitted THERE (over-cap
+                        # bands don't count as agreements in the
+                        # first-band rule); among capped bands, only
+                        # the first agreeing one emits. O(edges × nb).
+                        band = int(band_idx[uniq[0]])
+                        agree = band_mat[ex] == band_mat[ey]
+                        keep_e = ~(agree & ~oc_mat[ex]).any(axis=1)
+                        keep_e &= (agree & oc_mat[ex]).argmax(axis=1) == band
+                        ex, ey = ex[keep_e], ey[keep_e]
+                    if ex.size:
+                        idx_a.append(ex)
+                        idx_b.append(ey)
 
         if idx_a:
             I = pa.array(np.concatenate(idx_a))
@@ -267,9 +291,11 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
     """features → candidate pair dataset with both sides' features
     attached (columns a, b, url_a/b, host_a/b, lang_a/b, tok_hashes_a/b).
 
-    Pairs are exact-deduplicated across bands via the first-matching-band
-    rule, except pairs from capped skewed blocks which may repeat
-    (bounded by num_bands × O(n)).
+    Pairs are exact-deduplicated across bands: the first-matching-band
+    rule for normal blocks, and for capped skewed blocks the star/chain
+    edges are emitted only by the pair's first CAPPED agreeing band and
+    only when no non-capped band already covers the pair — one row per
+    pair in carry mode too (join mode dedups by aggregate anyway).
 
     ``attach``:
       * ``"join"`` — the band shuffle moves only LIGHT rows
@@ -406,7 +432,20 @@ def attach_features(pairs_ds, feats_ds, num_buckets: int = 256,
         out = {"a": batch["a"], "b": batch["b"]}
         for side in ("a", "b"):
             keys = batch[side].to_numpy(zero_copy_only=False)
-            take = pa.array(np.searchsorted(ids, keys))
+            # Every probed id must exist in the (unique-keyed) feature
+            # table — a silent nearest-neighbor take would attach the
+            # WRONG row's features. Verify the hit, don't assume it.
+            pos = np.searchsorted(ids, keys)
+            if ids.size:
+                pos = pos.clip(max=ids.size - 1)
+            if not ids.size or not (ids[pos] == keys).all():
+                n_miss = (int((ids[pos] != keys).sum()) if ids.size
+                          else keys.size)
+                raise KeyError(
+                    f"attach_features: {n_miss} pair ids absent from the "
+                    "feature table (callers must pass a unique-doc_id "
+                    "table covering every pair endpoint)")
+            take = pa.array(pos)
             for c in feats.column_names:
                 if c != "doc_id":
                     out[f"{c}_{side}"] = feats[c].take(take)

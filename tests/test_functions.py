@@ -15,6 +15,7 @@ from merge_machine_ray.functions.minhash import (
     token_shingles,
 )
 from merge_machine_ray.functions.normalize import (
+    TRANSLIT,
     extract_text_from_html,
     normalize_column,
     normalize_text,
@@ -38,12 +39,16 @@ def test_normalize_golden():
     assert normalize_text("a b") == "a b"
 
 
-# ASCII + the pinned transliteration keys + exotic unicode whitespace
+# ASCII + ALL pinned transliteration keys (lower + upper, sourced
+# from the table itself so the property stays in sync) + exotic
+# unicode whitespace
 # (U+2009 thin space, U+3000 ideographic space, U+2028 line sep, U+00A0
 # nbsp, U+001C file sep) — the vectorized/scalar byte-identity contract
 # must hold on the full Python \s set, not just ASCII whitespace
 _ALPHABET = st.sampled_from(
     list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,;:-_'\"!?/()")
+    + sorted(set(TRANSLIT) | {u for k in TRANSLIT for u in [k.upper()]
+             if u != k and len(u) == 1})
     + ["\u2009", "\u3000", "\u2028", "\u00a0", "\u001c", "\t", "\u0085"]
 )
 
