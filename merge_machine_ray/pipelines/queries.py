@@ -459,25 +459,19 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM documents
 
 
 def idf_table(sf_dir: str):
-    """G7 corpus IDF with string tokens (partial-agg + groupby sum)."""
-    import re
+    """G7 corpus IDF with string tokens (partial-agg + groupby sum).
 
-    import ray.data as rd
+    The per-batch DF partial is the shared vectorized core in
+    stages/idf.py (Arrow lower+regex-split, dictionary-encode, one
+    lexsort run-segmentation) — no per-row python dict."""
     from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.idf import partial_df_strings
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
-    word = re.compile(r"[a-z0-9]+")
 
-    def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for s in t["text"].to_pylist():
-            for tok in set(word.findall((s or "").lower())):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table({"tok": pa.array(list(counts.keys()), pa.string()),
-                         "pdf": pa.array(list(counts.values()), pa.int64())})
-
-    dfs = ds.map_batches(partial, batch_format="pyarrow") \
+    dfs = ds.map_batches(partial_df_strings, batch_format="pyarrow") \
         .groupby("tok").aggregate(Sum("pdf", alias_name="df"))
 
     def add_idf(t: pa.Table) -> pa.Table:

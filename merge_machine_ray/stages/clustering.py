@@ -164,8 +164,6 @@ def _dedupe_edges(ds, num_buckets: int):
 
 
 def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset":
-    from ray.data.aggregate import Sum
-
     from merge_machine_ray.stages.pairs import auto_buckets
 
     n_edges = edges_ds.count()
@@ -190,16 +188,32 @@ def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset
             .groupby("bucket").map_groups(_small_star_bucket,
                                           batch_format="pyarrow")
         edges = _dedupe_edges(edges, num_buckets).materialize()
-        # convergence: content signature (count + sums of mixed endpoints)
-        def _mix(t: pa.Table) -> pa.Table:
+        # convergence: EXACT content signature — (edge count, xor-fold,
+        # wraparound sum) of per-edge mixed-endpoint hashes. Both folds
+        # are order-independent and integer-exact, so two edge sets
+        # compare equal iff their hash multisets collide (2^-128-ish),
+        # unlike the earlier rounded float sum which could in principle
+        # end a round early on a float collision.
+        def _sig_partial(t: pa.Table) -> pa.Table:
             a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
             b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            mix = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-            return pa.table({"m": pa.array((mix >> np.uint64(11)).astype(np.float64))})
+            mix = ((a * np.uint64(0x9E3779B97F4A7C15))
+                   ^ (b * np.uint64(0xC2B2AE3D27D4EB4F)))
+            mix ^= mix >> np.uint64(29)
+            x = np.bitwise_xor.reduce(mix) if mix.size else np.uint64(0)
+            s = mix.sum(dtype=np.uint64)  # natural 2^64 wraparound
+            return pa.table({"x": pa.array([int(x)], pa.uint64()),
+                             "s": pa.array([int(s)], pa.uint64()),
+                             "n": pa.array([len(mix)], pa.int64())})
 
-        sig = (edges.map_batches(_mix, batch_format="pyarrow")
-               .aggregate(Sum("m", alias_name="s")), edges.count())
-        sig = (round(float(sig[0]["s"] or 0.0), 3), sig[1])
+        parts = (edges.map_batches(_sig_partial, batch_format="pyarrow")
+                 .take_all())  # one tiny row per block
+        xf, sf, nf = 0, 0, 0
+        for r in parts:
+            xf ^= int(r["x"])
+            sf = (sf + int(r["s"])) & 0xFFFFFFFFFFFFFFFF
+            nf += int(r["n"])
+        sig = (nf, xf, sf)
         if sig == prev_sig:
             break
         prev_sig = sig

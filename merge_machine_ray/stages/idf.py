@@ -19,6 +19,20 @@ import math
 import numpy as np
 import pyarrow as pa
 
+def _count_distinct_rows_per_token(flat: np.ndarray,
+                                   row_ids: np.ndarray):
+    """Core of the DF partial: given the flattened token codes and their
+    row ids, return (unique token codes, #distinct rows containing each)
+    via one lexsort + run segmentation — no python per token or row."""
+    o = np.lexsort((row_ids, flat))
+    t, r = flat[o], row_ids[o]
+    keep = np.concatenate(([True], (t[1:] != t[:-1]) | (r[1:] != r[:-1])))
+    t = t[keep]
+    starts = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
+    ends = np.concatenate((starts[1:], [t.size]))
+    return t[starts], (ends - starts).astype(np.int64)
+
+
 def _partial_df(batch: pa.Table) -> pa.Table:
     """Per-batch document frequencies, fully vectorized: flatten the
     token-list column, lexsort (token, row), drop duplicate
@@ -33,15 +47,41 @@ def _partial_df(batch: pa.Table) -> pa.Table:
         return pa.table({"tok": pa.array([], pa.int64()),
                          "pdf": pa.array([], pa.int64())})
     row_ids = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
-    o = np.lexsort((row_ids, flat))
-    t, r = flat[o], row_ids[o]
-    keep = np.concatenate(([True], (t[1:] != t[:-1]) | (r[1:] != r[:-1])))
-    t = t[keep]
-    starts = np.flatnonzero(np.concatenate(([True], t[1:] != t[:-1])))
-    ends = np.concatenate((starts[1:], [t.size]))
+    tok, pdf = _count_distinct_rows_per_token(flat, row_ids)
+    return pa.table({"tok": pa.array(tok), "pdf": pa.array(pdf)})
+
+
+def partial_df_strings(batch: pa.Table, text_col: str = "text",
+                       pattern: str = "[^a-z0-9]+") -> pa.Table:
+    """String-token DF partial sharing the vectorized core above:
+    lower + regex-split with Arrow kernels, dictionary-encode the
+    flattened tokens to int32 codes, count distinct rows per code, and
+    decode back to strings. One python call per batch; no per-row loop."""
+    import pyarrow.compute as pc
+
+    txt = batch[text_col].cast(pa.string())
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(txt, "")), pattern)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    empty = pa.table({"tok": pa.array([], pa.string()),
+                      "pdf": pa.array([], pa.int64())})
+    if not len(flat):
+        return empty
+    d = pc.dictionary_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_ids = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+    # regex-split emits '' at string edges — mask those occurrences out
+    ok = np.flatnonzero(
+        pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+    if not ok.size:
+        return empty
+    tok_codes, pdf = _count_distinct_rows_per_token(codes[ok], row_ids[ok])
     return pa.table({
-        "tok": pa.array(t[starts]),
-        "pdf": pa.array((ends - starts).astype(np.int64)),
+        "tok": d.dictionary.take(pa.array(tok_codes)),
+        "pdf": pa.array(pdf),
     })
 
 
