@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from merge_machine_ray.functions.hashing import crc_hash64, stable_hash64
 from merge_machine_ray.functions.minhash import minhash_signature, token_shingles
@@ -157,9 +158,37 @@ class LinkParams:
 # --------------------------------------------------------------- featurize
 def _concat_cols(row: dict, cols: tuple[str, ...]) -> str:
     """M3 many-to-one pairing: space-join of string-valued source cols
-    (reference ``helpers.py:119``)."""
+    (reference ``helpers.py:119``). Row-level form for the interactive
+    labeller; the batch pipeline uses the columnar path in
+    ``LinkFeaturize.__call__``."""
     return " ".join(str(row[c]) for c in cols
                     if c in row and isinstance(row[c], str) and row[c])
+
+
+def source_group_keys(batch: pa.Table, source_cols: list[str],
+                      memo: dict) -> np.ndarray:
+    """D1 dedup-group key per row: stable hash of the match-column
+    values (reference ``es_match.py:110-164``). Shared by featurize and
+    the final reinflation join so both sides derive identical keys.
+    ``memo`` caches by value tuple — match columns are heavily
+    categorical, so most rows hash zero new dicts."""
+    names = set(batch.column_names)
+    cols = [(c, batch[c].to_pylist() if c in names else None)
+            for c in source_cols]
+    n = batch.num_rows
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        tup = tuple(("" if v is None else v[i]) for _, v in cols)
+        k = memo.get(tup)
+        if k is None:
+            basis = {c: ("" if v is None else v[i]) for c, v in cols}
+            k = _to_i64(stable_hash64(
+                json.dumps(basis, sort_keys=True, default=str)))
+            if len(memo) > 200_000:
+                memo.clear()
+            memo[tup] = k
+        out[i] = k
+    return out
 
 
 def apply_must_filters(ref_ds, must: dict, must_not: dict):
@@ -212,7 +241,13 @@ class LinkFeaturize:
     D1 dedup-with-reinflation semantics (reference ``es_match.py:110-164``):
     rows identical on the match columns share one key, are searched once
     (pair generation dedupes by key), and all receive the same link via
-    the final per-key lookup (``__SOURCE_GROUP``)."""
+    the final per-key lookup (``__SOURCE_GROUP``).
+
+    REF rows additionally carry their ``keep_cols`` as plain string
+    columns (``keep__<col>``) — the columnar replacement for the old
+    per-row JSON payload: the keep columns never ride the band shuffle
+    (they are selected out before banding) and re-attach to the final
+    linked output by one keyed lookup on ``__ID_REF``."""
 
     def __init__(self, params: LinkParams, side: int, id_col: str | None,
                  keep_cols: list[str]):
@@ -228,6 +263,7 @@ class LinkFeaturize:
         # columns), and analyzer + per-token crc + np.unique dominate
         # featurize time without it. Bounded; cleared when oversized.
         self._ext_cache: dict[tuple[int, str], tuple] = {}
+        self._key_memo: dict = {}
 
     def _extract(self, i: int, analyzer: str, text: str):
         key = (i, text)
@@ -249,8 +285,9 @@ class LinkFeaturize:
         return got
 
     def _key_of(self, row: dict) -> int:
+        """Row-level key twin of :meth:`_keys_batch` (identical bytes);
+        used by the interactive labeller on individual proposals."""
         if self.side == 0:
-            # dedup group key over match columns only (D1)
             basis = {c: row.get(c, "") for c in self.source_cols}
             return _to_i64(stable_hash64(
                 json.dumps(basis, sort_keys=True, default=str)))
@@ -261,45 +298,80 @@ class LinkFeaturize:
         return _to_i64(stable_hash64(
             json.dumps(row, sort_keys=True, default=str)))
 
+    def _keys_batch(self, batch: pa.Table) -> np.ndarray:
+        if self.side == 0:
+            # dedup group key over match columns only (D1)
+            return source_group_keys(batch, self.source_cols,
+                                     self._key_memo)
+        n = batch.num_rows
+        if self.id_col is not None:
+            keys = np.empty(n, dtype=np.int64)
+            for i, v in enumerate(batch[self.id_col].to_pylist()):
+                keys[i] = (int(v) if str(v).lstrip("-").isdigit()
+                           else _to_i64(stable_hash64(str(v))))
+            return keys
+        return np.fromiter(
+            (_to_i64(stable_hash64(json.dumps(r, sort_keys=True,
+                                              default=str)))
+             for r in batch.to_pylist()), dtype=np.int64, count=n)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        side_keys = []
-        tok_cols: dict[str, list] = {
-            f"toks_{i}": [] for i in range(len(self.extractions))}
-        block_toks = []
-        payloads = []
-        cnt_cols: dict[str, list] = {
-            f"cnts_{i}": [] for i in range(len(self.extractions))}
-        for ridx, row in enumerate(rows):
-            key = self._key_of(row)
-            side_keys.append(key)
-            bt = []
-            for i, (cols, analyzer) in enumerate(self.extractions):
-                relevant = (self.side == 0 and len(cols) >= 1 and
-                            all(c in row for c in cols)) or \
-                           (self.side == 1 and all(c in row for c in cols))
-                text = _concat_cols(row, cols) if relevant else ""
+        batch = batch.combine_chunks()
+        n = batch.num_rows
+        names = set(batch.column_names)
+        pl_cache: dict[str, list] = {}
+
+        def col(c):
+            if c not in pl_cache:
+                pl_cache[c] = batch[c].to_pylist()
+            return pl_cache[c]
+
+        keys = self._keys_batch(batch)
+        tok_cols: dict[str, list] = {}
+        cnt_cols: dict[str, list] = {}
+        block_sets: list[set] = [set() for _ in range(n)]
+        for i, (cols_, analyzer) in enumerate(self.extractions):
+            if all(c in names for c in cols_):
+                vals = [col(c) for c in cols_]
+                # M3 many-to-one pairing: space-join of string-valued
+                # cols (reference ``helpers.py:119``)
+                texts = [" ".join(x for x in (v[r] for v in vals)
+                                  if isinstance(x, str) and x)
+                         for r in range(n)]
+            else:
+                texts = [""] * n
+            ul: list = []
+            cl: list = []
+            is_block = analyzer != "n_grams"
+            for r, text in enumerate(texts):
                 # SORTED UNIQUE + term counts, computed once per
                 # distinct (extraction, text) — the scorer consumes
                 # them without any per-batch np.unique
                 uniq, counts, toks = self._extract(i, analyzer, text)
-                tok_cols[f"toks_{i}"].append(uniq)
-                cnt_cols[f"cnts_{i}"].append(counts)
-                if analyzer != "n_grams":
-                    bt.extend(toks)
-            block_toks.append(sorted(set(bt)))
-            payloads.append(json.dumps(
-                {c: row.get(c) for c in self.keep_cols}, default=str))
+                ul.append(uniq)
+                cl.append(counts)
+                if is_block and toks:
+                    block_sets[r].update(toks)
+            tok_cols[f"toks_{i}"] = ul
+            cnt_cols[f"cnts_{i}"] = cl
         out = {
-            "key": pa.array(side_keys, pa.int64()),
-            "side": pa.array([self.side] * len(rows), pa.int32()),
-            "block_toks": pa.array(block_toks, pa.list_(pa.string())),
-            "payload": pa.array(payloads, pa.string()),
+            "key": pa.array(keys),
+            "side": pa.array(np.full(n, self.side, dtype=np.int32)),
+            "block_toks": pa.array([sorted(s) for s in block_sets],
+                                   pa.list_(pa.string())),
         }
         for name, vals in tok_cols.items():
             out[name] = pa.array(vals, pa.list_(pa.int64()))
         for name, vals in cnt_cols.items():
             out[name] = pa.array(vals, pa.list_(pa.int32()))
+        if self.side == 1:
+            for c in self.keep_cols:
+                arr = batch[c] if c in names else pa.nulls(n, pa.string())
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if not pa.types.is_string(arr.type):
+                    arr = pc.cast(arr, pa.string())
+                out[f"keep__{c}"] = arr
         return pa.table(out)
 
 
@@ -396,8 +468,6 @@ def _emit_cross_pairs_fn(block_cap: int, n_tok_cols: int,
         }
         if light:
             return pa.table(arrays)
-        arrays["ref_payload"] = (group["payload"].take(Ja) if len(Ja)
-                                 else pa.array([], pa.string()))
         for i in range(n_tok_cols):
             for base, typ in ((f"toks_{i}", pa.int64()),
                               (f"cnts_{i}", pa.int32())):
@@ -520,8 +590,7 @@ class LinkScorer:
         for qi, terms in enumerate(query_terms):
             for cid, boost in terms:
                 scores[:, qi] += boost * sims[:, cid]
-        out = {"src_key": batch["src_key"], "ref_key": batch["ref_key"],
-               "ref_payload": batch["ref_payload"]}
+        out = {"src_key": batch["src_key"], "ref_key": batch["ref_key"]}
         for qi in range(len(p.queries)):
             out[f"q{qi}_score"] = pa.array(scores[:, qi])
         return pa.table(out)
@@ -587,7 +656,6 @@ def _select_best_bucket_fn(params: LinkParams):
         qi_seg = np.where(group_qi < nq, group_qi, 0)
         score_seg = sel[win_sorted]
         thresh_seg = threshs[qi_seg]
-        wa = pa.array(win)
         out = {
             "src_key": pa.array(s_sorted[starts]),
             "__ID_REF": pa.array(ref[win]),
@@ -595,7 +663,6 @@ def _select_best_bucket_fn(params: LinkParams):
             "__SCORE": pa.array(score_seg, pa.float64()),
             "__THRESH": pa.array(thresh_seg, pa.float64()),
             "__IS_MATCH": pa.array(group_qi < nq),
-            "ref_payload": group["ref_payload"].take(wa),
             "__SBKT": pa.array(np.full(
                 n_seg, group["sbkt"][0].as_py(), dtype=np.int32)),
             "__MCNT": pa.array(np.full(n_seg, n, dtype=np.int64)),
@@ -609,11 +676,18 @@ def _select_best_bucket_fn(params: LinkParams):
 
 
 def _attach_side(pairs_ds, feats_ds, on: str, suffix: str,
-                 num_buckets: int, limit: int | None = None):
+                 num_buckets: int, limit: int | None = None,
+                 how: str = "inner"):
     """Attach one side's featurized columns to the pair list — zero-
     copy broadcast searchsorted probe below the size limit, bucketed
     hash join above it (same policy as stages/blocking.attach_features;
-    measured there: joins 55 s vs probe ~4 s at 1M docs / 260 MB)."""
+    measured there: joins 55 s vs probe ~4 s at 1M docs / 260 MB).
+
+    ``how="inner"`` requires every probe key to exist in the feature
+    table (raises otherwise — a silent nearest-neighbor take would
+    attach the WRONG row's features); ``how="left"`` null-fills
+    misses instead (the final ref-column re-attach probes with
+    unmatched sentinels)."""
     import ray
 
     from merge_machine_ray.stages.blocking import BROADCAST_FEATURES_LIMIT
@@ -624,31 +698,35 @@ def _attach_side(pairs_ds, feats_ds, on: str, suffix: str,
     if (feats.size_bytes() or 0) > limit:
         return bucket_hash_join(pairs_ds, feats, on, "key",
                                 num_buckets=num_buckets,
-                                right_suffix=suffix)
+                                right_suffix=suffix, how=how)
     tbl = pa.concat_tables(
         feats.iter_batches(batch_size=262144, batch_format="pyarrow"))
     tbl = tbl.sort_by("key").combine_chunks()
     ref = ray.put(tbl)
+    left_outer = how == "left"
 
     def probe(batch: pa.Table) -> pa.Table:
         t = ray.get(ref)  # zero-copy shared-memory read per worker
         ids = t["key"].to_numpy(zero_copy_only=False)
         keys = batch[on].to_numpy(zero_copy_only=False)
-        # Verify every probe hits (unique-keyed side table): a silent
-        # nearest-neighbor take would attach the WRONG row's features.
         pos = np.searchsorted(ids, keys)
         if ids.size:
             pos = pos.clip(max=ids.size - 1)
-        if not ids.size or not (ids[pos] == keys).all():
-            n_miss = int((ids[pos] != keys).sum()) if ids.size else keys.size
+            hit = ids[pos] == keys
+        else:
+            hit = np.zeros(keys.size, dtype=bool)
+        if not left_outer and not hit.all():
             raise KeyError(
-                f"_attach_side: {n_miss} ids absent from the feature "
-                "table (callers must cover every pair endpoint)")
-        take = pa.array(pos)
+                f"_attach_side: {int((~hit).sum())} ids absent from the "
+                "feature table (callers must cover every pair endpoint)")
+        take = pa.array(pos) if not left_outer else \
+            pa.array(np.where(hit, pos, 0), mask=~hit)
         out = {c: batch[c] for c in batch.column_names}
         for c in t.column_names:
             if c != "key":
-                out[f"{c}{suffix}"] = t[c].take(take)
+                out[f"{c}{suffix}"] = (
+                    t[c].take(take) if ids.size
+                    else pa.nulls(batch.num_rows, t.schema.field(c).type))
         return pa.table(out)
 
     return pairs_ds.map_batches(probe, batch_format="pyarrow")
@@ -713,6 +791,10 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
 
     light = attach == "light" or (attach == "auto"
                                   and (n_src + n_ref) >= LINK_LIGHT_CUTOFF)
+    n_ext = len(_clause_keys(params))
+    core_cols = (["key", "side", "block_toks"]
+                 + [f"toks_{i}" for i in range(n_ext)]
+                 + [f"cnts_{i}" for i in range(n_ext)])
     feat_s = source_ds.map_batches(
         LinkFeaturize(params, 0, source_id_col, []),
         batch_format="pyarrow")
@@ -721,38 +803,31 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     feat_r = ref_ds.map_batches(
         LinkFeaturize(params, 1, ref_id_col, ref_keep),
         batch_format="pyarrow").materialize()
-    corpus = feat_s.union(feat_r)
+    # keep__ columns never enter the banding corpus — they re-attach to
+    # the final linked rows by one keyed lookup on __ID_REF instead
+    corpus = feat_s.union(feat_r.select_columns(core_cols))
 
     num_buckets = int(min(2048, max(16, (n_src + n_ref)
                                     * params.num_bands // 20_000)))
     bands = corpus.map_batches(LinkBandKeys(params, num_buckets, light=light),
                                batch_format="pyarrow")
-    n_ext = len(_clause_keys(params))
     pairs = bands.groupby("bucket").map_groups(
         _emit_cross_pairs_fn(params.block_cap, n_ext, light=light),
         batch_format="pyarrow")
     if light:
         # cross-BUCKET duplicate pairs (one per shared band) would be
         # scored num_bands× over — dedupe the id-only list with the
-        # bucketed vectorized pattern, then join the features back on
-        def _pair_bucket(t: pa.Table) -> pa.Table:
-            a = t["src_key"].to_numpy(zero_copy_only=False)
-            b = t["ref_key"].to_numpy(zero_copy_only=False)
-            return t.append_column("pbkt", pa.array(
-                ((a * 1000003 + b) % num_buckets).astype(np.int32)))
+        # shared stages/pairs machinery (pair-hash bucket + one
+        # lexsort/diff per bucket), then join the features back on
+        from merge_machine_ray.stages.pairs import dedupe_pairs
 
-        def _uniq(g: pa.Table) -> pa.Table:
-            a = g["src_key"].to_numpy(zero_copy_only=False)
-            b = g["ref_key"].to_numpy(zero_copy_only=False)
-            o = np.lexsort((b, a))
-            a, b = a[o], b[o]
-            keep = np.concatenate(
-                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-            return pa.table({"src_key": pa.array(a[keep]),
-                             "ref_key": pa.array(b[keep])})
-
-        pairs = pairs.map_batches(_pair_bucket, batch_format="pyarrow") \
-            .groupby("pbkt").map_groups(_uniq, batch_format="pyarrow")
+        pairs = dedupe_pairs(
+            pairs.map_batches(
+                lambda t: t.rename_columns(["id_a", "id_b"]),
+                batch_format="pyarrow"),
+            num_buckets).map_batches(
+                lambda t: t.rename_columns(["src_key", "ref_key"]),
+                batch_format="pyarrow")
 
         tok_cols = [c for i in range(n_ext)
                     for c in (f"toks_{i}", f"cnts_{i}")]
@@ -762,11 +837,7 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
         pairs = _attach_side(pairs, feat_s.select_columns(
             ["key"] + tok_cols), "src_key", "_s", num_buckets)
         pairs = _attach_side(pairs, feat_r.select_columns(
-            ["key", "payload"] + tok_cols), "ref_key", "_r", num_buckets)
-        pairs = pairs.map_batches(
-            lambda t: t.rename_columns(
-                [("ref_payload" if c == "payload_r" else c)
-                 for c in t.column_names]), batch_format="pyarrow")
+            ["key"] + tok_cols), "ref_key", "_r", num_buckets)
 
     # IDF per extraction from the ref side: DISTRIBUTED partial-DF
     # aggregation (the stages/idf.py pattern — per-batch distinct counts
@@ -881,7 +952,7 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
         [("src_key", pa.int64()), ("__ID_REF", pa.int64()),
          ("__ID_QUERY", pa.int64()), ("__SCORE", pa.float64()),
          ("__THRESH", pa.float64()), ("__CONFIDENCE", pa.float64()),
-         ("__IS_MATCH", pa.bool_()), ("ref_payload", pa.string())])
+         ("__IS_MATCH", pa.bool_())])
     if linked.count() == 0:
         linked = rd.from_arrow(link_schema.empty_table())
     else:
@@ -921,18 +992,20 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     # the dirty side can be corpus-sized
     from merge_machine_ray.stages.joins import bucket_hash_join
 
-    exact = {int(s): int(r) for s, r in params.exact_pairs}
-    non_match = {(int(s), int(r)) for s, r in params.non_matching_pairs}
+    ex_items = sorted((int(s), int(r)) for s, r in params.exact_pairs)
+    ex_src = np.array([s for s, _ in ex_items], dtype=np.int64)
+    ex_ref = np.array([r for _, r in ex_items], dtype=np.int64)
+    non_match = [(int(s), int(r)) for s, r in params.non_matching_pairs]
 
-    key_featurizer = LinkFeaturize(params, 0, source_id_col, [])
+    src_group_cols = sorted({c for q in params.queries
+                             for cl in q.clauses for c in cl.source})
+    _sg_memo: dict = {}
 
     def add_source_group(batch: pa.Table) -> pa.Table:
-        """Appends the D1 dedup-group key to each original source row."""
-        cols = key_featurizer.source_cols
-        sub = batch.select([c for c in cols if c in batch.column_names])
-        keys = [key_featurizer._key_of(r) for r in sub.to_pylist()]
-        return batch.append_column("__SOURCE_GROUP",
-                                   pa.array(keys, pa.int64()))
+        """Appends the D1 dedup-group key to each original source row
+        (same key derivation as LinkFeaturize side 0)."""
+        keys = source_group_keys(batch, src_group_cols, _sg_memo)
+        return batch.append_column("__SOURCE_GROUP", pa.array(keys))
 
     keyed_src = source_ds.map_batches(add_source_group,
                                       batch_format="pyarrow")
@@ -940,54 +1013,93 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
         keyed_src, linked, "__SOURCE_GROUP", "src_key",
         num_buckets=int(min(256, max(8, n_src // 4000))), how="left")
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    # ref keys can be any int64; a sentinel collision merely attaches
+    # nulls for one ref row (it never appears in the lookup table)
+    _SENTINEL = np.int64(-(1 << 63))
+
+    def apply_overrides(batch: pa.Table) -> pa.Table:
+        """Vectorized J5/non-match/no-candidate resolution — no per-row
+        python. Emits the final metadata plus ``__REF_KEY`` (sentinel-
+        filled ``__ID_REF``) for the keyed ref-column re-attach."""
+        batch = batch.combine_chunks()
         n = batch.num_rows
-        keys = batch["__SOURCE_GROUP"].to_pylist()
-        id_ref = batch["__ID_REF"].to_pylist()
-        id_query = batch["__ID_QUERY"].to_pylist()
-        score_c = batch["__SCORE"].to_pylist()
-        thresh_c = batch["__THRESH"].to_pylist()
-        conf_c = batch["__CONFIDENCE"].to_pylist()
-        is_match = batch["__IS_MATCH"].to_pylist()
-        payloads = batch["ref_payload"].to_pylist()
-        for i in range(n):
-            k = keys[i]
-            if k in exact:  # J5: labelled pair overrides, score 999
-                id_ref[i] = exact[k]
-                score_c[i] = 999.0
-                is_match[i] = True
-                id_query[i] = -1
-                thresh_c[i] = 0.0
-                conf_c[i] = 999.0
-            elif id_ref[i] is not None and (k, id_ref[i]) in non_match:
-                id_ref[i] = id_query[i] = None     # user-rejected pair
-                score_c[i] = thresh_c[i] = conf_c[i] = None
-                is_match[i] = False
-                payloads[i] = None
-            elif is_match[i] is None:              # no candidate at all
-                is_match[i] = False
-        ref_cols: dict[str, list] = {c: [] for c in ref_keep}
-        for p_ in payloads:
-            d = json.loads(p_) if p_ else {}
-            for c in ref_keep:
-                v = d.get(c)
-                ref_cols[c].append(None if v is None else str(v))
-        out = batch.drop_columns(["ref_payload"])
+        keys = batch["__SOURCE_GROUP"].to_numpy(zero_copy_only=False)
+        v_ref = pc.is_valid(batch["__ID_REF"]).to_numpy(
+            zero_copy_only=False).copy()
+        idr = pc.fill_null(batch["__ID_REF"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v_q = pc.is_valid(batch["__ID_QUERY"]).to_numpy(
+            zero_copy_only=False).copy()
+        qy = pc.fill_null(batch["__ID_QUERY"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # float columns: nulls surface as NaN and stay NaN-null-mapped
+        sc = batch["__SCORE"].to_numpy(zero_copy_only=False).astype(
+            np.float64).copy()
+        th = batch["__THRESH"].to_numpy(zero_copy_only=False).astype(
+            np.float64).copy()
+        cf = batch["__CONFIDENCE"].to_numpy(zero_copy_only=False).astype(
+            np.float64).copy()
+        im = pc.fill_null(batch["__IS_MATCH"], False).to_numpy(
+            zero_copy_only=False).astype(bool).copy()
+
+        if ex_src.size:  # J5: labelled pair overrides, score 999
+            pos = np.searchsorted(ex_src, keys).clip(max=ex_src.size - 1)
+            hit = ex_src[pos] == keys
+            idr[hit] = ex_ref[pos[hit]]
+            v_ref |= hit
+            sc[hit] = 999.0
+            th[hit] = 0.0
+            cf[hit] = 999.0
+            qy[hit] = -1
+            v_q |= hit
+            im[hit] = True
+        else:
+            hit = np.zeros(n, dtype=bool)
+        nm = np.zeros(n, dtype=bool)  # user-rejected pairs (tiny list)
+        for s, r in non_match:
+            nm |= (~hit) & v_ref & (keys == s) & (idr == r)
+        if nm.any():
+            v_ref[nm] = False
+            v_q[nm] = False
+            im[nm] = False
+            sc[nm] = np.nan
+            th[nm] = np.nan
+            cf[nm] = np.nan
+
+        out = {c: batch[c] for c in src_schema}
+        out["__SOURCE_GROUP"] = pa.array(keys)
+        out["__ID_REF"] = pa.array(idr, mask=~v_ref)
+        out["__ID_QUERY"] = pa.array(qy, mask=~v_q)
+        out["__SCORE"] = pa.array(sc, mask=np.isnan(sc))
+        out["__THRESH"] = pa.array(th, mask=np.isnan(th))
+        out["__CONFIDENCE"] = pa.array(cf, mask=np.isnan(cf))
+        out["__IS_MATCH"] = pa.array(im)
+        out["__REF_KEY"] = pa.array(np.where(v_ref, idr, _SENTINEL))
+        return pa.table(out)
+
+    resolved = joined.map_batches(apply_overrides, batch_format="pyarrow")
+
+    # columnar replacement for the old JSON ref payload: the kept ref
+    # columns attach once, to the final one-row-per-source output, by
+    # the resolved __ID_REF — exact-pair overrides therefore surface
+    # the TRUE ref row's columns (the payload form could not)
+    ref_lookup = feat_r.select_columns(
+        ["key"] + [f"keep__{c}" for c in ref_keep])
+    attached = _attach_side(resolved, ref_lookup, "__REF_KEY", "",
+                            num_buckets=int(min(256, max(8, n_src // 4000))),
+                            how="left")
+
+    meta = ("__SOURCE_GROUP", "__ID_REF", "__ID_QUERY", "__SCORE",
+            "__THRESH", "__CONFIDENCE", "__IS_MATCH")
+
+    def assemble(t: pa.Table) -> pa.Table:
         # output column order mirrors the reference contract: source
         # row, then __REF columns, then metadata
-        meta = ("__SOURCE_GROUP", "__ID_REF", "__ID_QUERY", "__SCORE",
-                "__THRESH", "__CONFIDENCE", "__IS_MATCH")
-        out = out.drop_columns([c for c in meta if c in out.column_names])
+        out = {c: t[c] for c in src_schema}
         for c in ref_keep:
-            out = out.append_column(f"{c}__REF",
-                                    pa.array(ref_cols[c], pa.string()))
-        out = out.append_column("__SOURCE_GROUP", pa.array(keys, pa.int64()))
-        out = out.append_column("__ID_REF", pa.array(id_ref, pa.int64()))
-        out = out.append_column("__ID_QUERY", pa.array(id_query, pa.int64()))
-        out = out.append_column("__SCORE", pa.array(score_c, pa.float64()))
-        out = out.append_column("__THRESH", pa.array(thresh_c, pa.float64()))
-        out = out.append_column("__CONFIDENCE", pa.array(conf_c, pa.float64()))
-        out = out.append_column("__IS_MATCH", pa.array(is_match, pa.bool_()))
-        return out
+            out[f"{c}__REF"] = t[f"keep__{c}"]
+        for c in meta:
+            out[c] = t[c]
+        return pa.table(out)
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+    return attached.map_batches(assemble, batch_format="pyarrow")
