@@ -37,6 +37,14 @@ from merge_machine_ray.pipelines.linking import (
 )
 from merge_machine_ray.state.labeller import PortfolioLearner
 
+#: D6 milestone schedule (reference ``es_labeller.py:2092-2141``):
+#: template-population expansion / filtering fire at fixed counts of
+#: POSITIVE labels (``_nprl``), each milestone at most once per session
+#: (the reference's ``already_expanded`` set).
+EXPAND_BY_CORE_AT = frozenset({11, 17})
+EXPAND_BY_BOOST_AT = frozenset({14, 22, 30, 60, 120, 240})
+FILTER_BY_CORE_AT = frozenset({10, 20})
+
 #: reference VALID_ANSWERS (es_labeller.py:715-722)
 VALID_ANSWERS = {
     "y": "y", "yes": "y", "1": "y",
@@ -215,6 +223,7 @@ class InteractiveLabeller:
         self.src_ptr = 0
         self.ref_ptr = 0
         self._undo: list[dict] = []
+        self.fired_milestones: set[str] = set()
         self.status = "ACTIVE" if self.src_order else "NO_ITEMS_TO_LABEL"
         self._skip_answered_forward()
 
@@ -298,6 +307,7 @@ class InteractiveLabeller:
             self.src_ptr += 1
             self.ref_ptr = 0
             self._maybe_refit()
+            self._apply_milestones()
             self.stats.record(self.learner.results, self.learner.templates)
         elif ans == "n":
             self.learner.add_labelled_pair(srow, rrow, False)
@@ -321,6 +331,36 @@ class InteractiveLabeller:
             if len(self.learner.history) >= 4:
                 self.learner.evaluate_templates()
 
+    def _nprl(self) -> int:
+        """Current number of positively-labelled source rows (reference
+        ``_nprl``, es_labeller.py:2155-2162)."""
+        return sum(1 for v in self.matched.values() if v is not None)
+
+    def _apply_milestones(self) -> None:
+        """D6 milestone schedule (reference ``filter_``/``expand``,
+        es_labeller.py:2092-2141): at fixed positive-label counts,
+        filter the template population by core score and expand it by
+        core / boost variants — each milestone fires at most once."""
+        if len(self.learner.history) < 4:
+            return
+        n = self._nprl()
+        fkey, ekey = f"filter:{n}", f"expand:{n}"
+        if n in FILTER_BY_CORE_AT and fkey not in self.fired_milestones:
+            self.fired_milestones.add(fkey)
+            self.learner.filter_by_core()
+            if self.learner.templates:
+                self.learner.evaluate_templates()
+        if ekey in self.fired_milestones:
+            return
+        if n in EXPAND_BY_CORE_AT:
+            self.fired_milestones.add(ekey)
+            self.learner.multiply_by_core()
+            self.learner.evaluate_templates()
+        elif n in EXPAND_BY_BOOST_AT:
+            self.fired_milestones.add(ekey)
+            self.learner.multiply_by_boost()
+            self.learner.evaluate_templates()
+
     def _undo_last(self) -> None:
         if not self._undo:
             return
@@ -342,6 +382,7 @@ class InteractiveLabeller:
             "src_ptr": self.src_ptr, "ref_ptr": self.ref_ptr,
             "status": self.status,
             "stats": self.stats.to_dict(),
+            "fired_milestones": sorted(self.fired_milestones),
         }
 
     def to_json(self, path: str) -> None:
@@ -366,6 +407,7 @@ class InteractiveLabeller:
         self.ref_ptr = d["ref_ptr"]
         self.status = d["status"]
         self.stats = StatsLedger.from_dict(d.get("stats", {}))
+        self.fired_milestones = set(d.get("fired_milestones", []))
         if self.learner.history:
             self.learner.evaluate_templates()
         self._skip_answered_forward()

@@ -65,9 +65,21 @@ def learn_threshold(scores, labels, t_p: float = TARGET_PRECISION,
     utility = _shape_precision(rolling_precision, t_p) * \
         _shape_recall(rolling_recall, t_r)
     utility[: min_obs - 1] = -np.inf  # too few observations above cut
-    # among equal-utility cuts take the LAST (deepest) one: same shaped
-    # quality, maximal recall
-    best = int(utility.size - 1 - np.argmax(utility[::-1]))
+    # a cut is only REAL between distinct scores: a midpoint inside an
+    # equal-score run re-includes the whole run at apply time, so its
+    # rolling p/r never describes the kept set (degenerate case: a tail
+    # of zero-scoring negatives would yield an ~0 threshold that "keeps"
+    # perfect precision on history but matches everything downstream)
+    real_cut = np.concatenate((s[:-1] > s[1:], [True]))
+    utility[~real_cut] = -np.inf
+    # among equal-utility cuts (the shaped targets saturate, so many
+    # cuts tie at 1.0) take the one with the WIDEST score gap — the
+    # margin is what generalizes past the labelled sample; a zero-margin
+    # "deepest" cut can report perfect history precision with a ~0
+    # threshold that matches everything downstream. Ties → deepest.
+    cand = np.flatnonzero(utility >= utility.max() - 1e-12)
+    gaps = np.concatenate((s[:-1] - s[1:], [0.0]))
+    best = int(cand[np.lexsort((-cand, -gaps[cand]))[0]])
     if best == s.size - 1:
         # best cut keeps everything → threshold carries no information;
         # fall back to just below the minimum score (reference: ≈0)

@@ -124,3 +124,52 @@ def test_interactive_session_learns_linkable_params(ray_session, session_data,
                                             matched["id_row"]))
     precision = correct / len(matched)
     assert precision > 0.85, f"learned-params precision {precision:.3f}"
+
+
+def test_expansion_milestones_fire_once(ray_session, session_data, tmp_path):
+    """D6 milestone schedule (es_labeller.py:2092-2141): filter_by_core
+    at 10 positives, multiply_by_core at 11 — each at most once, and the
+    fired set survives a checkpoint round-trip."""
+    from merge_machine_ray.state.interactive import (
+        EXPAND_BY_CORE_AT,
+        FILTER_BY_CORE_AT,
+        InteractiveLabeller,
+        propose_candidates,
+    )
+
+    all_rows, ref_rows, truth = session_data
+    src_rows = all_rows[:N_SRC]
+    cands = propose_candidates(src_rows, ref_rows, MATCH_COLS)
+    learner = PortfolioLearner(
+        MATCH_COLS, ref_rows,
+        templates=generate_templates(MATCH_COLS, max_templates=40))
+    lab = InteractiveLabeller(src_rows, ref_rows, MATCH_COLS,
+                              candidates=cands, learner=learner,
+                              refit_every=5)
+    assert 11 in EXPAND_BY_CORE_AT and 10 in FILTER_BY_CORE_AT
+
+    n_before = None
+    for _ in range(400):
+        cur = lab.current_pair()
+        if cur is None or lab._nprl() >= 12:
+            break
+        si, rk, _, _ = cur
+        if lab._nprl() == 10 and n_before is None:
+            n_before = len(lab.learner.templates)
+        lab.update("y" if truth[si] == rk else "n")
+    assert lab._nprl() >= 12
+    assert "filter:10" in lab.fired_milestones
+    assert "expand:11" in lab.fired_milestones
+    # expansion happened on a filtered population and added variants
+    assert n_before is not None
+    assert len(lab.learner.templates) > 0
+    grown = len(lab.learner.templates)
+
+    # firing is once-only: replaying the same counts cannot re-expand
+    lab._apply_milestones()
+    assert len(lab.learner.templates) == grown
+
+    ck = str(tmp_path / "milestones.json")
+    lab.to_json(ck)
+    back = InteractiveLabeller.from_json(ck, src_rows, ref_rows, MATCH_COLS)
+    assert back.fired_milestones == lab.fired_milestones
