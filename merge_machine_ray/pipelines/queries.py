@@ -503,6 +503,69 @@ FROM toks GROUP BY tok
 """
 
 
+def sample_docs_10pct(sf_dir: str):
+    """Deterministic 10% hash sample (stages/sketch.hash_sample): the
+    keep-set is a pure integer function of doc_id, so the DuckDB twin
+    replays it exactly — unlike random_sample, reruns and resumes pick
+    the same rows."""
+    from merge_machine_ray.stages.sketch import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_sample(ds, "doc_id", 10.0)
+
+
+SAMPLE_DOCS_SQL = """
+SELECT doc_id FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729
+"""
+
+
+def token_heavy_hitters_q(sf_dir: str):
+    """Exact top-20 corpus tokens by occurrence count (ties → token
+    asc): block-local partial counts → vocabulary-sized groupby sum →
+    local top-k + tiny reduce (stages/sketch.token_heavy_hitters)."""
+    from merge_machine_ray.stages.sketch import token_heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return token_heavy_hitters(ds, "text", k=20)
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
+def token_count_deciles(sf_dir: str):
+    """Exact per-doc token-count deciles WITHOUT a global sort: per-
+    block bincount histograms fold into one bounded cumulative
+    histogram; each decile is a rank lookup (DuckDB quantile_disc
+    semantics — stages/sketch.column_quantiles)."""
+    from merge_machine_ray.stages.textstats import token_count
+
+    from merge_machine_ray.stages.sketch import column_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counted = ds.map_batches(lambda t: token_count(t),
+                             batch_format="pyarrow") \
+        .select_columns(["n_tokens"])
+    return column_quantiles(counted, "n_tokens",
+                            [k / 10 for k in range(1, 10)])
+
+
+TOKEN_DECILES_SQL = """
+WITH t AS (
+  SELECT length(regexp_extract_all(text, '\\S+')) AS n FROM documents)
+""" + "\nUNION ALL\n".join(
+    f"SELECT CAST({k}00000 AS BIGINT) AS q_micro, "
+    f"CAST(quantile_disc(n, 0.{k}) AS BIGINT) AS value FROM t"
+    for k in range(1, 10))
+
+
 def lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1207,6 +1270,9 @@ def build_queries() -> dict:
         "exact_dedup_docs": exact_dedup_docs,
         "dedup_reinflate": dedup_reinflate,
         "idf_table": idf_table,
+        "sample_docs_10pct": sample_docs_10pct,
+        "token_heavy_hitters": token_heavy_hitters_q,
+        "token_count_deciles": token_count_deciles,
         "lang_distribution": lang_distribution,
         "filter_must_not": filter_must_not,
         "unique_langs": unique_langs,
@@ -1247,6 +1313,9 @@ def build_oracle_sql() -> dict:
         "exact_dedup_docs": EXACT_DEDUP_SQL,
         "dedup_reinflate": DEDUP_REINFLATE_SQL,
         "idf_table": IDF_SQL,
+        "sample_docs_10pct": SAMPLE_DOCS_SQL,
+        "token_heavy_hitters": HEAVY_HITTERS_SQL,
+        "token_count_deciles": TOKEN_DECILES_SQL,
         "lang_distribution": LANG_DIST_SQL,
         "filter_must_not": FILTER_SQL,
         "unique_langs": UNIQUE_LANGS_SQL,

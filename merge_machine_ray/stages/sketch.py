@@ -1,0 +1,160 @@
+"""Corpus-statistics operators a large-scale training-data pipeline
+needs beyond the reference's own inventory (same family as
+``stages/textstats.py``): deterministic hash sampling, exact token
+heavy-hitters, and exact distributed quantiles.
+
+Scale notes (the 100 TB contract):
+
+* :func:`hash_sample` is a pure map-side filter — no shuffle, no
+  state, reproducible across runs and engines (the multiplicative
+  hash is plain integer arithmetic, so a SQL oracle can replay it).
+* :func:`token_heavy_hitters` shuffles only (token, partial-count)
+  rows — one row per distinct token per block — then reduces the
+  vocabulary-sized aggregate with local top-k + one tiny reduce (the
+  K1 pattern from ``pipelines/queries.topk_per_priority``).
+* :func:`column_quantiles` never sorts the data: per-block value
+  histograms (bounded domains — token counts, quality scores in
+  fixed-point) fold into one cumulative histogram, and each quantile
+  is a searchsorted rank lookup. Exact, one pass, O(domain) driver
+  memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: Knuth multiplicative constant (2^32 / golden ratio) — the sampling
+#: hash must stay expressible in plain SQL integer arithmetic so the
+#: DuckDB oracle can replay the exact keep-set.
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def hash_sample(ds, id_col: str, keep_pct: float):
+    """Deterministic ``keep_pct``% sample by multiplicative hash of a
+    non-negative integer id: keep iff ``(id * 2654435761) mod 2^32 <
+    keep_pct/100 * 2^32``. Unlike ``Dataset.random_sample`` the keep
+    decision is a pure function of the id — stable across runs,
+    resumable, and replayable by the SQL oracle."""
+    cut = int(keep_pct / 100.0 * _MOD)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        return t.filter(pa.array(h < np.uint64(cut)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_sample_sql(table: str, id_col: str, keep_pct: float) -> str:
+    """DuckDB twin of :func:`hash_sample` (HUGEINT avoids the 64-bit
+    multiply overflow)."""
+    cut = int(keep_pct / 100.0 * _MOD)
+    return (f"SELECT * FROM {table} WHERE "
+            f"(CAST({id_col} AS HUGEINT) * {_KNUTH}) % {_MOD} < {cut}")
+
+
+def _token_count_partial(t: pa.Table, text_col: str,
+                         pattern: str) -> pa.Table:
+    """Per-batch (token, occurrences) — every occurrence counted, one
+    vectorized unique over the flattened token array."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(t[text_col].cast(pa.string()), "")),
+        pattern)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    flat = flat.filter(pc.not_equal(flat, ""))
+    if not len(flat):
+        return pa.table({"tok": pa.array([], pa.string()),
+                         "pn": pa.array([], pa.int64())})
+    d = pc.dictionary_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(codes, minlength=len(d.dictionary))
+    return pa.table({"tok": d.dictionary,
+                     "pn": pa.array(counts.astype(np.int64))})
+
+
+def token_heavy_hitters(ds, text_col: str = "text", k: int = 20,
+                        pattern: str = "[^a-z0-9]+"):
+    """Exact top-``k`` most frequent tokens with counts, ties broken by
+    token ascending. Partial counts combine inside each block before
+    the (vocabulary-sized) groupby sum; the final top-k is local top-k
+    per block + one tiny reduce — no global sort of the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        lambda t: _token_count_partial(t, text_col, pattern),
+        batch_format="pyarrow").groupby("tok") \
+        .aggregate(Sum("pn", alias_name="n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        n = t["n"].cast(pa.int64())
+        t = t.set_column(t.column_names.index("n"), "n", n)
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(
+            t, k, [("n", "descending"), ("tok", "ascending")])
+        return t.take(idx)
+
+    parts = agg.map_batches(local_topk, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        parts.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    idx = pc.select_k_unstable(
+        tbl, min(k, tbl.num_rows),
+        [("n", "descending"), ("tok", "ascending")])
+    out = tbl.take(idx)
+    # select_k_unstable does not order ties deterministically — final
+    # exact sort of the k-row result
+    return out.sort_by([("n", "descending"), ("tok", "ascending")])
+
+
+def column_quantiles(ds, value_col: str, quantiles: list[float],
+                     max_domain: int = 1 << 22):
+    """EXACT quantiles of a non-negative bounded integer column without
+    sorting the dataset: per-block ``bincount`` histograms fold into one
+    cumulative histogram; each quantile is the smallest value whose
+    cumulative count reaches rank ``ceil(q·n)`` (DuckDB
+    ``quantile_disc`` semantics). Returns an Arrow table
+    ``(q_micro, value)``.
+
+    The histogram is O(domain) — fine for token counts, byte lengths,
+    fixed-point scores; ``max_domain`` guards against unbounded ids."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.size and (v.min() < 0 or v.max() >= max_domain):
+            raise ValueError(
+                f"column_quantiles: {value_col} outside [0, {max_domain})")
+        h = np.bincount(v) if v.size else np.zeros(1, dtype=np.int64)
+        nz = np.flatnonzero(h)
+        return pa.table({"val": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(h[nz].astype(np.int64))})
+
+    # fold the per-block sparse histograms on the driver: the combined
+    # histogram is ≤ domain-sized regardless of dataset size
+    acc: dict[int, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for v, c in zip(b["val"].to_numpy(zero_copy_only=False),
+                        b["cnt"].to_numpy(zero_copy_only=False)):
+            acc[int(v)] = acc.get(int(v), 0) + int(c)
+    if not acc:
+        return pa.table({"q_micro": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    vals = np.array(sorted(acc), dtype=np.int64)
+    cum = np.cumsum([acc[int(v)] for v in vals])
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in quantiles:
+        # integer-exact rank ceil(q·n) for rational q via micro units
+        # (float ceil drifts: double(0.3)*10 → 2.9999999999999996)
+        q_micro = int(round(q * 1_000_000))
+        rank = max(1, (q_micro * n + 999_999) // 1_000_000)
+        pos = int(np.searchsorted(cum, rank))
+        out_q.append(q_micro)
+        out_v.append(int(vals[min(pos, vals.size - 1)]))
+    return pa.table({"q_micro": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

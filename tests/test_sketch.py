@@ -1,0 +1,72 @@
+"""stages/sketch operators: deterministic hash sampling, exact token
+heavy-hitters, exact histogram quantiles — each checked against a
+sequential python reference on randomized inputs."""
+
+import collections
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+
+def test_hash_sample_deterministic_and_unbiased(ray_session):
+    from merge_machine_ray.stages.sketch import hash_sample
+
+    rows = [{"doc_id": i} for i in range(20_000)]
+    ds = _docs_ds(rows)
+    kept1 = sorted(r["doc_id"] for r in hash_sample(ds, "doc_id", 10).take_all())
+    kept2 = sorted(r["doc_id"] for r in hash_sample(ds, "doc_id", 10).take_all())
+    assert kept1 == kept2                      # pure function of the id
+    assert 0.08 < len(kept1) / 20_000 < 0.12   # ≈10%
+    # python reference
+    want = [i for i in range(20_000)
+            if (i * 2654435761) % (1 << 32) < int(0.10 * (1 << 32))]
+    assert kept1 == want
+
+
+def test_token_heavy_hitters_exact(ray_session):
+    from merge_machine_ray.stages.sketch import token_heavy_hitters
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [{"text": " ".join(rng.choice(vocab, size=rng.randint(3, 30)))}
+            for _ in range(400)]
+    out = token_heavy_hitters(_docs_ds(rows), "text", k=10).to_pylist()
+
+    counts = collections.Counter()
+    for r in rows:
+        counts.update(t for t in re.split(r"[^a-z0-9]+", r["text"].lower())
+                      if t)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["tok"], r["n"]) for r in out] == want
+
+
+def test_column_quantiles_matches_sorted_rank(ray_session):
+    from merge_machine_ray.stages.sketch import column_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.zipf(1.7, size=5000).clip(max=10_000).astype(int)
+    rows = [{"v": int(v)} for v in vals]
+    qs = [k / 10 for k in range(1, 10)] + [0.25, 0.75]
+    out = column_quantiles(_docs_ds(rows), "v", qs).to_pylist()
+    s = np.sort(vals)
+    n = s.size
+    for r, q in zip(out, qs):
+        rank = max(1, (int(round(q * 1e6)) * n + 999_999) // 1_000_000)
+        assert r["value"] == int(s[rank - 1]), q
+        assert r["q_micro"] == int(round(q * 1e6))
+
+
+def test_column_quantiles_rejects_unbounded(ray_session):
+    from merge_machine_ray.stages.sketch import column_quantiles
+
+    rows = [{"v": 1 << 40}]
+    with pytest.raises(Exception):
+        column_quantiles(_docs_ds(rows), "v", [0.5])
