@@ -845,18 +845,36 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     import math
 
     def _partial_df(b: pa.Table) -> pa.Table:
+        # vectorized per-extraction distinct-row counts — the shared
+        # stages/idf.py lexsort core over the flattened list column
+        # (tok lists are already row-unique, so "distinct rows per
+        # token" is one run-segmentation over (token, row))
+        from merge_machine_ray.stages.idf import (
+            _count_distinct_rows_per_token,
+        )
+
+        b = b.combine_chunks()
         exts, toks, pdfs = [], [], []
         for i in range(n_ext):
-            counts: dict[int, int] = {}
-            for lst in b[f"toks_{i}"].to_pylist():
-                for h in set(lst):
-                    counts[h] = counts.get(h, 0) + 1
-            exts.extend([i] * len(counts))
-            toks.extend(counts.keys())
-            pdfs.extend(counts.values())
-        return pa.table({"ext": pa.array(exts, pa.int32()),
-                         "tok": pa.array(toks, pa.int64()),
-                         "pdf": pa.array(pdfs, pa.int64())})
+            col = b[f"toks_{i}"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            flat = col.values.to_numpy(zero_copy_only=False)
+            if not flat.size:
+                continue
+            rows = np.repeat(np.arange(b.num_rows), np.diff(offsets))
+            t, c = _count_distinct_rows_per_token(flat, rows)
+            exts.append(np.full(t.size, i, dtype=np.int32))
+            toks.append(t)
+            pdfs.append(c)
+        if not toks:
+            return pa.table({"ext": pa.array([], pa.int32()),
+                             "tok": pa.array([], pa.int64()),
+                             "pdf": pa.array([], pa.int64())})
+        return pa.table({"ext": pa.array(np.concatenate(exts)),
+                         "tok": pa.array(np.concatenate(toks)),
+                         "pdf": pa.array(np.concatenate(pdfs))})
 
     _idf_buckets = 32
 
