@@ -112,6 +112,14 @@ def document_frequencies(features_ds, num_buckets: int = 256):
         .groupby("bucket").map_groups(sum_bucket, batch_format="pyarrow")
 
 
+#: Above this many streamed partial-DF rows the IDF fold falls back to
+#: the bucketed groupby (`document_frequencies`). Partial rows are
+#: bounded by blocks × per-block vocab — ~686k at 1.05M docs — so the
+#: driver fold (one lexsort) covers every realistic single-job corpus;
+#: the cap keeps a 100 TB job's fold off the driver.
+DRIVER_FOLD_LIMIT = 50_000_000
+
+
 def build_idf_table(features_ds, n_docs: int | None = None,
                     min_df: int = 2) -> dict:
     """Materialize the (small) IDF lookup as sorted numpy arrays.
@@ -119,6 +127,12 @@ def build_idf_table(features_ds, n_docs: int | None = None,
     idf(t) = ln((N+1)/(df+1)) + 1; ``default`` = idf at df=1 (exact for
     every token not in the table). Returned dict is the object to
     ``ray.put`` once and hand to scorer actors.
+
+    The partial-DF rows stream to the driver and fold with ONE lexsort
+    when they fit under ``DRIVER_FOLD_LIMIT`` — the bucketed groupby
+    exchange cost ~5-9 s of pure shuffle overhead on a 686k-row/11 MB
+    aggregate at 1.05M docs; above the cap the distributed
+    ``document_frequencies`` path takes over.
     """
     if n_docs is None:
         n_docs = features_ds.count()
@@ -126,15 +140,47 @@ def build_idf_table(features_ds, n_docs: int | None = None,
         return {"keys": np.empty(0, dtype=np.int64),
                 "vals": np.empty(0, dtype=np.float64),
                 "default": 1.0, "n_docs": 0}
-    df_ds = document_frequencies(features_ds)
-    tbl = df_ds.filter(expr=f"df >= {min_df}").to_pandas()
-    if "tok" not in tbl.columns:  # empty aggregate loses the schema
-        tbl = tbl.reindex(columns=["tok", "df"])
-    keys = tbl["tok"].to_numpy(dtype=np.int64)
-    dfs = tbl["df"].to_numpy(dtype=np.float64)
-    order = np.argsort(keys)
-    keys = keys[order]
-    idf = np.log((n_docs + 1.0) / (dfs[order] + 1.0)) + 1.0
+    parts: list[tuple[np.ndarray, np.ndarray]] = []
+    total = 0
+    fits = True
+    partials = features_ds.select_columns(["tok_hashes"]).map_batches(
+        _partial_df, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_size=262144,
+                                   batch_format="pyarrow"):
+        parts.append((b["tok"].to_numpy(zero_copy_only=False),
+                      b["pdf"].to_numpy(zero_copy_only=False)))
+        total += b.num_rows
+        if total > DRIVER_FOLD_LIMIT:
+            fits = False
+            break
+    if fits:
+        if parts:
+            toks = np.concatenate([p[0] for p in parts])
+            pdfs = np.concatenate([p[1] for p in parts])
+            o = np.argsort(toks, kind="stable")
+            t_, p_ = toks[o], pdfs[o]
+            change = np.concatenate(([True], t_[1:] != t_[:-1]))
+            sums = np.bincount(np.cumsum(change) - 1,
+                               weights=p_).astype(np.int64)
+            keys = t_[change]
+            dfs = sums
+        else:
+            keys = np.empty(0, dtype=np.int64)
+            dfs = np.empty(0, dtype=np.int64)
+        m = dfs >= min_df
+        keys = keys[m]
+        dfs = dfs[m].astype(np.float64)
+    else:
+        df_ds = document_frequencies(features_ds)
+        tbl = df_ds.filter(expr=f"df >= {min_df}").to_pandas()
+        if "tok" not in tbl.columns:  # empty aggregate loses the schema
+            tbl = tbl.reindex(columns=["tok", "df"])
+        keys = tbl["tok"].to_numpy(dtype=np.int64)
+        dfs = tbl["df"].to_numpy(dtype=np.float64)
+        order = np.argsort(keys)
+        keys = keys[order]
+        dfs = dfs[order]
+    idf = np.log((n_docs + 1.0) / (dfs + 1.0)) + 1.0
     return {
         "keys": keys,
         "vals": idf,
