@@ -76,6 +76,187 @@ def band_keys(sig: np.ndarray, num_bands: int = 16, prefix: str = "") -> list[st
     return keys
 
 
+# --------------------------------------------------------------------------
+# Vectorized flat-array core (round 3). The per-row path above builds w-token
+# shingle STRINGS and crc-hashes each one — measured ~8 s of pure python per
+# 1.05M docs in the blocking stage. The flat core hashes every document of a
+# batch in a handful of numpy passes: element hashes → polynomial window
+# hashes (one fused multiply-add per window position) → min-wise signatures
+# via ``np.minimum.reduceat`` over per-doc segments → band keys by a second
+# polynomial fold. All wraparound-uint64, deterministic across processes.
+# --------------------------------------------------------------------------
+
+_POLY = np.uint64(0x9E3779B97F4A7C15)  # odd golden-gamma multiplier
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MASK63 = np.uint64((1 << 63) - 1)
+
+
+def mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, elementwise uint64 (wraparound multiply)."""
+    v = np.asarray(v, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        v ^= v >> np.uint64(30)
+        v *= _SM1
+        v ^= v >> np.uint64(27)
+        v *= _SM2
+        v ^= v >> np.uint64(31)
+    return v
+
+
+def poly_window_hashes(elems: np.ndarray, offsets: np.ndarray,
+                       width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Window (shingle) hashes of every segment of a flat element array.
+
+    ``elems``: uint64 element hashes of all docs concatenated;
+    ``offsets``: int64[n+1] segment bounds. Per segment of length m:
+    m-width+1 windows of ``width`` elements (one window of all m when
+    0 < m < width, zero when m == 0), hash = mix64(polynomial fold).
+    Returns (window_hashes, window_offsets) in segment order — the same
+    semantics as ``token_shingles`` + per-shingle hashing, minus the
+    string building.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    assert offsets[0] == 0 and offsets[-1] == elems.size, \
+        "offsets must compactly span elems (offsets[0]==0)"
+    n = offsets.size - 1
+    lengths = np.diff(offsets)
+    counts = np.where(lengths == 0, 0,
+                      np.where(lengths < width, 1, lengths - width + 1))
+    sh_off = np.concatenate(([0], np.cumsum(counts)))
+    sh = np.empty(sh_off[-1], dtype=np.uint64)
+    if elems.size:
+        doc_of = np.repeat(np.arange(n), lengths)
+        within = np.arange(elems.size) - offsets[:-1][doc_of]
+        full = (lengths[doc_of] >= width) & (within <= lengths[doc_of] - width)
+        starts = np.flatnonzero(full)
+        with np.errstate(over="ignore"):
+            acc = elems[starts].copy()
+            for k in range(1, width):
+                acc *= _POLY
+                acc += elems[starts + k]
+        sh[sh_off[doc_of[starts]] + within[starts]] = mix64(acc)
+        for ell in range(1, width):
+            short = np.flatnonzero(lengths == ell)
+            if not short.size:
+                continue
+            st = offsets[:-1][short]
+            with np.errstate(over="ignore"):
+                acc = elems[st].copy()
+                for k in range(1, ell):
+                    acc *= _POLY
+                    acc += elems[st + k]
+            sh[sh_off[short]] = mix64(acc)
+    return sh, sh_off
+
+
+#: transient-memory cap for the (perm_chunk × window_chunk) hash matrix
+_PERM_CHUNK = 16
+_WINDOW_CHUNK = 1 << 19
+
+
+def minhash_from_flat(sh: np.ndarray, sh_off: np.ndarray,
+                      num_perm: int = 128) -> np.ndarray:
+    """Min-wise signatures (n_docs × num_perm uint64) of flat window
+    hashes: v = mix(a_p·x + b_p), min per segment via
+    ``np.minimum.reduceat``. Empty segments get all-MAX (same convention
+    as :func:`minhash_signature`). Chunked over perms and docs so the
+    transient matrix stays ≤ ~64 MB."""
+    sh_off = np.asarray(sh_off, dtype=np.int64)
+    n = sh_off.size - 1
+    out = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
+    if sh.size == 0 or n == 0:
+        return out
+    a, b = _perms(num_perm)
+    counts = np.diff(sh_off)
+    nonempty = np.flatnonzero(counts)
+    ends = sh_off[nonempty + 1]
+    # greedy doc sub-ranges whose window span stays under the chunk cap
+    # (one searchsorted per CHUNK, not per doc)
+    cuts = [0]
+    while True:
+        start = cuts[-1]
+        j = int(np.searchsorted(
+            ends, sh_off[nonempty[start]] + _WINDOW_CHUNK, side="right"))
+        j = max(j, start + 1)  # an oversized single doc still processes
+        if j >= nonempty.size:
+            break
+        cuts.append(j)
+    cuts.append(nonempty.size)
+    for c0, c1 in zip(cuts[:-1], cuts[1:]):
+        docs = nonempty[c0:c1]
+        if not docs.size:
+            continue
+        lo = sh_off[docs[0]]
+        hi = sh_off[docs[-1] + 1]
+        seg = sh[lo:hi]
+        red_idx = (sh_off[docs] - lo).astype(np.int64)
+        for p0 in range(0, num_perm, _PERM_CHUNK):
+            ap = a[p0:p0 + _PERM_CHUNK]
+            bp = b[p0:p0 + _PERM_CHUNK]
+            with np.errstate(over="ignore"):
+                v = ap[:, None] * seg[None, :] + bp[:, None]
+                v ^= v >> np.uint64(33)
+            out[docs, p0:p0 + ap.size] = \
+                np.minimum.reduceat(v, red_idx, axis=1).T
+    return out
+
+
+def band_keys_from_sigs(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """LSH band keys (n_docs × num_bands int64, 63-bit non-negative)
+    from signature rows: polynomial fold of each band's r signature
+    values seeded by the band index, splitmix-finalized."""
+    n, num_perm = sigs.shape
+    r = num_perm // num_bands
+    s3 = sigs[:, : num_bands * r].reshape(n, num_bands, r)
+    acc = np.broadcast_to(
+        np.arange(1, num_bands + 1, dtype=np.uint64), (n, num_bands)).copy()
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc *= _POLY
+            acc += s3[:, :, j]
+    return (mix64(acc) & _MASK63).astype(np.int64)
+
+
+def banded_minhash(elems: np.ndarray, offsets: np.ndarray, num_perm: int,
+                   num_bands: int, width: int) -> np.ndarray:
+    """elems+offsets → (n_docs × num_bands) band keys (the fused path
+    used by the blocking / linking / near-dup band stages)."""
+    sh, sh_off = poly_window_hashes(elems, offsets, width)
+    return band_keys_from_sigs(minhash_from_flat(sh, sh_off, num_perm),
+                               num_bands)
+
+
+def str_elem_hashes(flat_tokens, crc=None) -> np.ndarray:
+    """uint64 element hashes of a flat token sequence (pyarrow
+    StringArray or python list), crc-hashed ONCE PER DISTINCT token via
+    dictionary encoding, then splitmix-mixed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from merge_machine_ray.functions.hashing import crc_hash64
+
+    crc = crc or crc_hash64
+    if not isinstance(flat_tokens, (pa.Array, pa.ChunkedArray)):
+        flat_tokens = pa.array(flat_tokens, pa.string())
+    if len(flat_tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = pc.dictionary_encode(flat_tokens)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary.to_pylist()
+    uh = mix64(np.fromiter((crc(t) for t in vocab), dtype=np.uint64,
+                           count=len(vocab)))
+    return uh[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def int_elem_hashes(values: np.ndarray) -> np.ndarray:
+    """uint64 element hashes of integer token hashes (sign-extended then
+    splitmix-mixed; int32 and int64 inputs agree on shared values)."""
+    return mix64(np.asarray(values).astype(np.int64).astype(np.uint64))
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash of a token multiset (weighted bit-vote)."""
     if not tokens:

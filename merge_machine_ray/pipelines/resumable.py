@@ -68,8 +68,14 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
         for p_ in input_paths])
 
     # ---- stage 1+2: features + band keys per input shard --------------
+    # BANDKEY_SEMVER salts the bands config fingerprint with the band-
+    # key hash-family version: partitions hashed under an older family
+    # must recompute, never mix (the edges fingerprint chains from it).
+    from merge_machine_ray.stages.blocking import BANDKEY_SEMVER
+
+    band_cfg_fp = fingerprint_of([cfg_fp, BANDKEY_SEMVER])
     feat_ck = StageCheckpoint(out_root, "features", in_fp, cfg_fp)
-    band_ck = StageCheckpoint(out_root, "bands", in_fp, cfg_fp)
+    band_ck = StageCheckpoint(out_root, "bands", in_fp, band_cfg_fp)
     shard_ids = [_shard_id(f) for f in input_paths]
     path_of = dict(zip(shard_ids, input_paths))
 
@@ -104,7 +110,7 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
     idf_ref = ray.put(build_idf_table(features))
 
     # ---- stage 3: edges per bucket-range ------------------------------
-    bands_fp = fingerprint_of([in_fp, cfg_fp, "bands", num_buckets])
+    bands_fp = fingerprint_of([in_fp, band_cfg_fp, "bands", num_buckets])
     # EMITTER_SEMVER salts the fingerprint with the pair-EMITTER
     # semantics version (bumped with _emit_pairs_bucket_fn's rules), so
     # a resume never mixes edge partitions computed under old and new

@@ -34,30 +34,49 @@ import numpy as np
 import pyarrow as pa
 
 from merge_machine_ray.functions.hashing import crc_hash64
-from merge_machine_ray.functions.minhash import minhash_signature, token_shingles
+from merge_machine_ray.functions.minhash import (
+    banded_minhash,
+    int_elem_hashes,
+    mix64,
+    str_elem_hashes,
+)
 
 _MASK63 = (1 << 63) - 1
 
 _FEATURE_COLS = ("path", "host", "lang", "tok_hashes", "int_hashes")
 
+# Version of the band-key HASH FAMILY. Bumped round 3: the per-row
+# string-shingle + crc scheme became the numeric poly-window minhash of
+# functions/minhash.py (same (host, token...) element sequence, ~25x
+# less map-side python). Resumable checkpoints fold this into the
+# bands/edges fingerprints so partitions hashed under the old family
+# recompute instead of silently mixing band keys from two families.
+BANDKEY_SEMVER = "bandkeys-v2"
+
 
 def band_hashes_for(tok_hashes: list[int], host: str, num_perm: int,
                     num_bands: int, shingle_width: int) -> list[int]:
-    """All band hashes of one document (shared with the oracle)."""
-    strs = [str(t) for t in tok_hashes]
+    """All band hashes of one document (the scalar oracle form — calls
+    the SAME flat-core helpers as the batched :class:`BandKeys`, so
+    pipeline and sequential oracle agree bit-for-bit)."""
+    elems = int_elem_hashes(np.asarray(tok_hashes, dtype=np.int64))
     if host:
-        strs = [host] + strs
-    sh = token_shingles(strs, shingle_width)
-    sig = minhash_signature(sh, num_perm)
-    r = num_perm // num_bands
-    return [crc_hash64(bytes([b]) + sig[b * r : (b + 1) * r].tobytes()) & _MASK63
-            for b in range(num_bands)]
+        elems = np.concatenate(
+            [mix64(np.array([crc_hash64(host)], dtype=np.uint64)), elems])
+    keys = banded_minhash(elems, np.array([0, elems.size], np.int64),
+                          num_perm, num_bands, shingle_width)
+    return keys[0].tolist()
 
 
 class BandKeys:
     """map_batches callable: features → one row per (band, doc) with the
     doc's full band-hash vector; optionally carrying the compact feature
-    payload (``carry_features``) for the carry-mode pipeline."""
+    payload (``carry_features``) for the carry-mode pipeline.
+
+    Fully vectorized: the batch's token hashes flatten zero-copy from
+    the Arrow list column, hosts hash once per distinct value, and the
+    whole batch minhashes in a handful of numpy passes
+    (functions/minhash.py flat core)."""
 
     def __init__(self, num_perm: int = 128, num_bands: int = 16,
                  shingle_width: int = 3, include_host: bool = True,
@@ -69,32 +88,60 @@ class BandKeys:
         self.carry_features = carry_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        doc_ids = batch["doc_id"].to_pylist()
-        toks_col = batch["tok_hashes"].to_pylist()
-        hosts = batch["host"].to_pylist() if self.include_host else [""] * n
+        import pyarrow.compute as pc
 
-        per_doc_bands = [
-            band_hashes_for(toks, host, self.num_perm, self.num_bands,
-                            self.shingle_width)
-            for toks, host in zip(toks_col, hosts)
-        ]
+        n = batch.num_rows
+        tc = batch["tok_hashes"]
+        if isinstance(tc, pa.ChunkedArray):
+            tc = tc.combine_chunks()
+        off = tc.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_tok = int_elem_hashes(
+            tc.values.to_numpy(zero_copy_only=False)[off[0]:off[-1]]
+            if n else np.empty(0, np.int64))
+        m = np.diff(off) if n else np.empty(0, np.int64)
+
+        if self.include_host and n:
+            hc = batch["host"]
+            if isinstance(hc, pa.ChunkedArray):
+                hc = hc.combine_chunks()
+            hc = pc.fill_null(hc, "")
+            host_e = str_elem_hashes(hc)
+            has_host = pc.not_equal(hc, "").to_numpy(zero_copy_only=False)
+        else:
+            host_e = np.empty(n, np.uint64)
+            has_host = np.zeros(n, bool)
+
+        # interleave: per doc [host_hash?, token_hashes...] — flat order
+        # is preserved, so tokens land in the non-host slots directly
+        lengths = m + has_host
+        noff = np.concatenate(([0], np.cumsum(lengths, dtype=np.int64)))
+        elems = np.empty(int(noff[-1]), np.uint64)
+        host_slots = np.zeros(elems.size, bool)
+        if has_host.any():
+            hp = noff[:-1][has_host]
+            host_slots[hp] = True
+            elems[hp] = host_e[has_host]
+        elems[~host_slots] = flat_tok
+
+        keys2d = banded_minhash(elems, noff, self.num_perm, self.num_bands,
+                                self.shingle_width)
         nb = self.num_bands
         idx = np.repeat(np.arange(n), nb)
         band_idx = np.tile(np.arange(nb, dtype=np.int32), n)
-        keys = np.fromiter(
-            (bh for bands in per_doc_bands for bh in bands),
-            dtype=np.int64, count=n * nb)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False) if n \
+            else np.empty(0, np.int64)
         cols = {
-            "band_key": pa.array(keys),
-            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)[idx]),
+            "band_key": pa.array(keys2d.ravel()),
+            "doc_id": pa.array(doc_ids[idx].astype(np.int64)),
         }
         if self.carry_features:
             # carry mode keeps per-row band vectors for the shuffle-free
             # first-agreeing-band dedup
             cols["band_idx"] = pa.array(band_idx)
-            cols["band_hashes"] = pa.array(
-                [per_doc_bands[i] for i in idx], pa.list_(pa.int64()))
+            cols["band_hashes"] = pa.ListArray.from_arrays(
+                pa.array(np.arange(n * nb + 1, dtype=np.int64) * nb,
+                         pa.int32()),
+                pa.array(np.repeat(keys2d, nb, axis=0).ravel()))
             for c in _FEATURE_COLS:
                 if c in batch.column_names:
                     cols[c] = batch[c].take(pa.array(idx))

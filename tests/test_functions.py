@@ -221,3 +221,42 @@ def test_extract_text_column_matches_scalar():
     bcol = pa.array([b"\xff\xfe<p>ok</p>", b"<i>a</i>", None], pa.binary())
     assert extract_text_column(bcol).to_pylist() == \
         [extract_text_from_html(b) for b in bcol.to_pylist()]
+
+
+def test_band_keys_batched_matches_scalar():
+    """Vectorized BandKeys (flat poly-window minhash core) produces the
+    SAME band keys as the scalar ``band_hashes_for`` oracle — including
+    empty docs, empty hosts, sub-shingle-width docs, and the carry-mode
+    per-row band vectors."""
+    import numpy as np
+    import pyarrow as pa
+
+    from merge_machine_ray.stages.blocking import BandKeys, band_hashes_for
+
+    rng = np.random.RandomState(11)
+    tok_lists, hosts = [], []
+    for i in range(300):
+        m = int(rng.choice([0, 1, 2, 3, 5, 40]))
+        tok_lists.append(
+            rng.randint(-2**31, 2**31 - 1, size=m).astype(np.int32).tolist())
+        hosts.append("" if i % 5 == 0 else f"h{i % 13}.example.org")
+    batch = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "tok_hashes": pa.array(tok_lists, pa.list_(pa.int32())),
+        "host": pa.array(hosts),
+    })
+    out = BandKeys(num_perm=64, num_bands=8, shingle_width=3,
+                   carry_features=True)(batch)
+    keys = out["band_key"].to_numpy(zero_copy_only=False).reshape(300, 8)
+    for i in range(0, 300, 7):
+        expect = band_hashes_for(tok_lists[i], hosts[i], 64, 8, 3)
+        assert keys[i].tolist() == expect
+        assert out["band_hashes"][i * 8].as_py() == expect
+    # no-host variant and empty batch keep schema + parity
+    out2 = BandKeys(64, 8, 3, include_host=False,
+                    carry_features=False)(batch)
+    k2 = out2["band_key"].to_numpy(zero_copy_only=False).reshape(300, 8)
+    assert k2[3].tolist() == band_hashes_for(tok_lists[3], "", 64, 8, 3)
+    empty = BandKeys(64, 8, 3)(batch.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema.names == out.schema.names
