@@ -1232,6 +1232,87 @@ def clean_corpus_full(sf_dir: str):
 
 
 
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Partitioned window functions (row_number / rank / dense_rank)
+    over a bucketed key space: each customer's top-k orders by price.
+    Ray shape: ``stages/window.py`` — hash-bucket the partition keys
+    (one shuffle over ~num_buckets groups, NOT one python call per
+    customer), one vectorized lexsort pass per bucket. The rank pair
+    ties on price alone; row_number totals the order with o_orderkey."""
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "price_cents": c})
+
+    spec = WindowSpec(
+        partition_by="o_custkey",
+        order_by=[("price_cents", True), ("o_orderkey", False)],
+        row_number="rn", rank="rnk", dense_rank="drnk", rank_on=1)
+    out = window(ds.map_batches(cents, batch_format="pyarrow"), spec,
+                 keep_cols=["o_custkey", "o_orderkey", "price_cents"])
+    return out.filter(expr=f"rn <= {k}")
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                     o_orderkey) AS rn,
+         rank() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC) AS drnk
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+def orders_lag_delta(sf_dir: str):
+    """lag() window: per customer, days since the previous order
+    (first order → -1). Same bucketed-window operator; the day delta
+    is exact integer math on midnight-aligned timestamps."""
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    spec = WindowSpec(
+        partition_by="o_custkey",
+        order_by=[("o_orderdate", False), ("o_orderkey", False)],
+        lag={"prev_date": ("o_orderdate", 1)})
+    out = window(ds, spec,
+                 keep_cols=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def delta(t: pa.Table) -> pa.Table:
+        cur = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        prev = t["prev_date"].cast(pa.timestamp("us")).cast(pa.int64())
+        days = pc.divide(pc.subtract(cur, prev),
+                         pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "days_since_prev": pc.fill_null(days, -1),
+        })
+
+    return out.map_batches(delta, batch_format="pyarrow")
+
+
+ORDERS_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(coalesce(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate), -1) AS BIGINT) AS days_since_prev
+FROM orders
+"""
+
+
 def er_pages_fixture(sf_dir: str, n_entities: int = 500):
     """Flagship ER over the synthetic PAGES corpus (FIXTURES.md F1):
     html extraction → normalize → LSH blocking → scoring → clustering.
@@ -1286,6 +1367,8 @@ def build_queries() -> dict:
         "simhash_near_dups": simhash_near_dups,
         "embedding_near_dups": embedding_near_dups,
         "er_documents": er_documents,
+        "top_orders_per_customer": top_orders_per_customer,
+        "orders_lag_delta": orders_lag_delta,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -1329,4 +1412,6 @@ def build_oracle_sql() -> dict:
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "er_documents": ER_DOCUMENTS_SQL,
+        "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
+        "orders_lag_delta": ORDERS_LAG_SQL,
     }

@@ -1,0 +1,108 @@
+"""stages/window.py — randomized parity vs DuckDB window functions."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _duck_windows(df: pd.DataFrame, rank_sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(rank_sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_window_parity_randomized(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "part": rng.randint(0, 200, n).astype(np.int64),
+        "val": rng.randint(0, 25, n).astype(np.int64),  # many ties
+        "uid": np.arange(n, dtype=np.int64),
+        "payload": rng.randint(-100, 100, n).astype(np.int64),
+    })
+    spec = WindowSpec(
+        partition_by="part",
+        order_by=[("val", True), ("uid", False)],
+        row_number="rn", rank="rnk", dense_rank="drnk", rank_on=1,
+        lag={"prev_payload": ("payload", 1), "prev2": ("payload", 2)})
+    got = window(rd.from_pandas(df), spec,
+                 keep_cols=["part", "uid", "val", "payload"],
+                 num_buckets=7).to_pandas()
+    want = _duck_windows(df, """
+        SELECT part, uid, val, payload,
+               row_number() OVER (PARTITION BY part
+                                  ORDER BY val DESC, uid) AS rn,
+               rank() OVER (PARTITION BY part ORDER BY val DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY part
+                                  ORDER BY val DESC) AS drnk,
+               lag(payload) OVER (PARTITION BY part
+                                  ORDER BY val DESC, uid) AS prev_payload,
+               lag(payload, 2) OVER (PARTITION BY part
+                                     ORDER BY val DESC, uid) AS prev2
+        FROM t""")
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w) == n
+    for c in g.columns:
+        gv = g[c].to_numpy(dtype=float, na_value=np.nan)
+        wv = w[c].to_numpy(dtype=float, na_value=np.nan)
+        assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
+
+
+def test_window_string_partitions_single_bucket(ray_session):
+    """String partition keys + num_buckets=1 (every partition in one
+    group: exercises segment-boundary arithmetic across partitions)."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    rng = np.random.RandomState(11)
+    n = 1200
+    df = pd.DataFrame({
+        "host": rng.choice(["a.com", "b.org", "c.net", "d.io"], n),
+        "score": rng.randint(0, 10, n).astype(np.int64),
+        "uid": np.arange(n, dtype=np.int64),
+    })
+    spec = WindowSpec(partition_by="host",
+                      order_by=[("score", False), ("uid", False)],
+                      row_number="rn", lag={"prev_uid": ("uid", 1)})
+    got = window(rd.from_pandas(df), spec, num_buckets=1).to_pandas()
+    want = _duck_windows(df, """
+        SELECT host, score, uid,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY score, uid) AS rn,
+               lag(uid) OVER (PARTITION BY host
+                              ORDER BY score, uid) AS prev_uid
+        FROM t""")
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w) == n
+    for c in ["rn"]:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all()
+    pg = g["prev_uid"].to_numpy(dtype=float, na_value=np.nan)
+    pw = w["prev_uid"].to_numpy(dtype=float, na_value=np.nan)
+    assert ((pg == pw) | (np.isnan(pg) & np.isnan(pw))).all()
+
+
+def test_window_empty_and_singletons(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    df = pd.DataFrame({"part": np.array([1, 2, 3], np.int64),
+                       "v": np.array([9, 8, 7], np.int64)})
+    spec = WindowSpec(partition_by="part", order_by=[("v", False)],
+                      row_number="rn", rank="rnk",
+                      lag={"pv": ("v", 1)})
+    out = window(rd.from_pandas(df), spec, num_buckets=2).to_pandas()
+    assert sorted(out["rn"]) == [1, 1, 1]
+    assert sorted(out["rnk"]) == [1, 1, 1]
+    assert out["pv"].isna().all()
