@@ -1313,6 +1313,255 @@ FROM orders
 """
 
 
+def inactive_customers(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no order on
+    or after 2001-01-01. Both sides are SCALING tables — one bucketed
+    existence shuffle (``stages/joins.py:bucket_anti_join``), never a
+    driver-side key set."""
+    from merge_machine_ray.stages.joins import bucket_anti_join
+
+    cutoff = pa.scalar(np.datetime64("2001-01-01", "us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["o_orderdate"], cutoff))
+            .select(["o_custkey"]),
+            batch_format="pyarrow")
+    return bucket_anti_join(cust, recent, "c_custkey", "o_custkey")
+
+
+INACTIVE_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+def orders_with_max_qty_item(sf_dir: str):
+    """Distributed SEMI join (EXISTS): orders having at least one
+    lineitem with quantity ≥ 49. Fact-to-fact existence check — the
+    right side is pre-filtered and key-deduplicated map-side, so only
+    qualifying keys ride the shuffle."""
+    from merge_machine_ray.stages.joins import bucket_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    big = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["l_quantity"], 49.0))
+            .select(["l_orderkey"]),
+            batch_format="pyarrow")
+    return bucket_semi_join(orders, big, "o_orderkey", "l_orderkey")
+
+
+ORDERS_MAX_QTY_SQL = """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+"""
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape — three-way join: filtered dimension broadcast
+    (BUILDING customers' keys, pruned map-side) + bucketed fact-to-fact
+    hash join orders↔lineitem + grouped revenue + global top-k.
+    Revenue in exact integer ten-thousandths (cents × (100 − discount
+    points)) so the distributed sum is order-independent."""
+    import ray
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    date = pa.scalar(np.datetime64("1998-06-01", "us"))
+    cust_keys = np.sort(np.concatenate([
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey"]), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536)] or
+        [np.empty(0, np.int64)]))
+    keys_ref = ray.put(cust_keys)
+
+    class FilterOrders:
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+                else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["o_orderdate"], date))
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck).clip(
+                max=max(self.keys.size - 1, 0))
+            hit = (self.keys[pos] == ck) if self.keys.size else \
+                np.zeros(ck.size, bool)
+            return t.filter(pa.array(hit)) \
+                .select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(FilterOrders, fn_constructor_kwargs={"ref": keys_ref},
+                     batch_format="pyarrow", concurrency=(1, 4))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], date))
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        dpts = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - dpts)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(uniq.size, np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uniq),
+                         "rev_tenk": pa.array(sums)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(li_partial,
+                                           batch_format="pyarrow")
+    joined = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey")
+    from ray.data.aggregate import Sum
+
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]) \
+        .aggregate(Sum("rev_tenk", alias_name="revenue_tenk"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "revenue_tenk": t["revenue_tenk"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue_tenk", "l_orderkey"], descending=[True, False]) \
+        .limit(k)
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_tenk
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_tenk DESC, l_orderkey LIMIT 10
+"""
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, year): one distributed partial-agg →
+    small grouped table → the two rollup levels re-aggregate THAT
+    table (bounded by |priorities|×|years|, never the fact table).
+    NULL markers: priority 'ALL', year -1."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        # exact calendar year via numpy datetime64 (handles leap years)
+        years = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        prio = t["o_orderpriority"]
+        key = pa.table({"o_orderpriority": prio,
+                        "o_year": pa.array(years),
+                        "cents": pa.array(cents)})
+        return key
+
+    grouped = _read(sf_dir, "orders",
+                    ["o_orderpriority", "o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderpriority", "o_year"]) \
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    base = pa.concat_tables(
+        list(grouped.iter_batches(batch_format="pyarrow",
+                                  batch_size=65536))).combine_chunks()
+    prio = base["o_orderpriority"].to_pylist()
+    year = base["o_year"].to_numpy(zero_copy_only=False)
+    cents = base["revenue_cents"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rows_p, rows_y, rows_c = list(prio), list(year), list(cents)
+    # level 1: per priority (year = -1)
+    for p in sorted(set(prio)):
+        m = [i for i, x in enumerate(prio) if x == p]
+        rows_p.append(p)
+        rows_y.append(-1)
+        rows_c.append(int(cents[m].sum()))
+    # level 0: grand total
+    rows_p.append("ALL")
+    rows_y.append(-1)
+    rows_c.append(int(cents.sum()))
+    return pa.table({"o_orderpriority": pa.array(rows_p, pa.string()),
+                     "o_year": pa.array(np.asarray(rows_y, np.int64)),
+                     "revenue_cents": pa.array(
+                         np.asarray(rows_c, np.int64))})
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(coalesce(y, -1) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM (SELECT o_orderpriority, year(o_orderdate) AS y, o_totalprice
+      FROM orders)
+GROUP BY ROLLUP(o_orderpriority, y)
+"""
+
+
+def qty_variance_by_flag(sf_dir: str):
+    """Exact-integer population variance of l_quantity per return flag:
+    distributed partial (n, Σq, Σq²) sums — quantities are integral so
+    the moments are exact int64 — then arbitrary-precision integer
+    variance on the 3-row result (var_micro = 10⁶·(n·Σq²−(Σq)²)//n²,
+    matching DuckDB HUGEINT integer division)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "q": pa.array(q), "q2": pa.array(q * q),
+                         "one": pa.array(np.ones(q.size, np.int64))})
+
+    grouped = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("one", alias_name="n"),
+                   Sum("q", alias_name="sum_qty"),
+                   Sum("q2", alias_name="sum_qty_sq"))
+
+    def variance(t: pa.Table) -> pa.Table:
+        n = t["n"].to_pylist()
+        sq = t["sum_qty"].to_pylist()
+        sq2 = t["sum_qty_sq"].to_pylist()
+        var = [(1_000_000 * (ni * s2i - si * si)) // (ni * ni)
+               for ni, si, s2i in zip(n, sq, sq2)]
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.asarray(n, np.int64)),
+            "sum_qty": pa.array(np.asarray(sq, np.int64)),
+            "var_micro": pa.array(np.asarray(var, np.int64))})
+
+    return grouped.map_batches(variance, batch_format="pyarrow")
+
+
+QTY_VARIANCE_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST((1000000::HUGEINT * (count(*)::HUGEINT * sum(q*q)::HUGEINT
+             - sum(q)::HUGEINT * sum(q)::HUGEINT))
+            // (count(*)::HUGEINT * count(*)::HUGEINT) AS BIGINT)
+           AS var_micro
+FROM (SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
 def er_pages_fixture(sf_dir: str, n_entities: int = 500):
     """Flagship ER over the synthetic PAGES corpus (FIXTURES.md F1):
     html extraction → normalize → LSH blocking → scoring → clustering.
@@ -1369,6 +1618,11 @@ def build_queries() -> dict:
         "er_documents": er_documents,
         "top_orders_per_customer": top_orders_per_customer,
         "orders_lag_delta": orders_lag_delta,
+        "inactive_customers": inactive_customers,
+        "orders_with_max_qty_item": orders_with_max_qty_item,
+        "q3_shipping_priority": q3_shipping_priority,
+        "revenue_rollup": revenue_rollup,
+        "qty_variance_by_flag": qty_variance_by_flag,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -1414,4 +1668,9 @@ def build_oracle_sql() -> dict:
         "er_documents": ER_DOCUMENTS_SQL,
         "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
         "orders_lag_delta": ORDERS_LAG_SQL,
+        "inactive_customers": INACTIVE_CUSTOMERS_SQL,
+        "orders_with_max_qty_item": ORDERS_MAX_QTY_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "revenue_rollup": REVENUE_ROLLUP_SQL,
+        "qty_variance_by_flag": QTY_VARIANCE_SQL,
     }

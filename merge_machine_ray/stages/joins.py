@@ -105,11 +105,27 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
                                              batch_format="pyarrow")
 
 
+def bucket_semi_join(left_ds, right_ds, left_on: str, right_on: str,
+                     num_buckets: int = 64):
+    """SEMI join: keep left rows whose key DOES appear in the right
+    side (SQL ``EXISTS`` / ``IN``), each at most once regardless of
+    right-side multiplicity. Same one-shuffle bucket pattern as
+    :func:`bucket_anti_join` with the keep condition inverted."""
+    return _existence_join(left_ds, right_ds, left_on, right_on,
+                           num_buckets, keep_hits=True)
+
+
 def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
                      num_buckets: int = 64):
     """ANTI join: keep left rows whose key does NOT appear in the right
     side. Same one-shuffle bucket pattern as :func:`bucket_hash_join`;
     the right side contributes only its key column."""
+    return _existence_join(left_ds, right_ds, left_on, right_on,
+                           num_buckets, keep_hits=False)
+
+
+def _existence_join(left_ds, right_ds, left_on: str, right_on: str,
+                    num_buckets: int, keep_hits: bool):
     left_cols = list(left_ds.schema().names)
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -132,7 +148,7 @@ def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
 
-    def anti_bucket(group: pa.Table) -> pa.Table:
+    def existence_bucket(group: pa.Table) -> pa.Table:
         group = group.combine_chunks()
         side = group["__side"].to_numpy(zero_copy_only=False)
         keys = group["__key"].to_numpy(zero_copy_only=False)
@@ -144,9 +160,12 @@ def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
         if r_keys.size:
             pos = np.searchsorted(r_keys, keys[l_idx]).clip(
                 max=r_keys.size - 1)
-            l_idx = l_idx[r_keys[pos] != keys[l_idx]]
+            hit = r_keys[pos] == keys[l_idx]
+            l_idx = l_idx[hit if keep_hits else ~hit]
+        elif keep_hits:
+            l_idx = l_idx[:0]
         li = pa.array(l_idx)
         return pa.table({c: group[c].take(li) for c in left_cols})
 
-    return tagged.groupby("__jb").map_groups(anti_bucket,
+    return tagged.groupby("__jb").map_groups(existence_bucket,
                                              batch_format="pyarrow")

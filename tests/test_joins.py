@@ -63,3 +63,26 @@ def test_minhash_dedup_keep_anti_join_path(ray_session):
     assert kept_bc == kept_aj
     assert len(kept_bc) == 40                 # one per distinct text
     assert all(d < 1000 for d in kept_bc)     # min-id representative kept
+
+
+def test_bucket_semi_join_randomized(ray_session):
+    """Semi ≡ EXISTS: keeps each qualifying left row exactly once even
+    when the right side repeats the key; complements the anti join."""
+    import numpy as np
+    import ray.data as rd
+
+    from merge_machine_ray.stages.joins import bucket_anti_join, bucket_semi_join
+
+    rng = np.random.RandomState(3)
+    lk = rng.randint(0, 300, 1000).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk), "row": pa.array(np.arange(1000, dtype=np.int64))}))
+    rk = rng.randint(0, 300, 500).astype(np.int64)  # dup right keys
+    right = rd.from_arrow(pa.table({"rk": pa.array(rk)}))
+    semi = bucket_semi_join(left, right, "k", "rk", num_buckets=7).take_all()
+    anti = bucket_anti_join(left, right, "k", "rk", num_buckets=7).take_all()
+    rset = set(rk.tolist())
+    want_semi = sorted(r for k, r in zip(lk, range(1000)) if k in rset)
+    assert sorted(r["row"] for r in semi) == want_semi
+    assert len(semi) + len(anti) == 1000
+    assert not (set(r["row"] for r in semi) & set(r["row"] for r in anti))
