@@ -1562,6 +1562,90 @@ GROUP BY l_returnflag
 """
 
 
+def pii_redacted(sf_dir: str):
+    """PII scrubbing (training-data op): the corpus carries no natural
+    PII, so each doc gets a deterministic planted suffix (email, phone,
+    dotted-quad derived from doc_id) and the redactor must strip ALL of
+    it back out. The DuckDB twin replants identically and replays the
+    same RE2 chain — clean_text and the per-kind hit counts must match
+    byte-for-byte. Vectorized end to end (`stages/textstats.redact_pii`)."""
+    from merge_machine_ray.stages.textstats import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sid = pc.cast(t["doc_id"], pa.string())
+        phone = pc.cast(pa.array(1000 + ids % 9000), pa.string())
+        oct3 = pc.cast(pa.array(ids % 200), pa.string())
+        oct4 = pc.cast(pa.array(ids % 50), pa.string())
+        text = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), " contact user", sid,
+            "@example.com or call 555-", phone, " from 10.0.", oct3,
+            ".", oct4, "")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+        .map_batches(lambda t: redact_pii(t), batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "clean_text", "n_emails", "n_ips", "n_phones"])
+
+
+PII_REDACTED_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.' || CAST(doc_id % 50 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+      '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_emails,
+  CAST(len(regexp_extract_all(text,
+      '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT)
+      AS n_phones
+FROM p
+"""
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals: per-doc duplicate-token
+    and duplicate-bigram fractions in exact integer micro units
+    (integer division on both engines, so the hashes match exactly).
+    One dictionary-encode + lexsort per batch — no per-row python."""
+    from merge_machine_ray.stages.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lambda t: repetition_stats(t),
+                          batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens_r", "dup_token_frac_micro",
+                         "dup_bigram_frac_micro"])
+
+
+DOC_REPETITION_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+           FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_r,
+  CAST(CASE WHEN len(toks) = 0 THEN 0
+       ELSE (1000000 * (len(toks) - len(list_distinct(toks))))
+            // len(toks) END AS BIGINT) AS dup_token_frac_micro,
+  CAST(CASE WHEN len(toks) < 2 THEN 0
+       ELSE (1000000 * ((len(toks) - 1)
+             - len(list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || chr(31) || toks[i+1])))))
+            // (len(toks) - 1) END AS BIGINT) AS dup_bigram_frac_micro
+FROM t
+"""
+
+
 def er_pages_fixture(sf_dir: str, n_entities: int = 500):
     """Flagship ER over the synthetic PAGES corpus (FIXTURES.md F1):
     html extraction → normalize → LSH blocking → scoring → clustering.
@@ -1623,6 +1707,8 @@ def build_queries() -> dict:
         "q3_shipping_priority": q3_shipping_priority,
         "revenue_rollup": revenue_rollup,
         "qty_variance_by_flag": qty_variance_by_flag,
+        "pii_redacted": pii_redacted,
+        "doc_repetition": doc_repetition,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -1673,4 +1759,6 @@ def build_oracle_sql() -> dict:
         "q3_shipping_priority": Q3_SQL,
         "revenue_rollup": REVENUE_ROLLUP_SQL,
         "qty_variance_by_flag": QTY_VARIANCE_SQL,
+        "pii_redacted": PII_REDACTED_SQL,
+        "doc_repetition": DOC_REPETITION_SQL,
     }

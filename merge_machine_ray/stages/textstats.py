@@ -221,3 +221,92 @@ def fingerprint(batch: pa.Table, col: str = "text",
                 continue
             out.append(int(_window_hashes(b, window).min()) & _MASK63)
     return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+
+# --------------------------------------------------------- PII scrubbing
+# A 100 TB training-data pipeline redacts PII before anything else ships.
+# All three patterns are RE2 (shared by Arrow and DuckDB, so the SQL twin
+# replays them verbatim); replacement order is part of the contract:
+# emails first (their local parts may contain digits), then IPs (dotted
+# quads would otherwise half-match the phone rule), then phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}-\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(batch: pa.Table, col: str = "text",
+               out_col: str = "clean_text",
+               count_cols: bool = True) -> pa.Table:
+    """Vectorized PII redaction: one ``pc.replace_substring_regex``
+    pass per pattern (compiled RE2, no per-row python). With
+    ``count_cols``, emits ``n_emails / n_ips / n_phones`` hit counts
+    (counted on the ORIGINAL text, before any replacement)."""
+    text = pc.fill_null(batch[col], "")
+    if count_cols:
+        names = ("n_emails", "n_ips", "n_phones")
+        for (pat, _), name in zip(PII_PATTERNS, names):
+            batch = batch.append_column(
+                name, pc.count_substring_regex(text, pattern=pat)
+                .cast(pa.int64()))
+    clean = text
+    for pat, repl in PII_PATTERNS:
+        clean = pc.replace_substring_regex(clean, pattern=pat,
+                                           replacement=repl)
+    return batch.append_column(out_col, clean)
+
+
+def repetition_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals, fully vectorized:
+    per-doc duplicate-token and duplicate-bigram fractions in exact
+    integer micro units (``(10⁶·(n−distinct))//n`` — integer division,
+    so the DuckDB twin's ``//`` matches bit-for-bit). Tokens are
+    nonempty ``\\S+`` runs. One dictionary-encode of the flat token
+    column + one lexsort per batch; bigrams are code pairs folded into
+    int64 keys — no per-row python."""
+    n = batch.num_rows
+    text = pc.fill_null(batch[col], "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    n_tok = np.zeros(n, np.int64)
+    dup_tok = np.zeros(n, np.int64)
+    dup_bg = np.zeros(n, np.int64)
+    if len(flat):
+        row_ids = np.repeat(np.arange(n), np.diff(offsets))
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.utf8_length(enc.dictionary).to_numpy(
+            zero_copy_only=False) > 0
+        m = keep[codes]
+        row_ids, codes = row_ids[m], codes[m]
+        n_tok = np.bincount(row_ids, minlength=n).astype(np.int64)
+        # distinct tokens per row: unique (row, code) pairs
+        o = np.lexsort((codes, row_ids))
+        r_s, c_s = row_ids[o], codes[o]
+        first = np.empty(r_s.size, bool)
+        first[:1] = True
+        first[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        d_tok = np.bincount(r_s[first], minlength=n).astype(np.int64)
+        # bigrams: adjacent codes in ORIGINAL order within a row
+        V = np.int64(len(enc.dictionary) + 1)
+        same_row = row_ids[1:] == row_ids[:-1]
+        bg_rows = row_ids[:-1][same_row]
+        bg_keys = codes[:-1][same_row] * V + codes[1:][same_row]
+        n_bg = np.bincount(bg_rows, minlength=n).astype(np.int64)
+        ob = np.lexsort((bg_keys, bg_rows))
+        br, bk = bg_rows[ob], bg_keys[ob]
+        bfirst = np.empty(br.size, bool)
+        bfirst[:1] = True
+        bfirst[1:] = (br[1:] != br[:-1]) | (bk[1:] != bk[:-1])
+        d_bg = np.bincount(br[bfirst], minlength=n).astype(np.int64)
+        nz = n_tok > 0
+        dup_tok[nz] = (1_000_000 * (n_tok[nz] - d_tok[nz])) // n_tok[nz]
+        bz = n_bg > 0
+        dup_bg[bz] = (1_000_000 * (n_bg[bz] - d_bg[bz])) // n_bg[bz]
+    return batch.append_column("n_tokens_r", pa.array(n_tok)) \
+        .append_column("dup_token_frac_micro", pa.array(dup_tok)) \
+        .append_column("dup_bigram_frac_micro", pa.array(dup_bg))

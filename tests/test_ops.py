@@ -451,3 +451,47 @@ def test_lsh_bucketed_ann(ray_session):
         assert best["vec_id"] == q          # self always collides
         assert abs(best["cosine"] - 1.0) < 1e-9
         assert len(by_q[q]) <= 3
+
+
+def test_redact_pii_scalar_cases():
+    import pyarrow as pa
+
+    from merge_machine_ray.stages.textstats import redact_pii
+
+    t = pa.table({"text": pa.array([
+        "no pii here",
+        "two mails a@b.io c.d@e-f.org plus 192.168.0.1 and 555-0000",
+        "",
+        None,
+        "overlap 555-12345 is not a phone (5 digits)",
+    ])})
+    out = redact_pii(t)
+    got = out["clean_text"].to_pylist()
+    assert got[0] == "no pii here"
+    assert got[1] == "two mails [EMAIL] [EMAIL] plus [IP] and [PHONE]"
+    assert got[2] == "" and got[3] == ""
+    assert "555-12345" in got[4]  # \b guard: not a 3-4 phone
+    assert out["n_emails"].to_pylist() == [0, 2, 0, 0, 0]
+    assert out["n_ips"].to_pylist() == [0, 1, 0, 0, 0]
+    assert out["n_phones"].to_pylist() == [0, 1, 0, 0, 0]
+
+
+def test_repetition_stats_scalar_cases():
+    import pyarrow as pa
+
+    from merge_machine_ray.stages.textstats import repetition_stats
+
+    t = pa.table({"text": pa.array([
+        "w w w w",          # 4 tokens 1 distinct; 3 bigrams 1 distinct
+        "a b c",            # all unique
+        "x",                # single token: no bigrams
+        "",
+        None,
+        "  pad  pad ",      # leading/trailing whitespace tokens dropped
+    ])})
+    out = repetition_stats(t)
+    assert out["n_tokens_r"].to_pylist() == [4, 3, 1, 0, 0, 2]
+    assert out["dup_token_frac_micro"].to_pylist() == [
+        750000, 0, 0, 0, 0, 500000]
+    assert out["dup_bigram_frac_micro"].to_pylist() == [
+        666666, 0, 0, 0, 0, 0]
