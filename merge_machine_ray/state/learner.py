@@ -44,13 +44,38 @@ def _shape_recall(r: np.ndarray, t_r: float = TARGET_RECALL) -> np.ndarray:
     return np.minimum(1.0, (np.maximum(r, 0.0) / t_r) ** 0.5)
 
 
+def _ref_f_precision(x: np.ndarray, t_p: float) -> np.ndarray:
+    """The reference's exact precision-shaping polynomial
+    (``es_labeller.py:382``): ``(2·max(x−t_p,0) + min(t_p·(x/t_p)⁴,
+    t_p))^1.5 / 2`` — vectorized verbatim, reference default
+    t_p=0.965."""
+    return (2.0 * np.maximum(x - t_p, 0.0)
+            + np.minimum(t_p * (x / t_p) ** 4, t_p)) ** 1.5 / 2.0
+
+
+def _ref_f_recall(x: np.ndarray, t_r: float) -> np.ndarray:
+    """The reference's exact recall-shaping polynomial
+    (``es_labeller.py:383``): ``max(x−t_r,0) + min(t_r·(x/t_r)⁴,
+    t_r)``, reference default t_r=0.3."""
+    return np.maximum(x - t_r, 0.0) + np.minimum(t_r * (x / t_r) ** 4, t_r)
+
+
 def learn_threshold(scores, labels, t_p: float = TARGET_PRECISION,
                     t_r: float = TARGET_RECALL,
-                    min_obs: int = MIN_OBSERVATIONS):
+                    min_obs: int = MIN_OBSERVATIONS,
+                    shaping: str = "engine"):
     """→ (threshold, expected_precision, expected_recall).
 
     scores: iterable of pair scores; labels: bool same length.
     Returns (None, 0, 0) with fewer than ``min_obs`` labelled pairs.
+
+    ``shaping``: "engine" (default) uses the saturating power curves
+    tuned for this engine's 0-1 cosine score scale; "reference" uses
+    the reference's exact ``_f_precision``/``_f_recall`` polynomials
+    (``es_labeller.py:382-383``, ES-score scale) verbatim for parity
+    runs. Both pick the max of shaped-precision × shaped-recall over
+    real (distinct-score) cuts with the min-observations floor; the
+    margin-aware tie-break below applies to both.
     """
     s = np.asarray(list(scores), dtype=np.float64)
     l = np.asarray(list(labels), dtype=bool)
@@ -62,8 +87,12 @@ def learn_threshold(scores, labels, t_p: float = TARGET_PRECISION,
     cum_pos = np.cumsum(l)
     rolling_precision = cum_pos / ranks
     rolling_recall = cum_pos / max(1, int(l.sum()))
-    utility = _shape_precision(rolling_precision, t_p) * \
-        _shape_recall(rolling_recall, t_r)
+    if shaping == "reference":
+        utility = _ref_f_precision(rolling_precision, t_p) * \
+            _ref_f_recall(rolling_recall, t_r)
+    else:
+        utility = _shape_precision(rolling_precision, t_p) * \
+            _shape_recall(rolling_recall, t_r)
     utility[: min_obs - 1] = -np.inf  # too few observations above cut
     # a cut is only REAL between distinct scores: a midpoint inside an
     # equal-score run re-includes the whole run at apply time, so its

@@ -122,3 +122,37 @@ def test_expansion_ops_and_checkpoint(learned, tmp_path):
     before = len(back.templates)
     back.filter_by_core(core_min_score=-1.0)  # nothing scores <= -1
     assert len(back.templates) == before
+
+
+def test_reference_shaping_polynomials_exact():
+    """shaping='reference' must evaluate the reference's lambdas
+    (es_labeller.py:382-383) bit-for-bit."""
+    import numpy as np
+
+    from merge_machine_ray.state.learner import (
+        _ref_f_precision,
+        _ref_f_recall,
+        learn_threshold,
+    )
+
+    t_p, t_r = 0.965, 0.3
+    f_p = lambda x: (2 * max(x - t_p, 0) + min(t_p * (x / t_p) ** 4, t_p)) ** 1.5 / 2
+    f_r = lambda x: max(x - t_r, 0) + min(t_r * (x / t_r) ** 4, t_r)
+    xs = np.linspace(0.001, 1.0, 97)
+    # rtol: numpy's ARRAY pow uses a SIMD codepath that may differ from
+    # scalar pow by 1 ulp — formula parity, not bit parity, is the claim
+    np.testing.assert_allclose(
+        _ref_f_precision(xs, t_p),
+        np.fromiter((f_p(x) for x in xs), float), rtol=1e-14)
+    np.testing.assert_allclose(
+        _ref_f_recall(xs, t_r),
+        np.fromiter((f_r(x) for x in xs), float), rtol=1e-14)
+
+    # a clean separation: both shapings find a cut between 0.8 and 0.3
+    scores = [0.95, 0.9, 0.85, 0.8, 0.3, 0.25, 0.2, 0.1]
+    labels = [True, True, True, True, False, False, False, False]
+    for shaping in ("engine", "reference"):
+        th, p, r = learn_threshold(scores, labels, t_p=t_p, t_r=t_r,
+                                   shaping=shaping)
+        assert th is not None and 0.3 < th < 0.8, (shaping, th)
+        assert p == 1.0 and r == 1.0
