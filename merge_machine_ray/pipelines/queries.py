@@ -1562,6 +1562,77 @@ GROUP BY l_returnflag
 """
 
 
+def label_centroids_q(sf_dir: str):
+    """Vector aggregate: per-label centroid of the embeddings table in
+    exact integer micro units (components quantize before summing so
+    the distributed fold is order-independent; floor-division mean
+    matches DuckDB ``//``)."""
+    from merge_machine_ray.stages.ann import label_centroids
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return label_centroids(ds)
+
+
+LABEL_CENTROIDS_SQL = """
+WITH u AS (SELECT label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+            // count(*) AS BIGINT) AS centroid_micro,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY label, dim
+"""
+
+
+def customer_running_spend(sf_dir: str):
+    """Windowed running aggregate: per customer, the cumulative spend
+    (exact integer cents) in order-date order, plus the next order's
+    key (lead). One bucketed shuffle + vectorized cumsum per segment
+    (``stages/window.py``)."""
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))) \
+            .cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "price_cents": c})
+
+    spec = WindowSpec(
+        partition_by="o_custkey",
+        order_by=[("o_orderdate", False), ("o_orderkey", False)],
+        cum_sum={"running_cents": "price_cents"},
+        lead={"next_orderkey": ("o_orderkey", 1)})
+    out = window(ds.map_batches(cents, batch_format="pyarrow"), spec,
+                 keep_cols=["o_custkey", "o_orderkey"])
+
+    def fill(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("next_orderkey"), "next_orderkey",
+            pc.fill_null(t["next_orderkey"], -1))
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+CUSTOMER_RUNNING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS running_cents,
+       CAST(coalesce(lead(o_orderkey)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), -1) AS BIGINT)
+           AS next_orderkey
+FROM orders
+"""
+
+
 def pii_redacted(sf_dir: str):
     """PII scrubbing (training-data op): the corpus carries no natural
     PII, so each doc gets a deterministic planted suffix (email, phone,
@@ -1709,6 +1780,8 @@ def build_queries() -> dict:
         "qty_variance_by_flag": qty_variance_by_flag,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
+        "customer_running_spend": customer_running_spend,
+        "label_centroids": label_centroids_q,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -1761,4 +1834,6 @@ def build_oracle_sql() -> dict:
         "qty_variance_by_flag": QTY_VARIANCE_SQL,
         "pii_redacted": PII_REDACTED_SQL,
         "doc_repetition": DOC_REPETITION_SQL,
+        "customer_running_spend": CUSTOMER_RUNNING_SPEND_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
     }

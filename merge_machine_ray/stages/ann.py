@@ -263,3 +263,66 @@ def lsh_topk(ds, queries: dict, col: str = "embedding",
 
     filtered = ds.map_batches(candidate_filter, batch_format="pyarrow")
     return brute_force_topk(filtered, queries, col=col, id_col=id_col, k=k)
+
+
+def label_centroids(ds, vec_col: str = "embedding",
+                    label_col: str = "label", scale: int = 1_000_000):
+    """Per-label centroid of an embedding column — the vector AGGREGATE
+    (class means: IVF seeding, per-language/topic corpus profiles).
+
+    Exactness contract: components quantize to integer ``scale`` units
+    BEFORE summing, so the distributed sum is order-independent and the
+    DuckDB ``unnest → sum // count`` twin matches bit-for-bit (floor
+    division on both engines). Shape: per-batch partial sums —
+    ``np.add.at`` over the (n_labels × dim) matrix, emitted LONG as
+    (label, dim, s, n) ≈ a few hundred rows per batch — then one tiny
+    ``groupby(label, dim)`` fold. The corpus never reshuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = int(lens[0])
+        assert (lens == d).all(), "label_centroids requires fixed-dim vectors"
+        flat = col.values.to_numpy(zero_copy_only=False)[off[0]:off[-1]]
+        v = np.round(flat.astype(np.float64) * scale) \
+            .astype(np.int64).reshape(t.num_rows, d)
+        labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.size, d), np.int64)
+        np.add.at(sums, inv, v)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    uniq.size)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    grouped = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # DuckDB integer // TRUNCATES toward zero (-7//2 = -3) where
+        # numpy floors (-4): divide magnitudes, restore the sign
+        q = np.where(s < 0, -(-s // n), s // n)
+        return pa.table({
+            "label": t["label"].cast(pa.int64()),
+            "dim": t["dim"].cast(pa.int64()),
+            "centroid_micro": pa.array(q),
+            "n": pa.array(n),
+        })
+
+    return grouped.map_batches(finish, batch_format="pyarrow")

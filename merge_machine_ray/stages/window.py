@@ -33,8 +33,12 @@ class WindowSpec:
     (mirror SQL: put only the ranking expression there and keep
     ``row_number`` for total orders). ``rank_on`` restricts tie
     judgment to the first N order columns (SQL: rank() whose ORDER BY
-    omits the trailing tiebreak columns). ``lag`` maps output column →
-    ``(source_col, offset)``; rows without a predecessor get null."""
+    omits the trailing tiebreak columns). ``lag``/``lead`` map output
+    column → ``(source_col, offset)``; rows without a
+    predecessor/successor get null. ``cum_sum`` maps output column →
+    source column: running total within the partition in order (SQL
+    ``sum(col) OVER (... ROWS UNBOUNDED PRECEDING)``); integer and
+    float sources keep their dtype's summation semantics."""
 
     def __init__(self, partition_by: str,
                  order_by: list[tuple[str, bool]],
@@ -42,7 +46,9 @@ class WindowSpec:
                  rank: str | None = None,
                  dense_rank: str | None = None,
                  rank_on: int | None = None,
-                 lag: dict[str, tuple[str, int]] | None = None):
+                 lag: dict[str, tuple[str, int]] | None = None,
+                 lead: dict[str, tuple[str, int]] | None = None,
+                 cum_sum: dict[str, str] | None = None):
         self.partition_by = partition_by
         self.order_by = list(order_by)
         self.row_number = row_number
@@ -50,6 +56,8 @@ class WindowSpec:
         self.dense_rank = dense_rank
         self.rank_on = rank_on
         self.lag = dict(lag or {})
+        self.lead = dict(lead or {})
+        self.cum_sum = dict(cum_sum or {})
 
 
 def _sort_key(col: pa.ChunkedArray | pa.Array, descending: bool) -> np.ndarray:
@@ -103,7 +111,9 @@ def window(ds, spec: WindowSpec, keep_cols: list[str] | None = None,
         num_buckets = auto_buckets(ds.count())
     part = spec.partition_by
     order_cols = [c for c, _ in spec.order_by]
-    lag_srcs = [src for src, _ in spec.lag.values()]
+    lag_srcs = [src for src, _ in spec.lag.values()] + \
+        [src for src, _ in spec.lead.values()] + \
+        list(spec.cum_sum.values())
     if keep_cols is None:
         keep_cols = list(dict.fromkeys([part] + order_cols + lag_srcs))
     need = list(dict.fromkeys(keep_cols + [part] + order_cols + lag_srcs))
@@ -146,18 +156,38 @@ def window(ds, spec: WindowSpec, keep_cols: list[str] | None = None,
                 dr = np.cumsum(change)
                 out[spec.dense_rank] = pa.array(
                     (dr - dr[start_idx] + 1).astype(np.int64))
-        for out_col, (src, off) in spec.lag.items():
+        def shift(src: str, off: int, forward: bool) -> pa.Array:
+            import pyarrow.compute as pc
+
             src_sorted = g[src].take(pa.array(o))
-            valid = (idx - start_idx) >= off
-            pos = np.where(valid, idx - off, idx)
+            if forward:
+                # a row's successor is valid while it stays inside the
+                # row's own segment: next segment start bounds it
+                starts = np.flatnonzero(seg_start)
+                ends = np.concatenate((starts[1:], [n]))
+                seg_end = ends[np.cumsum(seg_start) - 1]
+                valid = idx + off < seg_end
+                pos = np.where(valid, idx + off, idx)
+            else:
+                valid = (idx - start_idx) >= off
+                pos = np.where(valid, idx - off, idx)
             shifted = src_sorted.take(pa.array(pos))
             if not valid.all():
-                mask = pa.array(~valid)
-                import pyarrow.compute as pc
+                shifted = pc.if_else(pa.array(~valid),
+                                     pa.nulls(n, shifted.type), shifted)
+            return shifted
 
-                shifted = pc.if_else(mask, pa.nulls(n, shifted.type),
-                                     shifted)
-            out[out_col] = shifted
+        for out_col, (src, off) in spec.lag.items():
+            out[out_col] = shift(src, off, forward=False)
+        for out_col, (src, off) in spec.lead.items():
+            out[out_col] = shift(src, off, forward=True)
+        for out_col, src in spec.cum_sum.items():
+            vals = g[src].take(pa.array(o)).to_numpy(zero_copy_only=False)
+            run = np.cumsum(vals)
+            # subtract the running total just before each segment start,
+            # propagated: cumsum restarts per partition
+            base = np.where(start_idx > 0, run[start_idx - 1], 0)
+            out[out_col] = pa.array(run - base)
         return pa.table(out)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")

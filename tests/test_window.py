@@ -106,3 +106,41 @@ def test_window_empty_and_singletons(ray_session):
     assert sorted(out["rn"]) == [1, 1, 1]
     assert sorted(out["rnk"]) == [1, 1, 1]
     assert out["pv"].isna().all()
+
+
+def test_window_lead_cumsum_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    df = pd.DataFrame({
+        "part": rng.randint(0, 97, n).astype(np.int64),
+        "seq": np.arange(n, dtype=np.int64),
+        "amount": rng.randint(1, 1000, n).astype(np.int64),
+    })
+    spec = WindowSpec(partition_by="part", order_by=[("seq", False)],
+                      lead={"next_amount": ("amount", 1)},
+                      cum_sum={"running_total": "amount"})
+    got = window(rd.from_pandas(df), spec,
+                 keep_cols=["part", "seq", "amount"],
+                 num_buckets=5).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT part, seq, amount,
+               lead(amount) OVER (PARTITION BY part ORDER BY seq)
+                   AS next_amount,
+               sum(amount) OVER (PARTITION BY part ORDER BY seq
+                                 ROWS UNBOUNDED PRECEDING)
+                   AS running_total
+        FROM t""").fetchdf()
+    g = _canon(got)
+    w = _canon(want)
+    assert len(g) == len(w) == n
+    for c in g.columns:
+        gv = g[c].to_numpy(dtype=float, na_value=np.nan)
+        wv = w[c].to_numpy(dtype=float, na_value=np.nan)
+        assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
