@@ -1562,6 +1562,87 @@ GROUP BY l_returnflag
 """
 
 
+def customer_360_merge(sf_dir: str):
+    """FULL OUTER join of two partially-overlapping per-customer
+    aggregates — big spenders (lifetime revenue above a cutoff) merged
+    with recent actives (any order in/after 2000). Each side has
+    exclusive keys, so both null directions are exercised; missing
+    sides surface as -1. One bucketed shuffle
+    (``bucket_hash_join(how="full")``), key coalesced across sides."""
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    cutoff_cents = 150_000_000  # 1.5M dollars lifetime
+    recent = pa.scalar(np.datetime64("2000-01-01", "us"))
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        rev = np.zeros(uniq.size, np.int64)
+        np.add.at(rev, inv, cents)
+        return pa.table({"o_custkey": pa.array(uniq),
+                         "cents": pa.array(rev)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderdate"])
+    spend = orders.map_batches(spend_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents"))
+
+    def big_only(t: pa.Table) -> pa.Table:
+        c = t["cents"].cast(pa.int64())
+        t = pa.table({"cust_a": t["o_custkey"], "total_cents": c})
+        return t.filter(pc.greater(t["total_cents"], cutoff_cents))
+
+    big = spend.map_batches(big_only, batch_format="pyarrow")
+
+    def recent_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], recent))
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        cnt = np.zeros(uniq.size, np.int64)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"cust_b": pa.array(uniq),
+                         "n_recent": pa.array(cnt)})
+
+    actives = orders.map_batches(recent_partial, batch_format="pyarrow") \
+        .groupby("cust_b").aggregate(Sum("n_recent", alias_name="n_recent"))
+    actives = actives.map_batches(
+        lambda t: pa.table({"cust_b": t["cust_b"],
+                            "n_recent": t["n_recent"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    merged = bucket_hash_join(big, actives, "cust_a", "cust_b", how="full")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t["cust_a"],
+            "total_cents": pc.fill_null(t["total_cents"], -1),
+            "n_recent": pc.fill_null(t["n_recent"], -1)})
+
+    return merged.map_batches(fill, batch_format="pyarrow")
+
+
+CUSTOMER_360_SQL = """
+WITH big AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+  FROM orders GROUP BY o_custkey
+  HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 150000000),
+recent AS (
+  SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n_recent
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  GROUP BY o_custkey)
+SELECT coalesce(b.cust, r.cust) AS custkey,
+       coalesce(b.total_cents, -1) AS total_cents,
+       coalesce(r.n_recent, -1) AS n_recent
+FROM big b FULL OUTER JOIN recent r ON b.cust = r.cust
+"""
+
+
 def label_centroids_q(sf_dir: str):
     """Vector aggregate: per-label centroid of the embeddings table in
     exact integer micro units (components quantize before summing so
@@ -1782,6 +1863,7 @@ def build_queries() -> dict:
         "doc_repetition": doc_repetition,
         "customer_running_spend": customer_running_spend,
         "label_centroids": label_centroids_q,
+        "customer_360_merge": customer_360_merge,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -1836,4 +1918,5 @@ def build_oracle_sql() -> dict:
         "doc_repetition": DOC_REPETITION_SQL,
         "customer_running_spend": CUSTOMER_RUNNING_SPEND_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
+        "customer_360_merge": CUSTOMER_360_SQL,
     }

@@ -24,8 +24,13 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
     left ∪ right; within a bucket the probe is a vectorized
     searchsorted + Arrow take. ``how``: "inner" drops unmatched left
     rows; "left" keeps them with null right columns (Arrow ``take``
-    with a null index yields nulls — no per-row work)."""
-    left_outer = how == "left"
+    with a null index yields nulls — no per-row work); "full" also
+    emits right rows no left row matched, with null left columns and
+    the join key surfaced in the LEFT key column (SQL
+    ``coalesce(l.key, r.key)`` semantics, so one key column covers
+    both sides)."""
+    left_outer = how in ("left", "full")
+    full_outer = how == "full"
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -69,7 +74,24 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side == 1)
         empty_cols = left_cols + out_right_names
+
+        def right_only(rr: np.ndarray) -> pa.Table:
+            """Unmatched right rows (full outer): null left columns,
+            the join key coalesced into the left key column."""
+            ri = pa.array(rr)
+            nulls = pa.array([None] * rr.size, pa.int64())
+            cols = {}
+            for c in left_cols:
+                cols[c] = group["__key"].take(ri).cast(
+                    left_types[left_on]) if c == left_on \
+                    else group[c].take(nulls)
+            for c in out_right_names:
+                cols[c] = group[c].take(ri)
+            return pa.table(cols)
+
         if l_idx.size == 0 or (r_idx.size == 0 and not left_outer):
+            if full_outer and l_idx.size == 0 and r_idx.size:
+                return right_only(r_idx)
             return pa.table({c: group[c].take(pa.array([], pa.int64()))
                              for c in empty_cols})
         if r_idx.size == 0:  # left outer, no right rows in this bucket
@@ -99,7 +121,15 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
             out[c] = group[c].take(li)
         for c in out_right_names:
             out[c] = group[c].take(ri)
-        return pa.table(out)
+        result = pa.table(out)
+        if full_outer:
+            matched = np.zeros(r_sorted.size, bool)
+            matched[pos_c[hit]] = True
+            unmatched_r = r_idx[order[~matched]]
+            if unmatched_r.size:
+                result = pa.concat_tables(
+                    [result, right_only(unmatched_r)]).combine_chunks()
+        return result
 
     return tagged.groupby("__jb").map_groups(join_bucket,
                                              batch_format="pyarrow")

@@ -86,3 +86,35 @@ def test_bucket_semi_join_randomized(ray_session):
     assert sorted(r["row"] for r in semi) == want_semi
     assert len(semi) + len(anti) == 1000
     assert not (set(r["row"] for r in semi) & set(r["row"] for r in anti))
+
+
+def test_bucket_hash_join_full_outer_randomized(ray_session):
+    """how='full' ≡ pandas outer merge: matched rows inner-join; left
+    misses get null right columns; right misses get null left columns
+    with the key coalesced into the left key column."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    rng = np.random.RandomState(5)
+    lk = np.unique(rng.randint(0, 400, 250)).astype(np.int64)
+    rk = np.unique(rng.randint(200, 600, 250)).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk), "lv": pa.array(lk * 10)}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(rk), "rv": pa.array(rk * 100)}))
+    got = bucket_hash_join(left, right, "k", "rk", num_buckets=7,
+                           how="full").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = pd.merge(pd.DataFrame({"k": lk, "lv": lk * 10}),
+                    pd.DataFrame({"k": rk, "rv": rk * 100}),
+                    on="k", how="outer").sort_values("k") \
+        .reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    for c in ("lv", "rv"):
+        gv = got[c].to_numpy(dtype=float, na_value=np.nan)
+        wv = want[c].to_numpy(dtype=float, na_value=np.nan)
+        assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
