@@ -1562,6 +1562,27 @@ GROUP BY l_returnflag
 """
 
 
+_STRATA_RATES = {"en": 20.0, "fr": 60.0}
+
+
+def stratified_docs_sample(sf_dir: str):
+    """Corpus re-balancing: per-language deterministic sampling (keep
+    20% of 'en', 60% of 'fr', 100% of everything else) — map-side only,
+    resumable, SQL-replayable (``stages/sketch.py:stratified_sample``)."""
+    from merge_machine_ray.stages.sketch import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "doc_id", "lang", _STRATA_RATES)
+
+
+def _stratified_docs_sql() -> str:
+    from merge_machine_ray.stages.sketch import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "(SELECT doc_id, lang FROM documents)", "doc_id", "lang",
+        _STRATA_RATES)
+
+
 def customer_360_merge(sf_dir: str):
     """FULL OUTER join of two partially-overlapping per-customer
     aggregates — big spenders (lifetime revenue above a cutoff) merged
@@ -1864,6 +1885,7 @@ def build_queries() -> dict:
         "customer_running_spend": customer_running_spend,
         "label_centroids": label_centroids_q,
         "customer_360_merge": customer_360_merge,
+        "stratified_docs_sample": stratified_docs_sample,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -1919,4 +1941,5 @@ def build_oracle_sql() -> dict:
         "customer_running_spend": CUSTOMER_RUNNING_SPEND_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
         "customer_360_merge": CUSTOMER_360_SQL,
+        "stratified_docs_sample": _stratified_docs_sql(),
     }

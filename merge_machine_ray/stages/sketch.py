@@ -56,6 +56,48 @@ def hash_sample_sql(table: str, id_col: str, keep_pct: float) -> str:
             f"(CAST({id_col} AS HUGEINT) * {_KNUTH}) % {_MOD} < {cut}")
 
 
+def stratified_sample(ds, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default_pct: float = 100.0):
+    """Per-stratum deterministic sampling (corpus re-balancing: keep
+    20% of the dominant language, all of the rare ones). Same
+    multiplicative id hash as :func:`hash_sample`; the keep CUT is
+    looked up per row from the (tiny, broadcast-by-closure) stratum →
+    rate map via one ``pc.index_in`` — map-side only, no shuffle,
+    resumable, and exactly replayable in SQL (CASE over the same
+    arithmetic)."""
+    keys = pa.array(list(rates.keys()), pa.string())
+    cuts = np.array([int(p / 100.0 * _MOD) for p in rates.values()],
+                    dtype=np.uint64)
+    default_cut = np.uint64(int(default_pct / 100.0 * _MOD))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        idx = pc.index_in(pc.cast(t[stratum_col], pa.string()),
+                          value_set=keys)
+        iv = idx.to_numpy(zero_copy_only=False)
+        miss = idx.is_null().to_numpy(zero_copy_only=False)
+        cut = np.where(miss, default_cut,
+                       cuts[np.where(miss, 0, iv).astype(np.int64)])
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample_sql(table: str, id_col: str, stratum_col: str,
+                          rates: dict[str, float],
+                          default_pct: float = 100.0) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(p / 100.0 * _MOD)}"
+        for k, p in rates.items())
+    default_cut = int(default_pct / 100.0 * _MOD)
+    return (f"SELECT * FROM {table} WHERE "
+            f"(CAST({id_col} AS HUGEINT) * {_KNUTH}) % {_MOD} < "
+            f"CASE CAST({stratum_col} AS VARCHAR) {cases} "
+            f"ELSE {default_cut} END")
+
+
 def _token_count_partial(t: pa.Table, text_col: str,
                          pattern: str) -> pa.Table:
     """Per-batch (token, occurrences) — every occurrence counted, one

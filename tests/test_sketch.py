@@ -70,3 +70,30 @@ def test_column_quantiles_rejects_unbounded(ray_session):
     rows = [{"v": 1 << 40}]
     with pytest.raises(Exception):
         column_quantiles(_docs_ds(rows), "v", [0.5])
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from merge_machine_ray.stages.sketch import stratified_sample
+
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    langs = np.where(ids % 3 == 0, "en", np.where(ids % 3 == 1, "fr", "de"))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "lang": pa.array(langs, pa.string())}))
+    out1 = sorted(r["doc_id"] for r in stratified_sample(
+        ds, "doc_id", "lang", {"en": 10.0, "fr": 50.0}).take_all())
+    out2 = sorted(r["doc_id"] for r in stratified_sample(
+        ds, "doc_id", "lang", {"en": 10.0, "fr": 50.0}).take_all())
+    assert out1 == out2  # pure function of the id
+    kept = np.asarray(out1)
+    n_en, n_fr, n_de = ((ids % 3 == 0).sum(), (ids % 3 == 1).sum(),
+                        (ids % 3 == 2).sum())
+    k_en = (kept % 3 == 0).sum() / n_en
+    k_fr = (kept % 3 == 1).sum() / n_fr
+    assert abs(k_en - 0.10) < 0.02
+    assert abs(k_fr - 0.50) < 0.03
+    assert (kept % 3 == 2).sum() == n_de  # default keeps everything
