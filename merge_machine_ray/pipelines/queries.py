@@ -1562,6 +1562,92 @@ GROUP BY l_returnflag
 """
 
 
+def doc_rarity(sf_dir: str):
+    """Two-pass composition: corpus document frequencies (pass 1,
+    the G7 machinery) broadcast once via ``ray.put``, then per-doc
+    rarity scoring (pass 2) — mean DF of each doc's DISTINCT tokens in
+    exact integer micro units. The quality signal behind rare-token
+    filtering; at 100 TB the broadcast DF table is bounded by the
+    repeated vocabulary (the same contract as the scorer's IDF
+    broadcast; above it, swap pass 2's lookup for a bucketed token
+    join). Docs with no tokens drop out (SQL twin: the group vanishes)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.idf import partial_df_strings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    dfs = ds.map_batches(partial_df_strings, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("pdf", alias_name="df"))
+    tbl = pa.concat_tables(list(dfs.iter_batches(
+        batch_format="pyarrow", batch_size=65536))).combine_chunks()
+    ref = ray.put({"toks": tbl["tok"].combine_chunks(),
+                   "df": tbl["df"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64)})
+
+    class Rarity:
+        def __init__(self, r):
+            d = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.toks = d["toks"]
+            self.df = d["df"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            txt = pc.utf8_lower(pc.fill_null(t["text"], ""))
+            toks = pc.split_pattern_regex(txt, "[^a-z0-9]+")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            off = toks.offsets.to_numpy(zero_copy_only=False)
+            flat = toks.values
+            n = t.num_rows
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            rows = np.repeat(np.arange(n), np.diff(off))
+            keep = (pc.utf8_length(enc.dictionary)
+                    .to_numpy(zero_copy_only=False) > 0)[codes]
+            rows, codes = rows[keep], codes[keep]
+            # distinct (row, token) pairs
+            o = np.lexsort((codes, rows))
+            r_s, c_s = rows[o], codes[o]
+            first = np.empty(r_s.size, bool)
+            first[:1] = True
+            first[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+            r_d, c_d = r_s[first], c_s[first]
+            # vocab lookup: batch dictionary → broadcast DF table
+            pos = pc.index_in(enc.dictionary, value_set=self.toks) \
+                .to_numpy(zero_copy_only=False)
+            code_df = np.zeros(len(enc.dictionary), np.int64)
+            hit = ~np.isnan(pos.astype(np.float64))
+            code_df[hit] = self.df[pos[hit].astype(np.int64)]
+            sum_df = np.bincount(r_d, weights=code_df[c_d],
+                                 minlength=n).astype(np.int64)
+            n_distinct = np.bincount(r_d, minlength=n).astype(np.int64)
+            nz = n_distinct > 0
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mean = (1_000_000 * sum_df[nz]) // n_distinct[nz]
+            return pa.table({
+                "doc_id": pa.array(ids[nz]),
+                "n_distinct": pa.array(n_distinct[nz]),
+                "mean_df_micro": pa.array(mean)})
+
+    return ds.map_batches(Rarity, fn_constructor_kwargs={"r": ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+DOC_RARITY_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+), df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST((1000000 * sum(d.df)) // count(*) AS BIGINT) AS mean_df_micro
+FROM toks t JOIN df d USING (tok) GROUP BY t.doc_id
+"""
+
+
 _STRATA_RATES = {"en": 20.0, "fr": 60.0}
 
 
@@ -1886,6 +1972,7 @@ def build_queries() -> dict:
         "label_centroids": label_centroids_q,
         "customer_360_merge": customer_360_merge,
         "stratified_docs_sample": stratified_docs_sample,
+        "doc_rarity": doc_rarity,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -1942,4 +2029,5 @@ def build_oracle_sql() -> dict:
         "label_centroids": LABEL_CENTROIDS_SQL,
         "customer_360_merge": CUSTOMER_360_SQL,
         "stratified_docs_sample": _stratified_docs_sql(),
+        "doc_rarity": DOC_RARITY_SQL,
     }
