@@ -1562,6 +1562,39 @@ GROUP BY l_returnflag
 """
 
 
+def price_quartiles(sf_dir: str):
+    """Exact distributed selection over an UNBOUNDED integer domain
+    (order prices in cents, ~6×10⁷ distinct): 2-pass coarse-histogram
+    refinement (``stages/sketch.py:column_quantiles_refine``) — never a
+    global sort, driver memory O(coarse grid), DuckDB quantile_disc
+    rank semantics."""
+    from merge_machine_ray.stages.sketch import column_quantiles_refine
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))).cast(pa.int64())})
+
+    return column_quantiles_refine(
+        ds.map_batches(cents, batch_format="pyarrow"), "cents",
+        [0.25, 0.5, 0.75, 0.99], coarse_bins=1 << 14)
+
+
+PRICE_QUARTILES_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT q_micro, value FROM (
+  SELECT 250000 AS q_micro, quantile_disc(cents, 0.25) AS value FROM c
+  UNION ALL
+  SELECT 500000, quantile_disc(cents, 0.50) FROM c
+  UNION ALL
+  SELECT 750000, quantile_disc(cents, 0.75) FROM c
+  UNION ALL
+  SELECT 990000, quantile_disc(cents, 0.99) FROM c)
+"""
+
+
 def doc_rarity(sf_dir: str):
     """Two-pass composition: corpus document frequencies (pass 1,
     the G7 machinery) broadcast once via ``ray.put``, then per-doc
@@ -1973,6 +2006,7 @@ def build_queries() -> dict:
         "customer_360_merge": customer_360_merge,
         "stratified_docs_sample": stratified_docs_sample,
         "doc_rarity": doc_rarity,
+        "price_quartiles": price_quartiles,
         # rows-only: reads a generated fixture corpus the driver's
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
@@ -2030,4 +2064,5 @@ def build_oracle_sql() -> dict:
         "customer_360_merge": CUSTOMER_360_SQL,
         "stratified_docs_sample": _stratified_docs_sql(),
         "doc_rarity": DOC_RARITY_SQL,
+        "price_quartiles": PRICE_QUARTILES_SQL,
     }

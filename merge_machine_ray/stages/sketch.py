@@ -200,3 +200,106 @@ def column_quantiles(ds, value_col: str, quantiles: list[float],
         out_v.append(int(vals[min(pos, vals.size - 1)]))
     return pa.table({"q_micro": pa.array(out_q, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def _ranks_for(quantiles: list[float], n: int) -> list[tuple[int, int]]:
+    """(q_micro, rank) pairs with the integer-exact ceil(q·n) rank
+    convention shared by :func:`column_quantiles` and DuckDB
+    ``quantile_disc``."""
+    out = []
+    for q in quantiles:
+        q_micro = int(round(q * 1_000_000))
+        out.append((q_micro, max(1, (q_micro * n + 999_999) // 1_000_000)))
+    return out
+
+
+def column_quantiles_refine(ds, value_col: str, quantiles: list[float],
+                            coarse_bins: int = 1 << 20,
+                            max_refine: int = 4_000_000):
+    """EXACT quantiles of an UNBOUNDED integer column (prices in cents,
+    ids, byte offsets) without a global sort — the classic two-pass
+    distributed selection:
+
+    pass 0  Min/Max/Count aggregate (sizes the coarse grid);
+    pass 1  per-block histogram of ``(v−min) >> shift`` → one
+            driver-folded cumulative grid locates each quantile's
+            coarse BIN and its residual rank within it;
+    pass 2  per-block exact (value, count) pairs restricted to the few
+            needed bins (a map-side filter, ≤ 2^shift distinct values
+            per bin) → select the residual rank exactly.
+
+    Driver memory is O(coarse_bins + distinct values inside needed
+    bins), never O(n); ``max_refine`` guards a pathological bin (raise
+    rather than silently truncate — re-run with more ``coarse_bins``).
+    Same ``quantile_disc`` rank convention as :func:`column_quantiles`.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    row = ds.aggregate(Min(value_col), Max(value_col), Count())
+    n = int(row["count()"])
+    if n == 0:
+        return pa.table({"q_micro": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    vmin = int(row[f"min({value_col})"])
+    vmax = int(row[f"max({value_col})"])
+    span = vmax - vmin + 1
+    shift = 0
+    while (span >> shift) > coarse_bins:
+        shift += 1
+    nbins = (span >> shift) + 1
+
+    def coarse(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = (v - vmin) >> shift
+        h = np.bincount(idx, minlength=1) if v.size else \
+            np.zeros(1, np.int64)
+        nz = np.flatnonzero(h)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(h[nz].astype(np.int64))})
+
+    grid = np.zeros(nbins, np.int64)
+    for b in ds.map_batches(coarse, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        np.add.at(grid, b["bin"].to_numpy(zero_copy_only=False),
+                  b["cnt"].to_numpy(zero_copy_only=False))
+    cum = np.cumsum(grid)
+    targets = _ranks_for(quantiles, n)
+    # each rank → (coarse bin, residual rank inside that bin)
+    locs = []
+    for q_micro, rank in targets:
+        bpos = int(np.searchsorted(cum, rank))
+        residual = rank - (int(cum[bpos - 1]) if bpos else 0)
+        locs.append((q_micro, bpos, residual))
+    needed = np.array(sorted({b for _, b, _ in locs}), np.int64)
+
+    def refine(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = (v - vmin) >> shift
+        pos = np.searchsorted(needed, idx).clip(max=needed.size - 1)
+        keep = needed[pos] == idx
+        vals, cnts = np.unique(v[keep], return_counts=True)
+        return pa.table({"val": pa.array(vals),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    acc: dict[int, int] = {}
+    for b in ds.map_batches(refine, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for v, c in zip(b["val"].to_numpy(zero_copy_only=False),
+                        b["cnt"].to_numpy(zero_copy_only=False)):
+            acc[int(v)] = acc.get(int(v), 0) + int(c)
+        if len(acc) > max_refine:
+            raise ValueError(
+                "column_quantiles_refine: refinement bins hold "
+                f">{max_refine} distinct values; raise coarse_bins")
+    fvals = np.array(sorted(acc), np.int64)
+    fbins = (fvals - vmin) >> shift
+    fcnts = np.array([acc[int(v)] for v in fvals], np.int64)
+    out_q, out_v = [], []
+    for q_micro, bpos, residual in locs:
+        m = fbins == bpos
+        bc = np.cumsum(fcnts[m])
+        sel = int(np.searchsorted(bc, residual))
+        out_q.append(q_micro)
+        out_v.append(int(fvals[m][min(sel, int(m.sum()) - 1)]))
+    return pa.table({"q_micro": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -97,3 +97,28 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     assert abs(k_en - 0.10) < 0.02
     assert abs(k_fr - 0.50) < 0.03
     assert (kept % 3 == 2).sum() == n_de  # default keeps everything
+
+
+def test_column_quantiles_refine_matches_sequential(ray_session):
+    """2-pass refinement ≡ sequential rank selection on a wide domain,
+    including quantiles landing in sparse bins and negative values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from merge_machine_ray.stages.sketch import column_quantiles_refine
+
+    rng = np.random.RandomState(17)
+    v = np.concatenate([
+        rng.randint(-5_000_000, 5_000_000, 30_000),
+        rng.randint(999_999_000, 1_000_001_000, 500),  # far outlier blob
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)}))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = column_quantiles_refine(ds, "v", qs, coarse_bins=1 << 10) \
+        .to_pydict()
+    sv = np.sort(v)
+    n = v.size
+    for q_micro, val in zip(got["q_micro"], got["value"]):
+        rank = max(1, (q_micro * n + 999_999) // 1_000_000)
+        assert val == int(sv[rank - 1]), (q_micro, val, int(sv[rank - 1]))
