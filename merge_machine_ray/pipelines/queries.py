@@ -1955,6 +1955,168 @@ def er_pages_fixture(sf_dir: str, n_entities: int = 500):
     return resolve_entities(ds).select_columns(["url", "cluster_id"])
 
 
+# ------------------------------------------------- decontamination
+_DECON_N = 5          # n-gram width (GPT-3 used 13; corpus here is short)
+_DECON_MOD = 13       # doc_id % 13 == 0 plays the (small) eval benchmark
+
+
+def _parity_split(ds, mod: int, want_zero: bool):
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % mod == 0) if want_zero else (ids % mod != 0)
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def decontaminated_docs(sf_dir: str):
+    """Eval-set decontamination (the benchmark-overlap pass every
+    LLM training pipeline runs): docs with doc_id % 13 == 0 act as the
+    eval set; report each remaining training doc sharing ≥1 whitespace
+    5-gram with it, plus its distinct-overlap count. The eval gram set
+    broadcasts once via ray.put; the train side is a pure streaming
+    map (stages/decontam.py)."""
+    import ray
+
+    from merge_machine_ray.stages.decontam import (
+        decontaminate, eval_gram_set)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = eval_gram_set(_parity_split(docs, _DECON_MOD, True), _DECON_N)
+    ref = ray.put(grams)
+    return decontaminate(_parity_split(docs, _DECON_MOD, False), ref,
+                         _DECON_N)
+
+
+DECONTAMINATED_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+w AS (SELECT doc_id, ts,
+             unnest(generate_series(1, len(ts) - {_DECON_N - 1})) AS i
+      FROM toks),
+grams AS (SELECT doc_id,
+                 array_to_string(list_slice(ts, i, i + {_DECON_N - 1}), ' ')
+                     AS gram
+          FROM w),
+eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_MOD} = 0),
+train AS (SELECT DISTINCT doc_id, gram FROM grams
+          WHERE doc_id % {_DECON_MOD} <> 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+FROM train t JOIN eval_g e USING (gram)
+GROUP BY t.doc_id
+"""
+
+
+_CHUNK_W = 32
+
+
+def doc_chunks(sf_dir: str):
+    """Training sequence preparation: split every document into
+    fixed-size 32-token windows (last window short). Pure map — chunk
+    boundaries are batch-local offset arithmetic + one Arrow
+    binary_join (stages/decontam.chunk_docs)."""
+    from merge_machine_ray.stages.decontam import chunk_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lambda t: chunk_docs(t, _CHUNK_W),
+                          batch_format="pyarrow")
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+w AS (SELECT doc_id, ts,
+             unnest(generate_series(0, (len(ts) - 1) // {_CHUNK_W})) AS i
+      FROM toks)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(ts, i * {_CHUNK_W} + 1,
+                                  least((i + 1) * {_CHUNK_W}, len(ts))),
+                       ' ') AS chunk_text,
+       CAST(least((i + 1) * {_CHUNK_W}, len(ts)) - i * {_CHUNK_W} AS BIGINT)
+           AS n_tokens
+FROM w
+"""
+
+
+_MIX_QUOTA = 2000      # per-source token budget
+
+
+def token_quota_mix(sf_dir: str):
+    """Data-mixture construction: greedily keep docs per source (in
+    deterministic multiplicative-hash order, so the pick is stable,
+    resumable and SQL-replayable) until each source's token budget is
+    filled — the per-domain quota sampling step of corpus mixing.
+    One bucketed window shuffle (stages/window running sum); keep
+    decision is cumsum_before < quota."""
+    from merge_machine_ray.stages.sketch import _KNUTH, _MOD
+    from merge_machine_ray.stages.textstats import token_count
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        t = token_count(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * np.uint64(_KNUTH)) % np.uint64(_MOD)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "n_tokens": t["n_tokens"],
+                         "h": pa.array(h)})
+
+    spec = WindowSpec(partition_by="source",
+                      order_by=[("h", False), ("doc_id", False)],
+                      cum_sum={"cum_tokens": "n_tokens"})
+    out = window(ds.map_batches(feats, batch_format="pyarrow"), spec,
+                 keep_cols=["doc_id", "source", "n_tokens"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        before = pc.subtract(t["cum_tokens"], t["n_tokens"])
+        t = t.filter(pc.less(before, pa.scalar(_MIX_QUOTA,
+                                               pa.int64())))
+        return t.select(["doc_id", "source", "n_tokens"])
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
+def _token_quota_sql() -> str:
+    from merge_machine_ray.stages.sketch import _KNUTH, _MOD
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             AS n_tokens,
+         (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_MOD} AS h
+  FROM documents),
+w AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d)
+SELECT doc_id, source, n_tokens FROM w
+WHERE cum_tokens - n_tokens < {_MIX_QUOTA}
+"""
+
+
+def incremental_dedup_docs(sf_dir: str):
+    """Delta-ingest dedup: odd-id docs play the INCOMING snapshot,
+    even-id docs the EXISTING corpus; keep incoming docs whose exact
+    text is not already present. Collision-exact (bucket of the
+    content hash is the shuffle key, membership compares the exact
+    value within the bucket — stages/dedup.incremental_dedup)."""
+    from merge_machine_ray.stages.dedup import incremental_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    inc = _parity_split(docs, 2, False)       # odd ids
+    exist = _parity_split(docs, 2, True)      # even ids
+    return incremental_dedup(inc, exist).select_columns(["doc_id"])
+
+
+INCREMENTAL_DEDUP_SQL = """
+SELECT i.doc_id FROM documents i
+WHERE i.doc_id % 2 <> 0
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id % 2 = 0 AND c.text = i.text)
+"""
+
+
 def build_queries() -> dict:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2011,6 +2173,10 @@ def build_queries() -> dict:
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
         "er_pages_fixture": er_pages_fixture,
+        "decontaminated_docs": decontaminated_docs,
+        "doc_chunks": doc_chunks,
+        "token_quota_mix": token_quota_mix,
+        "incremental_dedup": incremental_dedup_docs,
     }
 
 
@@ -2065,4 +2231,8 @@ def build_oracle_sql() -> dict:
         "stratified_docs_sample": _stratified_docs_sql(),
         "doc_rarity": DOC_RARITY_SQL,
         "price_quartiles": PRICE_QUARTILES_SQL,
+        "decontaminated_docs": DECONTAMINATED_SQL,
+        "doc_chunks": DOC_CHUNKS_SQL,
+        "token_quota_mix": _token_quota_sql(),
+        "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     }

@@ -88,6 +88,45 @@ def dedup_representatives(ds, col: str = "text", id_col: str = "doc_id",
         .map_groups(assign_rep, batch_format="pyarrow")
 
 
+def incremental_dedup(incoming_ds, existing_ds, col: str = "text",
+                      id_col: str = "doc_id",
+                      num_buckets: int | None = None):
+    """Delta-ingest dedup: keep INCOMING rows whose exact ``col`` value
+    does not appear anywhere in the EXISTING corpus (the new-snapshot
+    vs already-ingested pass of a rolling crawl pipeline).
+
+    Same one-shuffle shape as :func:`exact_dedup`: both sides bucket on
+    the 63-bit content hash, one pandas C-level groupby per bucket
+    tests exact-value membership — collision-exact, no broadcast of
+    either side, streams at corpus scale."""
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(incoming_ds.count())
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = pa.table({id_col: t[id_col].cast(pa.int64()),
+                          col: t[col].cast(pa.string())})
+            t = _hash_bucket_batch(t, col, num_buckets)
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return f
+
+    tagged = incoming_ds.map_batches(tag(0), batch_format="pyarrow") \
+        .union(existing_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def keep_new(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        seen = df.groupby(col, sort=False)["__side"].transform("max")
+        out = df.loc[(seen == 0), [id_col, col]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tagged.groupby("__bkt").map_groups(
+        keep_new, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- near-dup: LSH
 class MinHashFeatures:
     """map_batches: ONE row per doc — (id, shingles, band_keys) — the
