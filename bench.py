@@ -143,6 +143,9 @@ def run_bench() -> dict:
     timed("lang_id_pred", Q.lang_id_pred)
     timed("ann_topk", Q.ann_topk)
     timed("er_documents", Q.er_documents)
+    timed("decontaminated_docs", Q.decontaminated_docs)
+    timed("doc_chunks", Q.doc_chunks)
+    timed("incremental_dedup", Q.incremental_dedup_docs)
 
     result = {
         "metric": "er_pages_e2e",

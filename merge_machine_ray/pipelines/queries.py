@@ -1220,8 +1220,13 @@ GROUP BY text
 
 
 def clean_corpus_full(sf_dir: str):
-    """Full cleaning pipeline (lang-id + quality + exact + near-dup) —
-    rows-only check (lang-id and LSH are not SQL-expressible)."""
+    """Full cleaning pipeline (lang-id + quality gates + exact dedup +
+    MinHash near-dedup keep) — now FULLY driver-checked: the DuckDB
+    twin recomputes every stage, with the near-dup keep decision
+    replayed as exact-Jaccard pairs ≥ 0.7 + a recursive-CTE transitive
+    closure (the LSH candidate generation is verified by exact Jaccard
+    in the engine, so the two pair sets coincide whenever banding
+    recall is 1 — which the hash-match itself certifies per run)."""
     from merge_machine_ray.pipelines.corpus_cleaning import clean_corpus
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1230,6 +1235,48 @@ def clean_corpus_full(sf_dir: str):
         .select_columns(["doc_id", "lang_pred"])
 
 
+def _clean_corpus_full_sql() -> str:
+    # gates mirror corpus_cleaning.clean_corpus(min_chars=60,
+    # min_tokens=10, max_punct_ratio=0.2) + exact dedup keep-min-id +
+    # near-dup CC keep (cluster label == own id). The shingle/jaccard
+    # CTE body is the hash-matched _SHINGLE_CTE restated over the
+    # SURVIVORS relation; lang_pred reuses the LANG_ID_SQL machinery.
+    lang_cte = _lang_id_sql()
+    # reuse the inner column expressions of the lang-id twin by
+    # rewriting its FROM target to the kept rows
+    body = lang_cte.split("WITH", 1)[1]
+    body = body.replace("FROM documents", "FROM kept_docs")
+    # the shingle CTE also names a 'toks' relation — disambiguate
+    body = body.replace("toks", "ltoks")
+    shingle_body = _SHINGLE_CTE.split("WITH", 1)[1] \
+        .replace("FROM documents", "FROM survivors")
+    return rf"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 60 AND length(text) <= 1000000
+    AND length(regexp_extract_all(text, '\S+')) >= 10
+    AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) <= 0.2),
+survivors AS (
+  SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
+{shingle_body},
+edges AS (SELECT id_a AS a, id_b AS b FROM jac
+          WHERE jaccard_micro >= 700000),
+undirected AS (SELECT a, b FROM edges UNION
+               SELECT b AS a, a AS b FROM edges),
+reach(node, r) AS (
+  SELECT a AS node, b AS r FROM undirected
+  UNION
+  SELECT reach.node, u.b AS r FROM reach
+  JOIN undirected u ON reach.r = u.a),
+comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node),
+kept_docs AS (
+  SELECT s.doc_id, s.text FROM survivors s
+  LEFT JOIN comp c ON s.doc_id = c.doc_id
+  WHERE coalesce(c.cluster_id, s.doc_id) = s.doc_id),
+{body}"""
 
 
 def top_orders_per_customer(sf_dir: str, k: int = 3):
@@ -2235,4 +2282,5 @@ def build_oracle_sql() -> dict:
         "doc_chunks": DOC_CHUNKS_SQL,
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
+        "clean_corpus_full": _clean_corpus_full_sql(),
     }
