@@ -703,33 +703,43 @@ def _attach_side(pairs_ds, feats_ds, on: str, suffix: str,
         feats.iter_batches(batch_size=262144, batch_format="pyarrow"))
     tbl = tbl.sort_by("key").combine_chunks()
     ref = ray.put(tbl)
-    left_outer = how == "left"
 
     def probe(batch: pa.Table) -> pa.Table:
         t = ray.get(ref)  # zero-copy shared-memory read per worker
-        ids = t["key"].to_numpy(zero_copy_only=False)
-        keys = batch[on].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ids, keys)
-        if ids.size:
-            pos = pos.clip(max=ids.size - 1)
-            hit = ids[pos] == keys
-        else:
-            hit = np.zeros(keys.size, dtype=bool)
-        if not left_outer and not hit.all():
-            raise KeyError(
-                f"_attach_side: {int((~hit).sum())} ids absent from the "
-                "feature table (callers must cover every pair endpoint)")
-        take = pa.array(pos) if not left_outer else \
-            pa.array(np.where(hit, pos, 0), mask=~hit)
-        out = {c: batch[c] for c in batch.column_names}
-        for c in t.column_names:
-            if c != "key":
-                out[f"{c}{suffix}"] = (
-                    t[c].take(take) if ids.size
-                    else pa.nulls(batch.num_rows, t.schema.field(c).type))
-        return pa.table(out)
+        return _probe_features(batch, t, on, suffix, how=how)
 
     return pairs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def _probe_features(batch: pa.Table, t: pa.Table, on: str, suffix: str,
+                    how: str = "inner") -> pa.Table:
+    """Searchsorted probe of one batch against a key-SORTED feature
+    table (the broadcast half of :func:`_attach_side`, table-level so
+    the fused pair stage can call it in-task). ``inner`` raises on any
+    missing key — a silent nearest-neighbor take would attach the
+    WRONG row's features; ``left`` null-fills misses."""
+    left_outer = how == "left"
+    ids = t["key"].to_numpy(zero_copy_only=False)
+    keys = batch[on].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ids, keys)
+    if ids.size:
+        pos = pos.clip(max=ids.size - 1)
+        hit = ids[pos] == keys
+    else:
+        hit = np.zeros(keys.size, dtype=bool)
+    if not left_outer and not hit.all():
+        raise KeyError(
+            f"_attach_side: {int((~hit).sum())} ids absent from the "
+            "feature table (callers must cover every pair endpoint)")
+    take = pa.array(pos) if not left_outer else \
+        pa.array(np.where(hit, pos, 0), mask=~hit)
+    out = {c: batch[c] for c in batch.column_names}
+    for c in t.column_names:
+        if c != "key":
+            out[f"{c}{suffix}"] = (
+                t[c].take(take) if ids.size
+                else pa.nulls(batch.num_rows, t.schema.field(c).type))
+    return pa.table(out)
 
 
 #: above this many combined rows, ``attach="auto"`` switches to the
@@ -742,6 +752,11 @@ def _attach_side(pairs_ds, feats_ds, on: str, suffix: str,
 #: the cutoff only protects tiny interactive runs from the extra
 #: barriers.
 LINK_LIGHT_CUTOFF = 2_000
+
+#: fuse pair dedup + feature probe + scoring + selection into the
+#: src-key-bucketed pair exchange (one all-to-all fewer); disable to
+#: force the staged dedupe→attach→score→re-bucket form for A/B runs.
+LINK_FUSED = True
 
 
 def link_datasets(source_ds, ref_ds, match_cols: list[dict],
@@ -814,30 +829,49 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     pairs = bands.groupby("bucket").map_groups(
         _emit_cross_pairs_fn(params.block_cap, n_ext, light=light),
         batch_format="pyarrow")
+    fused = False
     if light:
-        # cross-BUCKET duplicate pairs (one per shared band) would be
-        # scored num_bands× over — dedupe the id-only list with the
-        # shared stages/pairs machinery (pair-hash bucket + one
-        # lexsort/diff per bucket), then join the features back on
-        from merge_machine_ray.stages.pairs import dedupe_pairs
-
-        pairs = dedupe_pairs(
-            pairs.map_batches(
-                lambda t: t.rename_columns(["id_a", "id_b"]),
-                batch_format="pyarrow"),
-            num_buckets).map_batches(
-                lambda t: t.rename_columns(["src_key", "ref_key"]),
-                batch_format="pyarrow")
+        from merge_machine_ray.stages.blocking import (
+            BROADCAST_FEATURES_LIMIT,
+        )
 
         tok_cols = [c for i in range(n_ext)
                     for c in (f"toks_{i}", f"cnts_{i}")]
-        # duplicate keys on either side carry identical token features
-        # (the key IS the content hash of the featurized columns), so
-        # a pick-first probe is deterministic and correct
-        pairs = _attach_side(pairs, feat_s.select_columns(
-            ["key"] + tok_cols), "src_key", "_s", num_buckets)
-        pairs = _attach_side(pairs, feat_r.select_columns(
-            ["key"] + tok_cols), "ref_key", "_r", num_buckets)
+        sel_s = feat_s.select_columns(["key"] + tok_cols).materialize()
+        sel_r = feat_r.select_columns(["key"] + tok_cols).materialize()
+        # FUSED pair stage: while both token tables broadcast, the pair
+        # exchange buckets on the SOURCE key (every copy of a pair and
+        # every candidate of a source land in one bucket), so dedup,
+        # feature probe, scoring AND best-match selection all run in
+        # that one grouped task — one all-to-all fewer than the staged
+        # dedupe→attach→score→re-bucket-by-src form (measured: 4→3
+        # barriers, see below). Above the broadcast limit the staged
+        # path with bucketed hash joins remains (the 100 TB attach).
+        fused = (LINK_FUSED
+                 and (sel_s.size_bytes() or 0) <= BROADCAST_FEATURES_LIMIT
+                 and (sel_r.size_bytes() or 0) <= BROADCAST_FEATURES_LIMIT)
+        if not fused:
+            # cross-BUCKET duplicate pairs (one per shared band) would
+            # be scored num_bands× over — dedupe the id-only list with
+            # the shared stages/pairs machinery (pair-hash bucket + one
+            # lexsort/diff per bucket), then join the features back on
+            from merge_machine_ray.stages.pairs import dedupe_pairs
+
+            pairs = dedupe_pairs(
+                pairs.map_batches(
+                    lambda t: t.rename_columns(["id_a", "id_b"]),
+                    batch_format="pyarrow"),
+                num_buckets).map_batches(
+                    lambda t: t.rename_columns(["src_key", "ref_key"]),
+                    batch_format="pyarrow")
+
+            # duplicate keys on either side carry identical token
+            # features (the key IS the content hash of the featurized
+            # columns), so a pick-first probe is deterministic
+            pairs = _attach_side(pairs, sel_s, "src_key", "_s",
+                                 num_buckets)
+            pairs = _attach_side(pairs, sel_r, "ref_key", "_r",
+                                 num_buckets)
 
     # IDF per extraction from the ref side: DISTRIBUTED partial-DF
     # aggregation (the stages/idf.py pattern — per-batch distinct counts
@@ -937,34 +971,83 @@ def link_datasets(source_ds, ref_ds, match_cols: list[dict],
     params_json = params.to_json()
     _cache: dict = {}
 
-    def score_fn(batch: pa.Table) -> pa.Table:
+    def _get_scorer():
         key = idf_ref.hex() if hasattr(idf_ref, "hex") else id(idf_ref)
         scorer = _cache.get(key)
         if scorer is None:
             scorer = LinkScorer(LinkParams.from_json(params_json), idf_ref)
             _cache.clear()
             _cache[key] = scorer
-        return scorer(batch)
+        return scorer
 
-    scored = pairs.map_batches(score_fn, batch_format="pyarrow",
-                               batch_size=2048)
-
-    # bucketed vectorized selection: shuffle by src_key % B (bounded
-    # python-group count), segment argmax inside each bucket. ONE
-    # materialization covers pair-gen + scoring + selection; the G1
-    # means ride out as per-bucket sums (see _select_best_bucket_fn).
     nq = len(params.queries)
-    sel_buckets = int(min(512, max(8, n_src // 4000)))
 
-    def _sel_bucket(t: pa.Table) -> pa.Table:
-        k = t["src_key"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "sbkt", pa.array((k % sel_buckets).astype(np.int32)))
+    if fused:
+        def _sorted_tbl(ds):
+            t = pa.concat_tables(ds.iter_batches(
+                batch_size=262144, batch_format="pyarrow"))
+            return t.sort_by("key").combine_chunks()
 
-    linked = (scored.map_batches(_sel_bucket, batch_format="pyarrow")
-              .groupby("sbkt")
-              .map_groups(_select_best_bucket_fn(params),
-                          batch_format="pyarrow")).materialize()
+        s_ref = ray.put(_sorted_tbl(sel_s))
+        r_ref = ray.put(_sorted_tbl(sel_r))
+        select_fn = _select_best_bucket_fn(params)
+
+        def pair_src_bucket(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(["id_a", "id_b"])
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            return t.append_column("sbkt", pa.array(
+                (a % num_buckets).astype(np.int32)))
+
+        def fused_group(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            a = g["id_a"].to_numpy(zero_copy_only=False)
+            b = g["id_b"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            keep = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[keep], b[keep]
+            st, rt = ray.get(s_ref), ray.get(r_ref)  # zero-copy reads
+            scorer = _get_scorer()
+            parts = []
+            for lo in range(0, a.size, 2048):
+                chunk = pa.table({"src_key": pa.array(a[lo:lo + 2048]),
+                                  "ref_key": pa.array(b[lo:lo + 2048])})
+                chunk = _probe_features(chunk, st, "src_key", "_s")
+                chunk = _probe_features(chunk, rt, "ref_key", "_r")
+                parts.append(scorer(chunk))
+            scored = pa.concat_tables(parts).combine_chunks()
+            scored = scored.append_column("sbkt", pa.array(np.full(
+                scored.num_rows, g["sbkt"][0].as_py(), dtype=np.int32)))
+            return select_fn(scored)
+
+        linked = (pairs.map_batches(pair_src_bucket,
+                                    batch_format="pyarrow")
+                  .groupby("sbkt")
+                  .map_groups(fused_group,
+                              batch_format="pyarrow")).materialize()
+    else:
+        def score_fn(batch: pa.Table) -> pa.Table:
+            return _get_scorer()(batch)
+
+        scored = pairs.map_batches(score_fn, batch_format="pyarrow",
+                                   batch_size=2048)
+
+        # bucketed vectorized selection: shuffle by src_key % B
+        # (bounded python-group count), segment argmax inside each
+        # bucket. ONE materialization covers pair-gen + scoring +
+        # selection; the G1 means ride out as per-bucket sums.
+        sel_buckets = int(min(512, max(8, n_src // 4000)))
+
+        def _sel_bucket(t: pa.Table) -> pa.Table:
+            k = t["src_key"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "sbkt", pa.array((k % sel_buckets).astype(np.int32)))
+
+        linked = (scored.map_batches(_sel_bucket, batch_format="pyarrow")
+                  .groupby("sbkt")
+                  .map_groups(_select_best_bucket_fn(params),
+                              batch_format="pyarrow")).materialize()
 
     link_schema = pa.schema(
         [("src_key", pa.int64()), ("__ID_REF", pa.int64()),

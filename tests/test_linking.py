@@ -106,6 +106,35 @@ def test_link_light_mode_matches_carry(ray_session, tables):
             == l.loc[m, "numero_uai__REF"].values).all()
 
 
+def test_link_fused_matches_staged(ray_session, tables, monkeypatch):
+    """The fused light path (pair dedup + probe + score + select in one
+    src-key-bucketed task) must match the staged path that runs above
+    the feature broadcast limit (dedupe_pairs → _attach_side → score →
+    re-bucket selection)."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages import blocking
+
+    src, ref, truth = tables
+    params = LinkParams.default_for(MATCH_COLS)
+    kw = dict(source_id_col="id_row", ref_keep_cols=["numero_uai"],
+              attach="light")
+    fused = link_datasets(rd.from_arrow(src), rd.from_arrow(ref),
+                          MATCH_COLS, params, **kw).to_pandas()
+    # 0-byte broadcast budget forces the staged (100 TB attach) branch
+    monkeypatch.setattr(blocking, "BROADCAST_FEATURES_LIMIT", 0)
+    staged = link_datasets(rd.from_arrow(src), rd.from_arrow(ref),
+                           MATCH_COLS, params, **kw).to_pandas()
+    f = fused.sort_values("id_row").reset_index(drop=True)
+    s = staged.sort_values("id_row").reset_index(drop=True)
+    assert len(f) == len(s) == N_SRC
+    assert (f["__IS_MATCH"] == s["__IS_MATCH"]).all()
+    m = f["__IS_MATCH"]
+    assert (f.loc[m, "__ID_REF"].values == s.loc[m, "__ID_REF"].values).all()
+    np.testing.assert_allclose(f.loc[m, "__SCORE"].values,
+                               s.loc[m, "__SCORE"].values, rtol=1e-12)
+
+
 def test_link_params_json_roundtrip(tmp_path):
     params = LinkParams.default_for(MATCH_COLS)
     params.exact_pairs = [(1, 2)]
