@@ -28,6 +28,7 @@ shuffle: bands are written shard-parallel, never sorted globally).
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -87,6 +88,7 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
 
         @ray.remote(num_cpus=1)
         def compute(pid: str):
+            t0 = time.monotonic()
             table = pq.read_table(path_of[pid])
             feats = Featurize(analyzer=p.analyzer)(table)
             bands = BandKeys(p.num_perm, p.num_bands, p.shingle_width,
@@ -94,13 +96,15 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
             keys = np.asarray(bands["band_key"].to_pylist(), dtype=np.int64)
             bands = bands.append_column(
                 "bucket", pa.array((keys % num_buckets).astype(np.int32)))
-            return pid, feats, bands
+            return pid, feats, bands, time.monotonic() - t0
 
-        for pid, feats, bands in ray.get([compute.remote(x) for x in pending]):
+        for pid, feats, bands, secs in ray.get(
+                [compute.remote(x) for x in pending]):
+            met = {"elapsed_ms": int(secs * 1000)}
             if not feat_ck.is_done(pid):
-                feat_ck.write_partition(pid, feats)
+                feat_ck.write_partition(pid, feats, metrics=met)
             if not band_ck.is_done(pid):
-                band_ck.write_partition(pid, bands)
+                band_ck.write_partition(pid, bands, metrics=met)
 
     features = feat_ck.read_all()
 
@@ -140,6 +144,7 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
     for k, rid in enumerate(range_ids):
         if edge_ck.is_done(rid):
             continue
+        t0 = time.monotonic()
         bands = band_ck.read_all()
         lo = k * num_buckets // edge_ranges
         hi = (k + 1) * num_buckets // edge_ranges
@@ -154,7 +159,9 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
                                     batch_format="pyarrow"))
             or [pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64())})])
-        edge_ck.write_partition(rid, tbl)
+        edge_ck.write_partition(rid, tbl, metrics={
+            "elapsed_ms": int((time.monotonic() - t0) * 1000),
+            "bucket_lo": lo, "bucket_hi": hi})
 
     # ---- stage 4: clustering ------------------------------------------
     clus_ck = StageCheckpoint(out_root, "clusters",
@@ -162,13 +169,15 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
     if not clus_ck.is_done("all"):
         from merge_machine_ray.stages.clustering import connected_components
 
+        t0 = time.monotonic()
         assign = connected_components(edge_ck.read_all(), mode="auto")
         tbl = pa.concat_tables(
             list(assign.iter_batches(batch_size=65536,
                                      batch_format="pyarrow"))
             or [pa.table({"doc_id": pa.array([], pa.int64()),
                           "cluster_id": pa.array([], pa.int64())})])
-        clus_ck.write_partition("all", tbl)
+        clus_ck.write_partition("all", tbl, metrics={
+            "elapsed_ms": int((time.monotonic() - t0) * 1000)})
 
     t = pq.read_table(clus_ck.partition_path("all"))
     a_keys = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -197,8 +206,10 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
             return pid, out.append_column("cluster_id",
                                           pa.array(cl, pa.int64()))
 
+        t0 = time.monotonic()
         for pid, tbl in ray.get([fill.remote(x, assign_ref)
                                  for x in pending_out]):
-            out_ck.write_partition(pid, tbl)
+            out_ck.write_partition(pid, tbl, metrics={
+                "elapsed_ms": int((time.monotonic() - t0) * 1000)})
 
     return out_ck.read_all()

@@ -38,6 +38,16 @@ def test_resume_skips_completed_and_matches_full_run(
     out1 = resolve_entities_resumable(paths, out_root, params).take_all()
     sig1 = _partition_sig(out1)
 
+    # per-partition lineage METRICS (north rule): every completed
+    # partition entry records rows + wall time
+    for stage in ("features", "edges", "output"):
+        man = json.load(open(os.path.join(out_root, stage,
+                                          "_manifest.json")))
+        assert man["completed"], stage
+        for pid, entry in man["completed"].items():
+            assert entry["rows"] >= 0, (stage, pid)
+            assert "elapsed_ms" in entry, (stage, pid)
+
     # simulate a mid-pipeline kill: wipe the edges stage of one range and
     # the whole output stage; features/bands/clusters stay on disk
     edges_dir = os.path.join(out_root, "edges")
