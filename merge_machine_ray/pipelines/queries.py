@@ -857,6 +857,39 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """)
 
 
+def cluster_size_hist(sf_dir: str):
+    """Dedup-graph metrics: histogram of transitive-cluster sizes (how
+    many clusters of 1, 2, 3… docs the exact-Jaccard near-dup graph
+    produces) — the monitoring aggregate a corpus-dedup run reports.
+    Two tiny aggregations on the CC assignment; sizes come out of one
+    bucketed count, the histogram from the (small) size table."""
+    from ray.data.aggregate import Count
+
+    assign = cluster_exact_jaccard(sf_dir)
+    sizes = assign.groupby("cluster_id").aggregate(
+        Count(alias_name="sz"))
+    return sizes.groupby("sz").aggregate(
+        Count(alias_name="n_clusters")).map_batches(
+            lambda t: pa.table({
+                "cluster_size": t["sz"].cast(pa.int64()),
+                "n_clusters": t["n_clusters"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+CLUSTER_SIZE_HIST_SQL = CLUSTER_EXACT_JACCARD_SQL.replace(
+    """SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
+    """, assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM assign GROUP BY cluster_id)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+""")
+
+
 def link_suppliers_to_nations(sf_dir: str):
     """Driver-oracle twin for the flagship LINKING pipeline
     (``pipelines.linking.link_datasets``, reference es_match.py:241-417):
@@ -2224,6 +2257,7 @@ def build_queries() -> dict:
         "doc_chunks": doc_chunks,
         "token_quota_mix": token_quota_mix,
         "incremental_dedup": incremental_dedup_docs,
+        "cluster_size_hist": cluster_size_hist,
     }
 
 
@@ -2283,4 +2317,5 @@ def build_oracle_sql() -> dict:
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
+        "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }
