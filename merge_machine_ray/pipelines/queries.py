@@ -2035,6 +2035,72 @@ def er_pages_fixture(sf_dir: str, n_entities: int = 500):
     return resolve_entities(ds).select_columns(["url", "cluster_id"])
 
 
+def _docs_to_pages(t: pa.Table) -> pa.Table:
+    """documents rows → input_hint-shaped pages rows, fully vectorized:
+    url embeds the doc_id (host spread over 97 fake domains), html wraps
+    the escaped text in a fixed template that the extractor provably
+    round-trips (same contract as fixtures/pages._render_html), warc_ts
+    derives from doc_id. ``text`` is intentionally DROPPED so the
+    pipeline must take the html-extraction path."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    id_str = pc.cast(t["doc_id"], pa.string())
+    host_str = pa.array((ids % 97).astype(np.int64)).cast(pa.string())
+    url = pc.binary_join_element_wise(
+        "https://ex", host_str, ".example.com/doc/", id_str, "")
+    # minimal html-escape (&, <, >) — html.unescape inverts it exactly
+    esc = pc.fill_null(t["text"], "")
+    esc = pc.replace_substring(esc, "&", "&amp;")
+    esc = pc.replace_substring(esc, "<", "&lt;")
+    esc = pc.replace_substring(esc, ">", "&gt;")
+    # the <title> is part of the extracted text, so it must derive from
+    # the BASE id (ids % offset) — a twin's page renders byte-identical
+    # visible content to its base's, differing only in url
+    base_str = pa.array((ids % _PLANT_OFFSET).astype(np.int64)) \
+        .cast(pa.string())
+    html = pc.binary_join_element_wise(
+        "<html><head><title>d", base_str, "</title></head><body><p>",
+        esc, "</p></body></html>", "")
+    warc = pa.array((np.int64(1_600_000_000) + ids).view("datetime64[s]")
+                    .astype("datetime64[us]"))
+    return pa.table({"url": url, "warc_ts": warc,
+                     "html": html.cast(pa.binary()), "lang": t["lang"]})
+
+
+def er_pages_planted(sf_dir: str):
+    """Flagship ER over the INPUT-HINT pages shape (url, warc_ts,
+    html:binary, lang) with a planted-twin DRIVER oracle — the strongest
+    end-to-end check in the suite: every 20th document is re-emitted
+    VERBATIM as a second page under a different url, the FULL pipeline
+    runs (html text extraction → normalize → minhash-LSH blocking →
+    tf·idf scoring → transitive clustering), and the output is the
+    planted pairs that ended co-clustered. Identical html ⇒ identical
+    extracted text ⇒ sim_text = sim_lang = 1 ⇒ score 1.0 ≥ threshold ⇒
+    provable co-membership, so a break anywhere (extraction, blocking,
+    scoring, clustering, singleton fill) is a driver hash fail. The SQL
+    twin enumerates the planted relation. The original integer ids ride
+    inside the urls and are recovered with one RE2 extract."""
+    from merge_machine_ray.pipelines.entity_resolution import resolve_entities
+    from merge_machine_ray.state.params import MatchParams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pages = _plant_doc_twins(ds).map_batches(
+        _docs_to_pages, batch_format="pyarrow")
+    p = MatchParams(w_text=0.9, w_ints=0.0, w_url=0.0, w_host=0.0,
+                    w_lang=0.1, threshold=0.8, block_cap=8192)
+    assign = resolve_entities(pages, p, id_col="url")
+
+    def orig_ids(t: pa.Table) -> pa.Table:
+        oid = pc.extract_regex(t["url"], r"/doc/(?P<oid>\d+)$")
+        oid = pc.cast(pc.struct_field(oid, "oid"), pa.int64())
+        return pa.table({"doc_id": oid, "cluster_id": t["cluster_id"]})
+
+    kv = assign.map_batches(orig_ids, batch_format="pyarrow")
+    return _planted_equal_pairs(kv, "cluster_id")
+
+
+ER_PAGES_PLANTED_SQL = _PLANTED_PAIRS_SQL
+
+
 # ------------------------------------------------- decontamination
 _DECON_N = 5          # n-gram width (GPT-3 used 13; corpus here is short)
 _DECON_MOD = 13       # doc_id % 13 == 0 plays the (small) eval benchmark
@@ -2253,6 +2319,7 @@ def build_queries() -> dict:
         # DuckDB views can't see (er_documents carries the planted-twin
         # ER oracle over the registered documents table instead)
         "er_pages_fixture": er_pages_fixture,
+        "er_pages_planted": er_pages_planted,
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
         "token_quota_mix": token_quota_mix,
@@ -2297,6 +2364,7 @@ def build_oracle_sql() -> dict:
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "er_documents": ER_DOCUMENTS_SQL,
+        "er_pages_planted": ER_PAGES_PLANTED_SQL,
         "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
         "orders_lag_delta": ORDERS_LAG_SQL,
         "inactive_customers": INACTIVE_CUSTOMERS_SQL,
