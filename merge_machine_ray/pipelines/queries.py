@@ -519,6 +519,47 @@ SELECT doc_id FROM documents
 WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729
 """
 
+_SPLITS = [("train", 90.0), ("val", 5.0), ("test", 5.0)]
+
+
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (stages/sketch.hash_split):
+    per-doc assignment by multiplicative id hash against cumulative
+    90/5/5 cuts — stable across runs and partitionings, map-side only,
+    SQL-replayable. Output: full (doc_id, split) assignment."""
+    from merge_machine_ray.stages.sketch import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, "doc_id", _SPLITS) \
+        .select_columns(["doc_id", "split"])
+
+
+def _doc_split_sql() -> str:
+    from merge_machine_ray.stages.sketch import hash_split_sql
+
+    return ("SELECT doc_id, split FROM ("
+            + hash_split_sql("documents", "doc_id", _SPLITS) + ")")
+
+
+def shuffled_doc_head(sf_dir: str):
+    """Deterministic global shuffle (stages/sketch.shuffle_by_hash):
+    reproducible corpus order before sequence packing — hash key +
+    distributed range sort; first 20 rows of the shuffled order."""
+    from merge_machine_ray.stages.sketch import shuffle_by_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_by_hash(ds, "doc_id").limit(20)
+
+
+SHUFFLED_DOC_HEAD_SQL = """
+SELECT doc_id,
+       CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+         AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 20
+"""
+
 
 def token_heavy_hitters_q(sf_dir: str):
     """Exact top-20 corpus tokens by occurrence count (ties → token
@@ -2285,6 +2326,8 @@ def build_queries() -> dict:
         "dedup_reinflate": dedup_reinflate,
         "idf_table": idf_table,
         "sample_docs_10pct": sample_docs_10pct,
+        "doc_split_assign": doc_split_assign,
+        "shuffled_doc_head": shuffled_doc_head,
         "token_heavy_hitters": token_heavy_hitters_q,
         "token_count_deciles": token_count_deciles,
         "lang_distribution": lang_distribution,
@@ -2349,6 +2392,8 @@ def build_oracle_sql() -> dict:
         "dedup_reinflate": DEDUP_REINFLATE_SQL,
         "idf_table": IDF_SQL,
         "sample_docs_10pct": SAMPLE_DOCS_SQL,
+        "doc_split_assign": _doc_split_sql(),
+        "shuffled_doc_head": SHUFFLED_DOC_HEAD_SQL,
         "token_heavy_hitters": HEAVY_HITTERS_SQL,
         "token_count_deciles": TOKEN_DECILES_SQL,
         "lang_distribution": LANG_DIST_SQL,

@@ -98,6 +98,61 @@ def stratified_sample_sql(table: str, id_col: str, stratum_col: str,
             f"ELSE {default_cut} END")
 
 
+def hash_split(ds, id_col: str, splits: list[tuple[str, float]]):
+    """Deterministic train/val/test assignment — the split every
+    training-data pipeline needs. Appends a ``split`` column chosen by
+    the same multiplicative id hash as :func:`hash_sample`: row → the
+    first split whose cumulative percentage cut exceeds
+    ``(id * 2654435761) mod 2^32``. Pure function of the id: stable
+    across runs and partitionings, resumable, map-side only (no
+    shuffle), and exactly replayable in SQL. The last split absorbs
+    any rounding remainder (percentages should sum to 100)."""
+    names = [n for n, _ in splits]
+    cuts = np.cumsum([p / 100.0 * _MOD for _, p in splits]) \
+        .astype(np.uint64)
+    cuts[-1] = np.uint64(_MOD)  # remainder → last split
+    name_arr = np.array(names)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        idx = np.searchsorted(cuts, h, side="right")
+        return t.append_column("split", pa.array(name_arr[idx]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hash_split_sql(table: str, id_col: str,
+                   splits: list[tuple[str, float]]) -> str:
+    """DuckDB twin of :func:`hash_split` (same cumulative-cut CASE)."""
+    cuts = np.cumsum([p / 100.0 * _MOD for _, p in splits]).astype(np.uint64)
+    whens = " ".join(
+        f"WHEN (CAST({id_col} AS HUGEINT) * {_KNUTH}) % {_MOD} "
+        f"< {int(c)} THEN '{n}'"
+        for (n, _), c in zip(splits[:-1], cuts[:-1]))
+    return (f"SELECT *, CASE {whens} ELSE '{splits[-1][0]}' END AS split "
+            f"FROM {table}")
+
+
+def shuffle_by_hash(ds, id_col: str, salt: int = 0):
+    """Deterministic global shuffle: append ``shuffle_key`` =
+    multiplicative hash of ``id + salt`` and sort by it (ties broken by
+    the id inside the hash's injectivity on < 2^32 ids). Training
+    pipelines need a REPRODUCIBLE corpus order before sequence packing;
+    ``Dataset.random_shuffle`` is nondeterministic across runs and
+    partitionings, this is a pure function of (id, salt). The sort is
+    Ray Data's distributed range sort — the same all-to-all a random
+    shuffle pays, but resumable and replayable in SQL."""
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids + np.uint64(salt)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        return t.append_column("shuffle_key", pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(key, batch_format="pyarrow") \
+        .sort(["shuffle_key", id_col])
+
+
 def _token_count_partial(t: pa.Table, text_col: str,
                          pattern: str) -> pa.Table:
     """Per-batch (token, occurrences) — every occurrence counted, one

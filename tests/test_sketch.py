@@ -122,3 +122,38 @@ def test_column_quantiles_refine_matches_sequential(ray_session):
     for q_micro, val in zip(got["q_micro"], got["value"]):
         rank = max(1, (q_micro * n + 999_999) // 1_000_000)
         assert val == int(sv[rank - 1]), (q_micro, val, int(sv[rank - 1]))
+
+
+def test_hash_split_partitions_and_matches_reference(ray_session):
+    from merge_machine_ray.stages.sketch import hash_split
+
+    splits = [("train", 90.0), ("val", 5.0), ("test", 5.0)]
+    rows = [{"doc_id": i} for i in range(20_000)]
+    got = {r["doc_id"]: r["split"]
+           for r in hash_split(_docs_ds(rows), "doc_id", splits).take_all()}
+    assert len(got) == 20_000                      # total partition
+    mod = 1 << 32
+    cuts = [int(0.90 * mod), int(0.95 * mod)]
+    for i in range(20_000):                        # python reference
+        h = (i * 2654435761) % mod
+        want = "train" if h < cuts[0] else ("val" if h < cuts[1] else "test")
+        assert got[i] == want
+    frac = collections.Counter(got.values())
+    assert 0.88 < frac["train"] / 20_000 < 0.92
+    assert 0.03 < frac["val"] / 20_000 < 0.07
+
+
+def test_shuffle_by_hash_deterministic_order(ray_session):
+    from merge_machine_ray.stages.sketch import shuffle_by_hash
+
+    rows = [{"doc_id": i, "v": i * 3} for i in range(5_000)]
+    a = [r["doc_id"] for r in shuffle_by_hash(_docs_ds(rows), "doc_id").take_all()]
+    b = [r["doc_id"] for r in shuffle_by_hash(_docs_ds(rows), "doc_id").take_all()]
+    assert a == b and sorted(a) == list(range(5_000))
+    mod = 1 << 32
+    want = sorted(range(5_000), key=lambda i: ((i * 2654435761) % mod, i))
+    assert a == want
+    # a different salt gives a different (but still deterministic) order
+    c = [r["doc_id"] for r in
+         shuffle_by_hash(_docs_ds(rows), "doc_id", salt=7).take_all()]
+    assert c != a
