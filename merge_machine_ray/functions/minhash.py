@@ -220,12 +220,19 @@ def band_keys_from_sigs(sigs: np.ndarray, num_bands: int) -> np.ndarray:
 
 
 def banded_minhash(elems: np.ndarray, offsets: np.ndarray, num_perm: int,
-                   num_bands: int, width: int) -> np.ndarray:
+                   num_bands: int, width: int,
+                   scheme: str = "kperm") -> np.ndarray:
     """elems+offsets → (n_docs × num_bands) band keys (the fused path
-    used by the blocking / linking / near-dup band stages)."""
+    used by the blocking / linking / near-dup band stages).
+
+    ``scheme="kperm"`` (default) is the classic k-permutation minhash;
+    ``"oph"`` opts into one-permutation hashing — O(windows) instead of
+    O(windows × num_perm), sound only for long documents (see the OPH
+    block comment at the bottom of this module for the measured
+    trade-off)."""
     sh, sh_off = poly_window_hashes(elems, offsets, width)
-    return band_keys_from_sigs(minhash_from_flat(sh, sh_off, num_perm),
-                               num_bands)
+    fn = minhash_from_flat if scheme == "kperm" else minhash_from_flat_oph
+    return band_keys_from_sigs(fn(sh, sh_off, num_perm), num_bands)
 
 
 def str_elem_hashes(flat_tokens, crc=None) -> np.ndarray:
@@ -277,3 +284,71 @@ def simhash64(tokens: list[str]) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# --------------------------------------------------------------------------
+# One-permutation hashing (OPH) — OPT-IN scale path for LONG documents.
+#
+# Li/Owen/Zhang (NIPS 2012) hash each window ONCE and bucket it by its
+# top log2(num_perm) bits; Shrivastava/Li (ICML 2014) rotation
+# densification fills empty buckets from the nearest occupied one. That
+# replaces the k-permutation O(windows × num_perm) matrix with
+# O(windows) — but it is only SOUND when the window set is much larger
+# than the bucket count. Measured on this repo's bench corpus (median
+# ~33 tokens/doc → ~31 windows into 128 buckets): densified runs copy a
+# shared minimum across whole bands, band collisions go spurious, and
+# candidate pairs exploded 0.6M → 5.6M with scoring CPU 6.9 s → 429 s —
+# strictly worse than k-perm. For corpora of real web pages (10³–10⁵
+# windows/doc) the occupancy condition holds and OPH is the right
+# default; callers opt in per corpus.
+# --------------------------------------------------------------------------
+
+
+def _oph_shift(num_perm: int) -> np.uint64:
+    """Right-shift mapping a uint64 hash's top bits to a bucket index;
+    one-permutation bucketing needs a power-of-two bucket count."""
+    assert num_perm > 0 and (num_perm & (num_perm - 1)) == 0, \
+        f"num_perm must be a power of two for one-permutation hashing " \
+        f"(got {num_perm})"
+    return np.uint64(65 - num_perm.bit_length())
+
+
+def _oph_densify(out: np.ndarray) -> np.ndarray:
+    """Rotation densification of an (n_docs × num_perm) one-permutation
+    bucket-minimum matrix, in place: every EMPTY bucket (MAX sentinel)
+    borrows the value of the nearest occupied bucket to its left,
+    wrapping circularly. Fully-empty rows (empty docs) stay all-MAX."""
+    filled = out != _U64_MAX
+    rows_any = filled.any(axis=1)
+    todo = rows_any & ~filled.all(axis=1)
+    if not todo.any():
+        return out
+    sub = out[todo]
+    f = filled[todo]
+    n, k = sub.shape
+    idx = np.where(f, np.arange(k, dtype=np.int64)[None, :], -1)
+    ff = np.maximum.accumulate(idx, axis=1)   # last occupied col ≤ j
+    ff = np.where(ff < 0, ff[:, -1][:, None], ff)  # wrap leading empties
+    out[todo] = sub[np.arange(n)[:, None], ff]
+    return out
+
+
+def minhash_from_flat_oph(sh: np.ndarray, sh_off: np.ndarray,
+                          num_perm: int = 128) -> np.ndarray:
+    """OPH twin of :func:`minhash_from_flat` (see block comment above
+    for when to use it): per-(doc, bucket) minima via one argsort +
+    ``np.minimum.reduceat`` over the flat (doc·num_perm + bucket) key,
+    then rotation densification. Empty segments get all-MAX."""
+    sh_off = np.asarray(sh_off, dtype=np.int64)
+    n = sh_off.size - 1
+    out = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
+    if sh.size == 0 or n == 0:
+        return out
+    counts = np.diff(sh_off)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    key = doc_of * num_perm + (sh >> _oph_shift(num_perm)).astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    out.ravel()[ks[starts]] = np.minimum.reduceat(sh[order], starts)
+    return _oph_densify(out)

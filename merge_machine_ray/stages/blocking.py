@@ -51,7 +51,7 @@ _FEATURE_COLS = ("path", "host", "lang", "tok_hashes", "int_hashes")
 # less map-side python). Resumable checkpoints fold this into the
 # bands/edges fingerprints so partitions hashed under the old family
 # recompute instead of silently mixing band keys from two families.
-BANDKEY_SEMVER = "bandkeys-v2"
+BANDKEY_SEMVER = "bandkeys-v2-emit2"
 
 
 def band_hashes_for(tok_hashes: list[int], host: str, num_perm: int,
@@ -252,16 +252,21 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...],
                         y.append(uniq[2:])
                     ex, ey = np.concatenate(x), np.concatenate(y)
                     if first_band_dedup and oc_mat is not None:
-                        # Carry mode promises ONE row per pair. A
-                        # star/chain pair that also agrees in a
+                        # A star/chain pair that also agrees in a
                         # non-capped band is emitted THERE (over-cap
                         # bands don't count as agreements in the
-                        # first-band rule); among capped bands, only
-                        # the first agreeing one emits. O(edges × nb).
-                        band = int(band_idx[uniq[0]])
+                        # first-band rule). Among capped bands the edge
+                        # emits in EVERY agreeing block: "first agreeing
+                        # capped band" would drop the pair entirely when
+                        # that block's star/chain pattern doesn't
+                        # include it (different membership ⇒ different
+                        # adjacency). Carry mode may therefore emit a
+                        # pair once per capped block it is a star/chain
+                        # edge of (≤ num_bands, typically 1) — consumers
+                        # needing one-row-per-pair dedupe downstream;
+                        # CC and argmax selection are insensitive.
                         agree = band_mat[ex] == band_mat[ey]
                         keep_e = ~(agree & ~oc_mat[ex]).any(axis=1)
-                        keep_e &= (agree & oc_mat[ex]).argmax(axis=1) == band
                         ex, ey = ex[keep_e], ey[keep_e]
                     if ex.size:
                         idx_a.append(ex)
@@ -338,11 +343,12 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
     """features → candidate pair dataset with both sides' features
     attached (columns a, b, url_a/b, host_a/b, lang_a/b, tok_hashes_a/b).
 
-    Pairs are exact-deduplicated across bands: the first-matching-band
-    rule for normal blocks, and for capped skewed blocks the star/chain
-    edges are emitted only by the pair's first CAPPED agreeing band and
-    only when no non-capped band already covers the pair — one row per
-    pair in carry mode too (join mode dedups by aggregate anyway).
+    Pairs are exact-deduplicated across bands by the first-matching-band
+    rule for normal blocks. For capped skewed blocks the star/chain
+    edges emit in EVERY agreeing capped block (skipped when a non-capped
+    band already covers the pair), so carry mode may emit a pair more
+    than once under skew — join mode dedups by aggregate anyway, and CC
+    / argmax consumers are insensitive to duplicates.
 
     ``attach``:
       * ``"join"`` — the band shuffle moves only LIGHT rows

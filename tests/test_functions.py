@@ -260,3 +260,32 @@ def test_band_keys_batched_matches_scalar():
     empty = BandKeys(64, 8, 3)(batch.slice(0, 0))
     assert empty.num_rows == 0
     assert empty.schema.names == out.schema.names
+
+
+def test_oph_minhash_long_doc_estimates_and_conventions():
+    """Opt-in one-permutation-hashing path: identical inputs → identical
+    signatures, empty segments stay all-MAX, and on LONG documents
+    (windows >> buckets, its soundness precondition) the band keys
+    separate a 90%-overlap pair from a disjoint one."""
+    import numpy as np
+
+    from merge_machine_ray.functions.minhash import (
+        banded_minhash, mix64, minhash_from_flat_oph)
+
+    rng = np.random.RandomState(3)
+    base = mix64(rng.randint(0, 1 << 62, size=2000).astype(np.uint64))
+    near = np.concatenate([base[:1800],
+                           mix64(np.arange(10**6, 10**6 + 200)
+                                 .astype(np.uint64))])
+    far = mix64(rng.randint(1 << 62, 1 << 63, size=2000).astype(np.uint64))
+    elems = np.concatenate([base, base, near, far, np.empty(0, np.uint64)])
+    off = np.array([0, 2000, 4000, 6000, 8000, 8000], np.int64)
+    keys = banded_minhash(elems, off, 128, 16, 3, scheme="oph")
+    assert keys.shape == (5, 16)
+    assert (keys[0] == keys[1]).all()          # identical docs
+    shared_near = (keys[0] == keys[2]).sum()
+    shared_far = (keys[0] == keys[3]).sum()
+    assert shared_near > shared_far            # J≈0.82 ≻ J≈0
+    sig = minhash_from_flat_oph(np.empty(0, np.uint64),
+                                np.array([0, 0], np.int64))
+    assert (sig == np.iinfo(np.uint64).max).all()   # empty → all MAX
