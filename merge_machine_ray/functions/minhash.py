@@ -151,9 +151,14 @@ def poly_window_hashes(elems: np.ndarray, offsets: np.ndarray,
     return sh, sh_off
 
 
-#: transient-memory cap for the (perm_chunk × window_chunk) hash matrix
+#: transient-size caps for the (perm_chunk × window_chunk) hash matrix.
+#: The transient must stay CACHE-resident: perm_chunk 16 × window_chunk
+#: 2^15 × 8 B = 4 MB. The previous 2^19 window chunk (64 MB) thrashed
+#: L3 and ran this exact function 13× slower (13.1 s vs 1.0 s per 2.4M
+#: windows, byte-identical output) — and worse under 32-way task
+#: contention for the shared cache.
 _PERM_CHUNK = 16
-_WINDOW_CHUNK = 1 << 19
+_WINDOW_CHUNK = 1 << 15
 
 
 def minhash_from_flat(sh: np.ndarray, sh_off: np.ndarray,
@@ -162,7 +167,7 @@ def minhash_from_flat(sh: np.ndarray, sh_off: np.ndarray,
     hashes: v = mix(a_p·x + b_p), min per segment via
     ``np.minimum.reduceat``. Empty segments get all-MAX (same convention
     as :func:`minhash_signature`). Chunked over perms and docs so the
-    transient matrix stays ≤ ~64 MB."""
+    transient matrix stays cache-resident (see _WINDOW_CHUNK note)."""
     sh_off = np.asarray(sh_off, dtype=np.int64)
     n = sh_off.size - 1
     out = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
