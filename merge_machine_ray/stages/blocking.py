@@ -208,6 +208,55 @@ def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...],
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [sk.size]))
 
+            if not first_band_dedup:
+                # LIGHT (join-mode) path, zero python per segment: a
+                # bucket sees ~1M mostly-singleton band segments at
+                # 139k docs and the generic loop below costs ~3 µs per
+                # segment just to skip them (measured 11.6 s CPU total).
+                # Adjacent-dup removal, per-segment all-pairs expansion
+                # (repeat/offset arithmetic) and the capped star/chain
+                # all run as whole-bucket numpy passes.
+                dup = np.concatenate(
+                    ([False], (sk[1:] == sk[:-1]) & (sd[1:] == sd[:-1])))
+                o2 = order[~dup]
+                sk2 = sk[~dup]
+                b2 = np.flatnonzero(sk2[1:] != sk2[:-1]) + 1
+                st = np.concatenate(([0], b2))
+                en = np.concatenate((b2, [sk2.size]))
+                sizes = en - st
+                small = (sizes >= 2) & (sizes <= block_cap)
+                if small.any():
+                    ss, ee = st[small], en[small]
+                    seg_len = ee - ss
+                    tot = int(seg_len.sum())
+                    # absolute row position of every segment member
+                    pos = (np.arange(tot)
+                           - np.repeat(np.concatenate(
+                               ([0], np.cumsum(seg_len)))[:-1], seg_len)
+                           + np.repeat(ss, seg_len))
+                    rep = np.repeat(ee, seg_len) - pos - 1  # later partners
+                    A = np.repeat(pos, rep)
+                    npairs = int(rep.sum())
+                    if npairs:
+                        within = (np.arange(npairs)
+                                  - np.repeat(np.concatenate(
+                                      ([0], np.cumsum(rep)))[:-1], rep))
+                        idx_a.append(o2[A])
+                        idx_b.append(o2[A + 1 + within])
+                for s, e in zip(st[sizes > block_cap], en[sizes > block_cap]):
+                    # skewed block: star to the minimum + chain — O(n)
+                    # edges, same connected components
+                    uniq = o2[s:e]
+                    n = uniq.size
+                    x = [np.full(n - 1, uniq[0])]
+                    y = [uniq[1:]]
+                    if n > 2:
+                        x.append(uniq[1:-1])
+                        y.append(uniq[2:])
+                    idx_a.append(np.concatenate(x))
+                    idx_b.append(np.concatenate(y))
+                starts = ends = np.empty(0, np.int64)  # loop below skipped
+
             for s, e in zip(starts, ends):
                 if e - s < 2:
                     continue
