@@ -161,9 +161,60 @@ def run_bench() -> dict:
     return result
 
 
+def _host_ceiling_probe(levels: tuple[int, int],
+                        seconds: float = 5.0) -> dict:
+    """Aggregate pure-numpy uint64 throughput of N independent processes
+    at both parallelism levels — the SAME-WINDOW upper bound on any
+    engine's N→4N speedup. This shared VM does not reliably supply 4×
+    the compute from 8→32 slots: measured ALU aggregates ranged 1.98×
+    to 3.06× across windows on identical code. Raw engine efficiency is
+    therefore reported alongside the ceiling and the ceiling-normalized
+    efficiency (engine speedup / host speedup)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q, size):
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 1 << 62, size=size).astype(np.uint64)
+        t0 = time.time()
+        iters = 0
+        while time.time() - t0 < seconds:
+            with np.errstate(over="ignore"):
+                b = a * np.uint64(0x9E3779B97F4A7C15)
+                b ^= b >> np.uint64(33)
+                b *= np.uint64(0xBF58476D1CE4E5B9)
+                b ^= b >> np.uint64(29)
+            iters += 1
+        q.put(iters)
+
+    agg = {}
+    # alu: 256 KB working set (L2-resident, pure compute ceiling);
+    # dram: 16 MB working set (memory-bandwidth ceiling — what the
+    # shuffle/object-store-bound stages are actually limited by; a
+    # multi-NODE cluster brings per-node bandwidth, a single socket
+    # does not)
+    for kind, size in (("alu", 1 << 15), ("dram", 1 << 21)):
+        for n in levels:
+            q = mp.Queue()
+            ps = [mp.Process(target=burn, args=(q, size))
+                  for _ in range(n)]
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            agg[(kind, n)] = sum(q.get() for _ in ps) / seconds \
+                * (size / (1 << 15))
+    return agg
+
+
 def run_scaling() -> dict:
+    levels = tuple(int(x) for x in os.environ.get(
+        "GRAFT_SCALING_LEVELS", "8,32").split(","))
+    n_lo, n_hi = levels
+
     def run(ncpu: int) -> dict:
-        # scaling runs use a larger corpus (~350k docs): at the default
+        # scaling runs use a larger corpus (~1M docs): at the default
         # size the pipeline finishes in ~10-20 s where fixed session
         # overheads and machine noise swamp the scaling signal
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -177,25 +228,35 @@ def run_scaling() -> dict:
 
     # The sandbox host's effective core allocation fluctuates (shared
     # VM): interleave repeated runs of both levels and take the best
-    # time per level, so one noisy window can't skew the ratio.
+    # time per level, so one noisy window can't skew the ratio; probe
+    # the host's own N→4N compute ceiling in the same window.
+    host = _host_ceiling_probe(levels)
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(repeats):
-        runs_lo.append(run(8))
-        runs_hi.append(run(32))
+        runs_lo.append(run(n_lo))
+        runs_hi.append(run(n_hi))
     lo = min(runs_lo, key=lambda r: r["value"])
     hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    speedup = t_lo / t_hi
+    alu_speedup = host[("alu", n_hi)] / host[("alu", n_lo)]
+    dram_speedup = host[("dram", n_hi)] / host[("dram", n_lo)]
+    eff = speedup / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
-        "sec_8": t_lo, "sec_32": t_hi,
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
+        "levels": [n_lo, n_hi],
+        f"sec_{n_lo}": t_lo, f"sec_{n_hi}": t_hi,
+        f"docs_per_sec_{n_lo}": lo["docs_per_sec"],
+        f"docs_per_sec_{n_hi}": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "host_alu_ceiling_speedup": round(alu_speedup, 3),
+        "host_dram_ceiling_speedup": round(dram_speedup, 3),
+        "efficiency_vs_alu_ceiling": round(speedup / alu_speedup, 3),
+        "efficiency_vs_dram_ceiling": round(speedup / dram_speedup, 3),
         "bench_docs": hi["bench_docs"],
-        "all_sec_8": [r["value"] for r in runs_lo],
-        "all_sec_32": [r["value"] for r in runs_hi],
+        f"all_sec_{n_lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{n_hi}": [r["value"] for r in runs_hi],
     }
 
 

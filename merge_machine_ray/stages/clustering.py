@@ -52,18 +52,51 @@ class UnionFind:
 
 
 def _driver_components(edges_ds) -> pa.Table:
-    uf = UnionFind()
-    for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch["a"].to_numpy(zero_copy_only=False),
-                        batch["b"].to_numpy(zero_copy_only=False)):
-            uf.union(int(a), int(b))
-    nodes = list(uf.parent.keys())
-    # include roots themselves
-    roots = {uf.find(n) for n in nodes}
-    nodes.extend(r for r in roots if r not in uf.parent)
-    labels = [uf.find(n) for n in nodes]
-    return pa.table({"doc_id": pa.array(nodes, pa.int64()),
-                     "cluster_id": pa.array(labels, pa.int64())})
+    """Vectorized driver CC: min-label propagation over the edge list
+    with pointer doubling between passes — O(E) numpy work per pass,
+    O(log diameter) passes. Replaces a per-edge python UnionFind loop
+    (~3 µs/edge: 4.2 s of SERIAL driver wall at 1.4M edges — the
+    largest Amdahl term in the flagship's 32-slot profile). Labels are
+    dense indices into the sorted node array, so the converged label is
+    the component's minimum dense index = minimum doc id (np.unique
+    sorts), matching the previous UnionFind-by-min contract."""
+    chunks_a, chunks_b = [], []
+    for batch in edges_ds.iter_batches(batch_size=262144,
+                                       batch_format="pyarrow"):
+        chunks_a.append(batch["a"].to_numpy(zero_copy_only=False))
+        chunks_b.append(batch["b"].to_numpy(zero_copy_only=False))
+    if not chunks_a:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    a = np.concatenate(chunks_a)
+    b = np.concatenate(chunks_b)
+    ids = np.unique(np.concatenate((a, b)))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    # static edge→node scatter order, sorted ONCE: per pass the min-
+    # reduction is then a gather + np.minimum.reduceat (ufunc.at is an
+    # order of magnitude slower per element)
+    idx = np.concatenate((ai, bi))
+    order = np.argsort(idx, kind="stable")
+    sidx = idx[order]
+    starts = np.flatnonzero(np.concatenate(([True], sidx[1:] != sidx[:-1])))
+    touch = sidx[starts]
+    label = np.arange(ids.size, dtype=np.int64)
+    while True:
+        old = label
+        m = np.minimum(label[ai], label[bi])
+        red = np.minimum.reduceat(np.concatenate((m, m))[order], starts)
+        label = label.copy()
+        label[touch] = np.minimum(label[touch], red)
+        while True:  # pointer doubling to each pass's fixpoint
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, old):
+            break
+    return pa.table({"doc_id": pa.array(ids),
+                     "cluster_id": pa.array(ids[label])})
 
 
 # ----------------------------------------------------------- distributed mode
