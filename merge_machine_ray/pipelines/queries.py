@@ -1706,13 +1706,14 @@ PRICE_QUARTILES_SQL = """
 WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
            FROM orders)
 SELECT q_micro, value FROM (
-  SELECT 250000 AS q_micro, quantile_disc(cents, 0.25) AS value FROM c
+  SELECT CAST(250000 AS BIGINT) AS q_micro,
+         quantile_disc(cents, 0.25) AS value FROM c
   UNION ALL
-  SELECT 500000, quantile_disc(cents, 0.50) FROM c
+  SELECT CAST(500000 AS BIGINT), quantile_disc(cents, 0.50) FROM c
   UNION ALL
-  SELECT 750000, quantile_disc(cents, 0.75) FROM c
+  SELECT CAST(750000 AS BIGINT), quantile_disc(cents, 0.75) FROM c
   UNION ALL
-  SELECT 990000, quantile_disc(cents, 0.99) FROM c)
+  SELECT CAST(990000 AS BIGINT), quantile_disc(cents, 0.99) FROM c)
 """
 
 
@@ -1963,10 +1964,10 @@ def customer_running_spend(sf_dir: str):
 
 CUSTOMER_RUNNING_SPEND_SQL = """
 SELECT o_custkey, o_orderkey,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
            OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS UNBOUNDED PRECEDING) AS running_cents,
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
        CAST(coalesce(lead(o_orderkey)
            OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey), -1) AS BIGINT)

@@ -77,6 +77,42 @@ def test_query_matches_oracle(ray_session, name):
     _compare(name, got, want)
 
 
+def test_oracle_schema_sweep_no_narrow_or_decimal_dtypes():
+    """Kill the HUGEINT/int32 twin-dtype bug class permanently (it hit
+    REVENUE_BY_SEGMENT_SQL in r2, CUSTOMER_RUNNING_SPEND_SQL and
+    PRICE_QUARTILES_SQL in r3): every oracle SQL run under DuckDB must
+    emit only dtypes the engine can emit — int64 / float64 / string /
+    timestamp / bool / list — never decimal128 (DuckDB HUGEINT window
+    sums), int32/int16 (bare integer literals), or float32. The driver
+    hashes values per-dtype, so a dtype-class mismatch is a guaranteed
+    red row even when values agree."""
+    import __ray_entry__ as e
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    banned = []
+    for name, sql in sorted(e.oracle_sql().items()):
+        tbl = con.execute(sql).arrow()
+        for f in tbl.schema:
+            typ = f.type
+            ok = (
+                pa.types.is_int64(typ) or pa.types.is_float64(typ)
+                or pa.types.is_string(typ) or pa.types.is_large_string(typ)
+                or pa.types.is_boolean(typ) or pa.types.is_timestamp(typ)
+                or pa.types.is_date(typ) or pa.types.is_binary(typ)
+                or pa.types.is_large_binary(typ) or pa.types.is_list(typ)
+                or pa.types.is_large_list(typ) or pa.types.is_null(typ)
+            )
+            if not ok:
+                banned.append((name, f.name, str(typ)))
+    assert not banned, (
+        "oracle SQL emits dtypes the engine never emits (add CASTs): "
+        f"{banned}")
+
+
 def test_rows_only_queries_run(ray_session):
     """Non-SQL queries must at least run and return stable row counts."""
     import __ray_entry__ as e
