@@ -193,6 +193,7 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
     if pending_out:
         @ray.remote(num_cpus=1)
         def fill(pid: str, ref):
+            t0 = time.monotonic()  # per-partition compute time, measured
             k, v = ref  # sorted assignment arrays (zero-copy broadcast)
             feats = pq.read_table(feat_ck.partition_path(pid))
             keep = [c for c in ("url", "doc_id") if c in feats.column_names]
@@ -203,13 +204,11 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
                 pos = np.searchsorted(k, ids).clip(max=k.size - 1)
                 hit = k[pos] == ids
                 cl[hit] = v[pos[hit]]
-            return pid, out.append_column("cluster_id",
-                                          pa.array(cl, pa.int64()))
+            out = out.append_column("cluster_id", pa.array(cl, pa.int64()))
+            return pid, out, int((time.monotonic() - t0) * 1000)
 
-        t0 = time.monotonic()
-        for pid, tbl in ray.get([fill.remote(x, assign_ref)
-                                 for x in pending_out]):
-            out_ck.write_partition(pid, tbl, metrics={
-                "elapsed_ms": int((time.monotonic() - t0) * 1000)})
+        for pid, tbl, ms in ray.get([fill.remote(x, assign_ref)
+                                     for x in pending_out]):
+            out_ck.write_partition(pid, tbl, metrics={"elapsed_ms": ms})
 
     return out_ck.read_all()

@@ -51,7 +51,9 @@ _FEATURE_COLS = ("path", "host", "lang", "tok_hashes", "int_hashes")
 # less map-side python). Resumable checkpoints fold this into the
 # bands/edges fingerprints so partitions hashed under the old family
 # recompute instead of silently mixing band keys from two families.
-BANDKEY_SEMVER = "bandkeys-v2-emit2"
+# (Pair-SET semantics changes belong in EMITTER_SEMVER below, NOT here —
+# bumping this invalidates band-stage checkpoints whose keys are fine.)
+BANDKEY_SEMVER = "bandkeys-v2"
 
 
 def band_hashes_for(tok_hashes: list[int], host: str, num_perm: int,
@@ -153,7 +155,10 @@ class BandKeys:
 # this into the edges-stage fingerprint so partitions computed under old
 # rules recompute instead of silently mixing with new ones.
 # v2 = global over-cap set + capped-block star/chain first-band dedup.
-EMITTER_SEMVER = "edges-v2"
+# v3 = capped-block star/chain edges emit in EVERY agreeing capped band
+#      (bounded duplicates, deduped downstream) instead of only the
+#      first agreeing band — the vectorized emitter's pair set.
+EMITTER_SEMVER = "edges-v3"
 
 
 def _emit_pairs_bucket_fn(block_cap: int, feature_cols: tuple[str, ...],

@@ -103,6 +103,13 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         r_keys = keys[r_idx]
         order = np.argsort(r_keys, kind="stable")
         r_sorted = r_keys[order]
+        if right_unique and r_sorted.size > 1 and \
+                not np.all(r_sorted[1:] != r_sorted[:-1]):
+            dup = r_sorted[:-1][r_sorted[1:] == r_sorted[:-1]][0]
+            raise ValueError(
+                f"bucket_hash_join(right_unique=True): duplicate right "
+                f"join key {dup!r} in column {right_on!r}; pass "
+                f"right_unique=False for first-match semantics")
         pos = np.searchsorted(r_sorted, keys[l_idx])
         pos_c = pos.clip(max=r_sorted.size - 1)
         hit = r_sorted[pos_c] == keys[l_idx]
@@ -123,8 +130,10 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
             out[c] = group[c].take(ri)
         result = pa.table(out)
         if full_outer:
-            matched = np.zeros(r_sorted.size, bool)
-            matched[pos_c[hit]] = True
+            # mark the WHOLE equal-key run matched (searchsorted probes
+            # only the run's first element; with right_unique=False a
+            # duplicate right key must not resurface as a null-left row)
+            matched = np.isin(r_sorted, keys[l_idx][hit])
             unmatched_r = r_idx[order[~matched]]
             if unmatched_r.size:
                 result = pa.concat_tables(

@@ -63,41 +63,71 @@ class WindowSpec:
 def _sort_key(col: pa.ChunkedArray | pa.Array, descending: bool) -> np.ndarray:
     """numpy lexsort key for one order column; strings go through a
     SORTED dictionary so codes order like values (descending strings
-    negate the codes)."""
+    negate the codes). Nulls sort LAST in either direction (DuckDB's
+    default NULLS LAST), via an explicit max sentinel — never through
+    NaN float indices."""
+    import pyarrow.compute as pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    null_mask = (pc.is_null(col).to_numpy(zero_copy_only=False)
+                 if col.null_count else None)
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        import pyarrow.compute as pc
-
-        enc = pc.dictionary_encode(col)
+        enc = pc.dictionary_encode(pc.fill_null(col, ""))
         vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         order = np.argsort(vocab, kind="stable")
         rankmap = np.empty(order.size, np.int64)
         rankmap[order] = np.arange(order.size)
-        key = rankmap[enc.indices.to_numpy(zero_copy_only=False)]
+        key = rankmap[enc.indices.to_numpy(zero_copy_only=False)
+                      .astype(np.int64)]
     else:
+        if null_mask is not None:
+            col = pc.fill_null(col, pa.scalar(0).cast(col.type))
         key = col.to_numpy(zero_copy_only=False)
         if np.issubdtype(key.dtype, np.datetime64):
             key = key.astype("datetime64[us]").astype(np.int64)
     if descending:
         key = -key.astype(np.int64) if np.issubdtype(
             np.asarray(key).dtype, np.integer) else -key
+    if null_mask is not None:
+        key = key.astype(key.dtype, copy=True)
+        key[null_mask] = (np.inf if np.issubdtype(key.dtype, np.floating)
+                          else np.iinfo(np.int64).max)
     return key
+
+
+# Fixed odd constant: the bucket-hash of every NULL partition key, so a
+# nullable partition column routes all null rows to ONE partition (the
+# SQL "NULL IS NOT DISTINCT FROM NULL" grouping) instead of casting
+# NaN→int64 per row (undefined) and silently splitting them.
+_NULL_PARTITION_HASH = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _partition_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """uint64 bucket-hash of the partition column (splitmix for ints,
-    crc per distinct string via dictionary encoding)."""
+    crc per distinct string via dictionary encoding); nulls map to one
+    fixed constant."""
+    import pyarrow.compute as pc
+
     from merge_machine_ray.functions.minhash import mix64, str_elem_hashes
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    null_mask = (pc.is_null(col).to_numpy(zero_copy_only=False)
+                 if col.null_count else None)
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        return str_elem_hashes(col)
-    vals = col.to_numpy(zero_copy_only=False)
-    if np.issubdtype(vals.dtype, np.datetime64):
-        vals = vals.astype("datetime64[us]").astype(np.int64)
-    return mix64(vals.astype(np.int64).astype(np.uint64))
+        h = str_elem_hashes(pc.fill_null(col, ""))
+    else:
+        if null_mask is not None:
+            col = pc.fill_null(col, pa.scalar(0).cast(col.type))
+        vals = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.datetime64):
+            vals = vals.astype("datetime64[us]").astype(np.int64)
+        h = mix64(vals.astype(np.int64).astype(np.uint64))
+    if null_mask is not None:
+        h = h.copy()
+        h[null_mask] = _NULL_PARTITION_HASH
+    return h
 
 
 def window(ds, spec: WindowSpec, keep_cols: list[str] | None = None,

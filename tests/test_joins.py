@@ -118,3 +118,52 @@ def test_bucket_hash_join_full_outer_randomized(ray_session):
         gv = got[c].to_numpy(dtype=float, na_value=np.nan)
         wv = want[c].to_numpy(dtype=float, na_value=np.nan)
         assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
+
+
+def test_bucket_hash_join_right_unique_enforced(ray_session):
+    """right_unique=True (the default) must FAIL LOUDLY on duplicate
+    right keys instead of silently joining only the first row of the
+    equal-key run (ADVICE r3)."""
+    import pytest
+    import ray.data as rd
+    from ray.exceptions import RayTaskError
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array([10, 20, 30], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 3], pa.int64()),
+        "rv": pa.array([200, 201, 300], pa.int64())}))
+    with pytest.raises((RayTaskError, ValueError),
+                       match="duplicate right"):
+        bucket_hash_join(left, right, "k", "rk",
+                         num_buckets=1).to_pandas()
+
+
+def test_bucket_hash_join_full_duplicate_right_no_spurious_rows(
+        ray_session):
+    """how='full', right_unique=False: a duplicate right key whose run
+    matched a left row must NOT resurface as a spurious null-left row —
+    the whole equal-key run counts as matched (ADVICE r3)."""
+    import numpy as np
+    import ray.data as rd
+
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([2, 5], pa.int64()),
+        "lv": pa.array([20, 50], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 7], pa.int64()),
+        "rv": pa.array([200, 201, 700], pa.int64())}))
+    got = bucket_hash_join(left, right, "k", "rk", num_buckets=1,
+                           right_unique=False, how="full").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # k=2 joins one right row of the run; k=5 null right; k=7 null left;
+    # NO extra null-left row for the duplicate rk=2
+    assert got["k"].tolist() == [2, 5, 7]
+    assert int(got.loc[0, "rv"]) in (200, 201)
+    assert np.isnan(got.loc[1, "rv"])
+    assert np.isnan(got.loc[2, "lv"]) and int(got.loc[2, "rv"]) == 700

@@ -144,3 +144,81 @@ def test_window_lead_cumsum_parity(ray_session):
         gv = g[c].to_numpy(dtype=float, na_value=np.nan)
         wv = w[c].to_numpy(dtype=float, na_value=np.nan)
         assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
+
+
+def test_window_null_keys_parity(ray_session):
+    """Null partition AND order keys (string + int): nulls must group as
+    ONE partition and sort NULLS LAST like DuckDB — not crash on NaN
+    dictionary indices or silently split partitions (ADVICE r3)."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    part = np.array([f"p{v}" for v in rng.randint(0, 40, n)], dtype=object)
+    part[rng.rand(n) < 0.1] = None
+    val = rng.randint(0, 50, n).astype(np.float64)
+    val[rng.rand(n) < 0.1] = np.nan
+    df = pd.DataFrame({
+        "part": part,
+        "val": pd.array(np.where(np.isnan(val), None, val),
+                        dtype=pd.Int64Dtype()),
+        "uid": np.arange(n, dtype=np.int64),
+        "payload": rng.randint(-100, 100, n).astype(np.int64),
+    })
+    tbl = pa.table({
+        "part": pa.array(part, pa.string()),
+        "val": pa.array([None if pd.isna(v) else int(v) for v in val],
+                        pa.int64()),
+        "uid": pa.array(df["uid"].to_numpy()),
+        "payload": pa.array(df["payload"].to_numpy()),
+    })
+    spec = WindowSpec(
+        partition_by="part",
+        order_by=[("val", False), ("uid", False)],
+        row_number="rn",
+        lag={"prev_payload": ("payload", 1)})
+    got = window(rd.from_arrow(tbl), spec,
+                 keep_cols=["part", "uid", "val", "payload"],
+                 num_buckets=5).to_pandas()
+    want = _duck_windows(df, """
+        SELECT part, uid, val, payload,
+               row_number() OVER (PARTITION BY part
+                                  ORDER BY val, uid) AS rn,
+               lag(payload) OVER (PARTITION BY part
+                                  ORDER BY val, uid) AS prev_payload
+        FROM t""")
+    got["part"] = got["part"].fillna("<null>")
+    want["part"] = want["part"].fillna("<null>")
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w) == n
+    for c in g.columns:
+        if c == "part":
+            assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+            continue
+        gv = g[c].to_numpy(dtype=float, na_value=np.nan)
+        wv = w[c].to_numpy(dtype=float, na_value=np.nan)
+        assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all(), c
+
+
+def test_window_nullable_int_partition(ray_session):
+    """Nullable INT partition column: all null-keyed rows must land in
+    one partition (NULL IS NOT DISTINCT FROM NULL)."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    tbl = pa.table({
+        "part": pa.array([1, None, 2, None, 1, None], pa.int64()),
+        "uid": pa.array(np.arange(6, dtype=np.int64)),
+    })
+    spec = WindowSpec(partition_by="part", order_by=[("uid", False)],
+                      row_number="rn")
+    got = window(rd.from_arrow(tbl), spec, keep_cols=["part", "uid"],
+                 num_buckets=3).to_pandas().sort_values("uid")
+    rn_by_uid = dict(zip(got["uid"], got["rn"]))
+    # null partition rows are uids 1,3,5 → row_numbers 1,2,3 in uid order
+    assert [rn_by_uid[u] for u in (1, 3, 5)] == [1, 2, 3]
+    assert [rn_by_uid[u] for u in (0, 4)] == [1, 2]
+    assert rn_by_uid[2] == 1
