@@ -156,6 +156,33 @@ class LinkParams:
 
 
 # --------------------------------------------------------------- featurize
+def _sorted_unique_string_lists(rows: np.ndarray, toks: pa.Array,
+                                n: int) -> pa.ListArray:
+    """(row_idx, token) pairs → list<string> of SORTED UNIQUE tokens per
+    row (codepoint order, matching python ``sorted(set(...))``), fully
+    vectorized: dictionary-encode the tokens, rank the vocab once, then
+    one lexsort + run-break over the pairs."""
+    if rows.size == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int64), pa.int32()),
+            pa.array([], pa.string()))
+    enc = pc.dictionary_encode(toks)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    order = np.argsort(vocab, kind="stable")
+    rank = np.empty(order.size, np.int64)
+    rank[order] = np.arange(order.size)
+    key = rank[codes]
+    srt = np.lexsort((key, rows))
+    r_s, k_s = rows[srt], key[srt]
+    keep = np.ones(r_s.size, bool)
+    keep[1:] = (r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])
+    r_u, k_u = r_s[keep], k_s[keep]
+    offs = np.concatenate(([0], np.cumsum(np.bincount(r_u, minlength=n))))
+    flat = enc.dictionary.take(pa.array(order[k_u]))
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+
+
 def _concat_cols(row: dict, cols: tuple[str, ...]) -> str:
     """M3 many-to-one pairing: space-join of string-valued source cols
     (reference ``helpers.py:119``). Row-level form for the interactive
@@ -284,6 +311,60 @@ class LinkFeaturize:
             self._ext_cache[key] = got
         return got
 
+    def _extract_many(self, i: int, analyzer: str,
+                      texts: list[str]) -> list[tuple]:
+        """Batched :meth:`_extract` over the batch's DISTINCT clause
+        texts: tokenization stays per-string python (stemmers/synonym
+        maps), but token→crc hashing runs once per distinct TOKEN via
+        dictionary encoding and the per-text sorted-unique+counts runs
+        as ONE lexsort + run-length pass — byte-identical to the scalar
+        ``np.unique`` form, without 2M+ python crc calls per batch."""
+        out: list = [None] * len(texts)
+        miss_idx: list[int] = []
+        miss_toks: list[list] = []
+        fn = ANALYZERS[analyzer]
+        cache = self._ext_cache
+        for j, t in enumerate(texts):
+            got = cache.get((i, t))
+            if got is not None:
+                out[j] = got
+            else:
+                miss_idx.append(j)
+                miss_toks.append(fn(t) if t else [])
+        if not miss_idx:
+            return out
+        lens = np.fromiter((len(x) for x in miss_toks), np.int64,
+                           count=len(miss_toks))
+        flat = [tok for toks in miss_toks for tok in toks]
+        if flat:
+            enc = pc.dictionary_encode(pa.array(flat, pa.string()))
+            vocab_h = np.fromiter(
+                (_to_i64(crc_hash64(t))
+                 for t in enc.dictionary.to_pylist()),
+                dtype=np.int64, count=len(enc.dictionary))
+            h = vocab_h[enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)]
+        else:
+            h = np.empty(0, np.int64)
+        d_idx = np.repeat(np.arange(len(miss_idx)), lens)
+        srt = np.lexsort((h, d_idx))
+        d_s, h_s = d_idx[srt], h[srt]
+        brk = np.ones(d_s.size, bool)
+        brk[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        starts = np.flatnonzero(brk)
+        runlen = np.diff(np.append(starts, d_s.size)).astype(np.int32)
+        u_d, u_h = d_s[starts], h_s[starts]
+        per_d = np.bincount(u_d, minlength=len(miss_idx))
+        offs = np.concatenate(([0], np.cumsum(per_d)))
+        for k, j in enumerate(miss_idx):
+            got = (u_h[offs[k]:offs[k + 1]], runlen[offs[k]:offs[k + 1]],
+                   miss_toks[k])
+            if len(cache) > 200_000:
+                cache.clear()
+            cache[(i, texts[j])] = got
+            out[j] = got
+        return out
+
     def _key_of(self, row: dict) -> int:
         """Row-level key twin of :meth:`_keys_batch` (identical bytes);
         used by the interactive labeller on individual proposals."""
@@ -305,65 +386,130 @@ class LinkFeaturize:
                                      self._key_memo)
         n = batch.num_rows
         if self.id_col is not None:
+            col = batch[self.id_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_integer(col.type):
+                # str(int) is always all-digits → int(v) round-trips
+                return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            col = pc.cast(col, pa.string())
+            numeric = pc.match_substring_regex(
+                pc.fill_null(col, ""), r"^-?[0-9]+$") \
+                .to_numpy(zero_copy_only=False)
             keys = np.empty(n, dtype=np.int64)
-            for i, v in enumerate(batch[self.id_col].to_pylist()):
-                keys[i] = (int(v) if str(v).lstrip("-").isdigit()
-                           else _to_i64(stable_hash64(str(v))))
+            if numeric.any():
+                keys[numeric] = pc.cast(
+                    col.filter(pa.array(numeric)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+            if not numeric.all():
+                # hash path once per DISTINCT non-numeric id
+                enc = pc.dictionary_encode(pc.fill_null(col, ""))
+                codes = enc.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                dh = np.fromiter(
+                    (_to_i64(stable_hash64(v))
+                     for v in enc.dictionary.to_pylist()),
+                    dtype=np.int64, count=len(enc.dictionary))
+                nn = ~numeric
+                keys[nn] = dh[codes[nn]]
             return keys
         return np.fromiter(
             (_to_i64(stable_hash64(json.dumps(r, sort_keys=True,
                                               default=str)))
              for r in batch.to_pylist()), dtype=np.int64, count=n)
 
+    def _clause_texts(self, batch: pa.Table, cols_: tuple[str, ...],
+                      names: set) -> pa.Array:
+        """Columnar M3 many-to-one pairing (reference ``helpers.py:119``):
+        space-join of non-null, non-empty STRING column values per row —
+        byte-identical to the row form :func:`_concat_cols` (non-string
+        columns contribute nothing there because of its isinstance
+        check, so they are dropped column-wise here)."""
+        n = batch.num_rows
+        parts = []
+        for c in cols_:
+            if c not in names:
+                continue
+            arr = batch[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not (pa.types.is_string(arr.type)
+                    or pa.types.is_large_string(arr.type)):
+                continue
+            # empty → null so null_handling="skip" drops it from the join
+            filled = pc.fill_null(arr, "")
+            parts.append(pc.if_else(pc.equal(filled, ""),
+                                    pa.nulls(n, arr.type), arr))
+        if not parts:
+            return pa.nulls(n, pa.string()).fill_null("")
+        if len(parts) == 1:
+            return pc.fill_null(parts[0], "")
+        sep = pa.nulls(n, pa.string()).fill_null(" ")
+        return pc.binary_join_element_wise(*parts, sep,
+                                           null_handling="skip")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         n = batch.num_rows
         names = set(batch.column_names)
-        pl_cache: dict[str, list] = {}
-
-        def col(c):
-            if c not in pl_cache:
-                pl_cache[c] = batch[c].to_pylist()
-            return pl_cache[c]
-
-        keys = self._keys_batch(batch)
-        tok_cols: dict[str, list] = {}
-        cnt_cols: dict[str, list] = {}
-        block_sets: list[set] = [set() for _ in range(n)]
-        for i, (cols_, analyzer) in enumerate(self.extractions):
-            if all(c in names for c in cols_):
-                vals = [col(c) for c in cols_]
-                # M3 many-to-one pairing: space-join of string-valued
-                # cols (reference ``helpers.py:119``)
-                texts = [" ".join(x for x in (v[r] for v in vals)
-                                  if isinstance(x, str) and x)
-                         for r in range(n)]
-            else:
-                texts = [""] * n
-            ul: list = []
-            cl: list = []
-            is_block = analyzer != "n_grams"
-            for r, text in enumerate(texts):
-                # SORTED UNIQUE + term counts, computed once per
-                # distinct (extraction, text) — the scorer consumes
-                # them without any per-batch np.unique
-                uniq, counts, toks = self._extract(i, analyzer, text)
-                ul.append(uniq)
-                cl.append(counts)
-                if is_block and toks:
-                    block_sets[r].update(toks)
-            tok_cols[f"toks_{i}"] = ul
-            cnt_cols[f"cnts_{i}"] = cl
-        out = {
-            "key": pa.array(keys),
+        out: dict = {
+            "key": pa.array(self._keys_batch(batch)),
             "side": pa.array(np.full(n, self.side, dtype=np.int32)),
-            "block_toks": pa.array([sorted(s) for s in block_sets],
-                                   pa.list_(pa.string())),
         }
-        for name, vals in tok_cols.items():
-            out[name] = pa.array(vals, pa.list_(pa.int64()))
-        for name, vals in cnt_cols.items():
-            out[name] = pa.array(vals, pa.list_(pa.int32()))
+        # (row, block-token) pair fragments across block extractions,
+        # assembled into sorted-unique per-row lists in ONE vectorized
+        # pass at the end (no per-row set work)
+        blk_rows: list[np.ndarray] = []
+        blk_toks: list[pa.Array] = []
+        for i, (cols_, analyzer) in enumerate(self.extractions):
+            texts = self._clause_texts(batch, cols_, names)
+            # each analyzer runs ONCE per DISTINCT clause text: heavily
+            # categorical columns hit the cross-batch cache; unique-text
+            # sources still tokenize each value exactly once per batch
+            # with no per-row dict probes (r3 VERDICT #3)
+            enc = pc.dictionary_encode(texts)
+            codes = enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dvals = self._extract_many(i, analyzer,
+                                       enc.dictionary.to_pylist())
+            d_len = np.fromiter((d[0].size for d in dvals),
+                                dtype=np.int64, count=len(dvals))
+            d_start = np.concatenate(
+                ([0], np.cumsum(d_len)))[:-1] if dvals else \
+                np.empty(0, np.int64)
+            flat_u = np.concatenate([d[0] for d in dvals]) if dvals \
+                else np.empty(0, np.int64)
+            flat_c = np.concatenate([d[1] for d in dvals]) if dvals \
+                else np.empty(0, np.int32)
+            # scatter distinct-level arrays back to rows by code
+            row_len = d_len[codes] if n else np.empty(0, np.int64)
+            offs = np.concatenate(([0], np.cumsum(row_len)))
+            within = np.arange(offs[-1]) - np.repeat(offs[:-1], row_len)
+            idx = np.repeat(d_start[codes], row_len) + within
+            out[f"toks_{i}"] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(flat_u[idx]))
+            out[f"cnts_{i}"] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(flat_c[idx]))
+            if analyzer != "n_grams":
+                # raw tokens (with duplicates) feed the blocking union
+                d_tlen = np.fromiter((len(d[2]) for d in dvals),
+                                     dtype=np.int64, count=len(dvals))
+                d_tstart = np.concatenate(
+                    ([0], np.cumsum(d_tlen)))[:-1] if dvals else \
+                    np.empty(0, np.int64)
+                flat_t = pa.array(
+                    [t for d in dvals for t in d[2]], pa.string())
+                t_len = d_tlen[codes] if n else np.empty(0, np.int64)
+                toffs = np.concatenate(([0], np.cumsum(t_len)))
+                twithin = np.arange(toffs[-1]) - np.repeat(toffs[:-1],
+                                                           t_len)
+                tidx = np.repeat(d_tstart[codes], t_len) + twithin
+                blk_rows.append(np.repeat(np.arange(n), t_len))
+                blk_toks.append(flat_t.take(pa.array(tidx)))
+        out["block_toks"] = _sorted_unique_string_lists(
+            np.concatenate(blk_rows) if blk_rows else np.empty(0, np.int64),
+            pa.concat_arrays(blk_toks) if blk_toks
+            else pa.array([], pa.string()), n)
         if self.side == 1:
             for c in self.keep_cols:
                 arr = batch[c] if c in names else pa.nulls(n, pa.string())
@@ -372,7 +518,9 @@ class LinkFeaturize:
                 if not pa.types.is_string(arr.type):
                     arr = pc.cast(arr, pa.string())
                 out[f"keep__{c}"] = arr
-        return pa.table(out)
+        cols = ["key", "side", "block_toks"] + \
+            [c for c in out if c not in ("key", "side", "block_toks")]
+        return pa.table({c: out[c] for c in cols})
 
 
 class LinkBandKeys:
@@ -696,9 +844,13 @@ def _attach_side(pairs_ds, feats_ds, on: str, suffix: str,
     limit = BROADCAST_FEATURES_LIMIT if limit is None else limit
     feats = feats_ds.materialize()
     if (feats.size_bytes() or 0) > limit:
+        # right_unique=False: source rows sharing one dedup key carry
+        # IDENTICAL feature payloads (key = hash of the match-column
+        # values), so first-match attach is exact here
         return bucket_hash_join(pairs_ds, feats, on, "key",
                                 num_buckets=num_buckets,
-                                right_suffix=suffix, how=how)
+                                right_suffix=suffix, how=how,
+                                right_unique=False)
     tbl = pa.concat_tables(
         feats.iter_batches(batch_size=262144, batch_format="pyarrow"))
     tbl = tbl.sort_by("key").combine_chunks()
