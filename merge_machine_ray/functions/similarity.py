@@ -62,6 +62,100 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1,
     return j + prefix * prefix_weight * (1 - j)
 
 
+def jaro_winkler_batch(xs: list[str], ys: list[str],
+                       prefix_weight: float = 0.1,
+                       max_prefix: int = 4):
+    """Numpy-batched :func:`jaro_winkler` over N string pairs — an exact
+    emulation of the scalar greedy matcher (same flags walk, same IEEE
+    operation order), vectorized across PAIRS: the O(L²) window scan
+    runs as L×L boolean passes over all N pairs at once instead of N
+    python loops. Pairs longer than 64 chars (rare: host/path are
+    pre-truncated upstream) fall back to the scalar form."""
+    import numpy as np
+
+    n = len(xs)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    l1 = np.fromiter((len(s) for s in xs), np.int64, count=n)
+    l2 = np.fromiter((len(s) for s in ys), np.int64, count=n)
+    lm = int(max(l1.max(initial=0), l2.max(initial=0), 1))
+    if lm > 64:
+        return np.array([jaro_winkler(x, y, prefix_weight, max_prefix)
+                         for x, y in zip(xs, ys)], dtype=np.float64)
+    if n * lm * lm > 128 * 1024 * 1024:   # bound the (n,lm,lm) tensor
+        step = max(1, (128 * 1024 * 1024) // (lm * lm))
+        return np.concatenate([
+            jaro_winkler_batch(xs[k:k + step], ys[k:k + step],
+                               prefix_weight, max_prefix)
+            for k in range(0, n, step)])
+    X = np.array(xs, dtype=f"U{lm}").view(np.uint32).reshape(n, lm)
+    Y = np.array(ys, dtype=f"U{lm}").view(np.uint32).reshape(n, lm)
+    eq_all = (l1 == l2) & (X == Y).all(axis=1)
+    d = np.maximum(l1, l2) // 2 - 1
+    ar = np.arange(lm)
+    # sentinel-pad both sides with DIFFERENT values so pad positions
+    # (i ≥ l1 / j ≥ l2) never register a character match — this removes
+    # every per-iteration length/window row check from the hot loop
+    X[ar[None, :] >= l1[:, None]] = np.uint32(0xFFFFFFFF)
+    Y[ar[None, :] >= l2[:, None]] = np.uint32(0xFFFFFFFE)
+    # greedy flags walk in TRANSPOSED (lm, n) layout: every inner op is
+    # a CONTIGUOUS n-vector (broadcast (n,lm,lm) tensors measured ~25×
+    # slower per element than contiguous SIMD passes). The (i, k=i-j)
+    # double loop visits j ascending per i — the scalar walk's order.
+    XT = np.ascontiguousarray(X.T)
+    YT = np.ascontiguousarray(Y.T)
+    dmax = int(d.max(initial=0)) if n else 0
+    kd_abs = [d >= a for a in range(dmax + 1)]   # |i-j| ≤ d row masks
+    flags1T = np.zeros((lm, n), bool)
+    flags2T = np.zeros((lm, n), bool)
+    active = ~eq_all & (l1 > 0) & (l2 > 0)
+    for i in range(lm):
+        pend = active.copy()
+        xt_i = XT[i]
+        for k in range(min(i, dmax), max(i - lm + 1, -dmax) - 1, -1):
+            j = i - k
+            ok = (xt_i == YT[j]) & kd_abs[abs(k)] & ~flags2T[j] & pend
+            if ok.any():
+                flags2T[j] |= ok
+                flags1T[i] |= ok
+                pend &= ~ok
+                if not pend.any():
+                    break
+    m = flags1T.sum(axis=0)
+    mmax = int(m.max(initial=0))
+    transp = np.zeros(n, np.int64)
+    if mmax:
+        # compact matched chars in walk order with lm column passes
+        # (running per-pair counters — no full-matrix cumsum/nonzero)
+        M1 = np.zeros((n, mmax), np.uint32)
+        M2 = np.zeros((n, mmax), np.uint32)
+        cnt1 = np.zeros(n, np.int64)
+        cnt2 = np.zeros(n, np.int64)
+        for i in range(lm):
+            r = np.nonzero(flags1T[i])[0]
+            if r.size:
+                M1[r, cnt1[r]] = XT[i][r]
+                cnt1[r] += 1
+            r = np.nonzero(flags2T[i])[0]
+            if r.size:
+                M2[r, cnt2[r]] = YT[i][r]
+                cnt2[r] += 1
+        colmask = ar[:mmax][None, :] < m[:, None]
+        transp = ((M1 != M2) & colmask).sum(axis=1)
+    t = transp / 2
+    ms = np.maximum(m, 1).astype(np.float64)
+    ls1 = np.maximum(l1, 1).astype(np.float64)
+    ls2 = np.maximum(l2, 1).astype(np.float64)
+    j = (m / ls1 + m / ls2 + (m - t) / ms) / 3
+    j = np.where(m > 0, j, 0.0)
+    j = np.where(eq_all, 1.0, j)
+    p = min(max_prefix, lm)
+    eqp = (X[:, :p] == Y[:, :p]) & (ar[:p][None, :]
+                                    < np.minimum(l1, l2)[:, None])
+    prefix = np.cumprod(eqp, axis=1).sum(axis=1)
+    return np.where(j > 0.7, j + prefix * prefix_weight * (1 - j), j)
+
+
 def jaccard(a, b) -> float:
     """Jaccard similarity of two iterables (treated as sets)."""
     sa, sb = set(a), set(b)

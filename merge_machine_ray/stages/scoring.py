@@ -24,7 +24,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from merge_machine_ray.functions.similarity import jaro_winkler
+from merge_machine_ray.functions.similarity import (
+    jaro_winkler,
+    jaro_winkler_batch,
+)
 from merge_machine_ray.state.params import MatchParams
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
@@ -148,14 +151,35 @@ class PairScorer:
         enc = combined.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         vals = np.empty(len(enc.dictionary))
+        miss_j: list[int] = []
+        miss_x: list[str] = []
+        miss_y: list[str] = []
+        miss_key: list[tuple] = []
         for j, s in enumerate(enc.dictionary.to_pylist()):
             x, y = s.split("\x00", 1)
             key = (x, y) if x <= y else (y, x)
             got = self._jw_cache.get(key)
             if got is None:
-                got = jaro_winkler(x, y)
-                self._jw_cache[key] = got
-            vals[j] = got
+                miss_j.append(j)
+                miss_x.append(x)
+                miss_y.append(y)
+                miss_key.append(key)
+            else:
+                vals[j] = got
+        if miss_j:
+            if len(miss_j) >= 64:
+                # numpy-batched JW over the miss set (exact emulation of
+                # the scalar greedy matcher; ~10× at 100k+ misses)
+                mv = jaro_winkler_batch(miss_x, miss_y)
+            else:
+                mv = [jaro_winkler(x, y)
+                      for x, y in zip(miss_x, miss_y)]
+            for j, key, v in zip(miss_j, miss_key, mv):
+                v = float(v)
+                self._jw_cache[key] = v
+                vals[j] = v
+        if len(self._jw_cache) > 1_000_000:
+            self._jw_cache.clear()
         return np.where(mask, vals[codes], 0.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -146,3 +146,36 @@ def test_pair_scorer_empty_and_degenerate():
     got = scorer(one)
     assert got["score"][0].as_py() == 0.0
     assert got["is_match"][0].as_py() is False
+
+
+def test_jaro_winkler_batch_matches_scalar_property():
+    """Bit-identical batch JW vs the scalar greedy matcher on random +
+    adversarial pairs (r3 VERDICT #5: numpy-batch the distinct-pair JW)."""
+    import random
+    import string
+
+    import numpy as np
+
+    from merge_machine_ray.functions.similarity import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    rng = random.Random(7)
+    pairs = [("", ""), ("a", ""), ("", "b"), ("a", "a"), ("ab", "ba"),
+             ("abc", "acb"), ("martha", "marhta"), ("dwayne", "duane"),
+             ("dixon", "dicksonx"), ("é", "e"), ("xyz", "xyz"),
+             ("aaaab", "baaaa"), ("ab" * 12, "ba" * 12),
+             ("ab" * 32, "ba" * 32), ("a\x00b", "ab"),
+             ("q" * 64, "q" * 63 + "z"), ("q" * 33, "z" + "q" * 32),
+             ("q" * 80, "q" * 79 + "z")]  # >64 chars → scalar fallback
+    alpha = string.ascii_lowercase + "éàç "
+    for _ in range(2000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        if rng.random() < 0.3:
+            b = a[:rng.randint(0, len(a))] + b
+        pairs.append((a, b))
+    got = jaro_winkler_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([jaro_winkler(x, y) for x, y in pairs])
+    assert (got == want).all()
