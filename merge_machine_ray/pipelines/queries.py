@@ -2306,69 +2306,75 @@ WHERE i.doc_id % 2 <> 0
 
 
 def build_queries() -> dict:
+    # ORDER MATTERS: the driver samples a prefix when it caps the run,
+    # so the flagship pipeline + the strongest / newest end-to-end
+    # checks come first; the TPC-H-style relational tail comes last
+    # (r3 VERDICT #6). er_pages_fixture was retired from the declared
+    # set: er_pages_planted hash-checks the same full pipeline with a
+    # provable planted-twin oracle (the function remains importable).
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "revenue_by_segment": revenue_by_segment,
-        "nation_region_counts": nation_region_counts,
-        "top10_orders": top10_orders,
-        "topk_per_priority": topk_per_priority,
-        "events_hourly": events_hourly,
-        "events_sliding_3h": events_sliding_3h,
-        "distinct_types_per_user": distinct_types_per_user,
-        "events_sessions": events_sessions,
-        "parts_by_brand": parts_by_brand,
-        "asof_purchase_last_view": asof_purchase_last_view,
-        "clean_corpus_sql_subset": clean_corpus_sql_subset,
-        "clean_corpus_full": clean_corpus_full,
-        "normalize_documents": normalize_documents,
-        "doc_token_count": doc_token_count,
-        "doc_quality": doc_quality,
+        # flagship + ER family
+        "er_pages_planted": er_pages_planted,
+        "er_documents": er_documents,
+        "link_suppliers_to_nations": link_suppliers_to_nations,
+        "cluster_exact_jaccard": cluster_exact_jaccard,
+        "cluster_size_hist": cluster_size_hist,
+        # dedup / near-dup family
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_near_dups": embedding_near_dups,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
         "exact_dedup_docs": exact_dedup_docs,
         "dedup_reinflate": dedup_reinflate,
-        "idf_table": idf_table,
-        "sample_docs_10pct": sample_docs_10pct,
+        "incremental_dedup": incremental_dedup_docs,
+        # training-data pipeline ops
+        "decontaminated_docs": decontaminated_docs,
+        "doc_chunks": doc_chunks,
+        "token_quota_mix": token_quota_mix,
+        "pii_redacted": pii_redacted,
+        "doc_repetition": doc_repetition,
+        "doc_rarity": doc_rarity,
+        "doc_fingerprints": doc_fingerprints,
         "doc_split_assign": doc_split_assign,
         "shuffled_doc_head": shuffled_doc_head,
+        "stratified_docs_sample": stratified_docs_sample,
+        "sample_docs_10pct": sample_docs_10pct,
         "token_heavy_hitters": token_heavy_hitters_q,
         "token_count_deciles": token_count_deciles,
+        "lang_id_pred": lang_id_pred,
         "lang_distribution": lang_distribution,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "clean_corpus_full": clean_corpus_full,
+        "clean_corpus_sql_subset": clean_corpus_sql_subset,
+        "normalize_documents": normalize_documents,
+        "idf_table": idf_table,
         "filter_must_not": filter_must_not,
         "unique_langs": unique_langs,
         "ann_topk": ann_topk,
-        "link_suppliers_to_nations": link_suppliers_to_nations,
-        "lang_id_pred": lang_id_pred,
-        "doc_fingerprints": doc_fingerprints,
-        "minhash_near_dups": minhash_near_dups,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "cluster_exact_jaccard": cluster_exact_jaccard,
-        "simhash_near_dups": simhash_near_dups,
-        "embedding_near_dups": embedding_near_dups,
-        "er_documents": er_documents,
+        "label_centroids": label_centroids_q,
+        # windows / joins / relational tail
+        "price_quartiles": price_quartiles,
+        "customer_running_spend": customer_running_spend,
+        "customer_360_merge": customer_360_merge,
+        "events_hourly": events_hourly,
+        "events_sliding_3h": events_sliding_3h,
+        "events_sessions": events_sessions,
+        "asof_purchase_last_view": asof_purchase_last_view,
+        "distinct_types_per_user": distinct_types_per_user,
         "top_orders_per_customer": top_orders_per_customer,
         "orders_lag_delta": orders_lag_delta,
         "inactive_customers": inactive_customers,
         "orders_with_max_qty_item": orders_with_max_qty_item,
+        "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "revenue_by_segment": revenue_by_segment,
         "revenue_rollup": revenue_rollup,
         "qty_variance_by_flag": qty_variance_by_flag,
-        "pii_redacted": pii_redacted,
-        "doc_repetition": doc_repetition,
-        "customer_running_spend": customer_running_spend,
-        "label_centroids": label_centroids_q,
-        "customer_360_merge": customer_360_merge,
-        "stratified_docs_sample": stratified_docs_sample,
-        "doc_rarity": doc_rarity,
-        "price_quartiles": price_quartiles,
-        # rows-only: reads a generated fixture corpus the driver's
-        # DuckDB views can't see (er_documents carries the planted-twin
-        # ER oracle over the registered documents table instead)
-        "er_pages_fixture": er_pages_fixture,
-        "er_pages_planted": er_pages_planted,
-        "decontaminated_docs": decontaminated_docs,
-        "doc_chunks": doc_chunks,
-        "token_quota_mix": token_quota_mix,
-        "incremental_dedup": incremental_dedup_docs,
-        "cluster_size_hist": cluster_size_hist,
+        "nation_region_counts": nation_region_counts,
+        "top10_orders": top10_orders,
+        "topk_per_priority": topk_per_priority,
+        "parts_by_brand": parts_by_brand,
     }
 
 

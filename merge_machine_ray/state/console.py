@@ -45,8 +45,8 @@ FILTER_INSTRUCTIONS = (
     "Filter instructions:\n"
     "Update filters for a given column with the following syntax:\n"
     "{must_filters or must_not_filters} / {column} / {list_of_elements}\n"
-    '\n  f.ex: must_not_filters / estab_type / ["kindergarden"]\n'
-    '  f.ex 2: must_filters / estab_city / ["Paris"]\n'
+    '\n  e.g.: must_not_filters / category / ["archived"]\n'
+    '  e.g.: must_filters / city / ["Lyon"]\n'
 )
 
 GENERAL_INSTRUCTIONS = (
