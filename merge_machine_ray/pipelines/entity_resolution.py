@@ -10,6 +10,8 @@ clustering; nothing materializes the full corpus on the driver.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from merge_machine_ray.stages.blocking import candidate_pairs
@@ -19,6 +21,35 @@ from merge_machine_ray.stages.idf import build_idf_table
 from merge_machine_ray.stages.normalize_stage import featurize
 from merge_machine_ray.stages.scoring import score_pairs
 from merge_machine_ray.state.params import MatchParams
+
+
+# Object-store-comfort ceiling for keeping the reusable features
+# dataset materialized in Ray's object store. Above it (INPUT-size
+# estimate — features are strictly smaller: html is dropped, text
+# becomes int hashes), the pipeline checkpoints features to partitioned
+# Parquet and streams them back per consumer instead — the same spill
+# contract as pipelines/resumable.py, without pinning a corpus-sized
+# dataset across three downstream stages (r3 VERDICT #9).
+FEATURES_MATERIALIZE_LIMIT = int(os.environ.get(
+    "MM_RAY_FEATURES_MATERIALIZE_LIMIT", 64 << 30))
+
+
+def _reusable_features(ds_in, features, spill_dir: str | None = None):
+    """features consumed by IDF + blocking + output: materialize when
+    comfortably in-store, else spill to Parquet and read back."""
+    try:
+        in_bytes = ds_in.size_bytes() or 0
+    except Exception:
+        in_bytes = 0
+    if in_bytes <= FEATURES_MATERIALIZE_LIMIT:
+        return features.materialize()
+    import tempfile
+
+    import ray.data as rd
+
+    out = spill_dir or tempfile.mkdtemp(prefix="mm_ray_features_")
+    features.write_parquet(out)
+    return rd.read_parquet(out)
 
 
 def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
@@ -53,7 +84,7 @@ def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
         ds = ds.repartition(target_blocks)
     features = featurize(ds, analyzer=p.analyzer, id_col=id_col,
                          text_col=text_col)
-    features = features.materialize()  # reused by IDF job + blocking + output
+    features = _reusable_features(ds, features)  # IDF + blocking + output
     idf = build_idf_table(features)
     idf_ref = ray.put(idf)
     pairs = candidate_pairs(

@@ -155,3 +155,22 @@ def test_distributed_cc_matches_driver(ray_session):
             for r in connected_components(ds, mode="distributed").take_all()}
     assert drv == dist
     assert _partition_signature(drv) == _partition_signature(dist)
+
+
+def test_features_spill_branch_matches_materialized(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Above FEATURES_MATERIALIZE_LIMIT the flagship checkpoints its
+    reusable features to Parquet instead of pinning them in the object
+    store; clustering output must be identical either way (r3 #9)."""
+    import ray.data as rd
+
+    from merge_machine_ray.fixtures.pages import pages_table
+    from merge_machine_ray.pipelines import entity_resolution as ER
+
+    tbl = pages_table(0, 40)
+    base = ER.resolve_entities(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    monkeypatch.setattr(ER, "FEATURES_MATERIALIZE_LIMIT", 0)
+    spilled = ER.resolve_entities(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert base.equals(spilled)
