@@ -134,6 +134,47 @@ def run_bench() -> dict:
                              ref_keep_cols=["numero_uai"])
 
     timed("linking_20k_10k", linking_bench)
+
+    # unique-text variant (r3 VERDICT #8): the 20k/10k fixture's heavy
+    # categorical repetition flatters the featurize memo; appending a
+    # per-row-unique token to the main clause column (consistently on
+    # both sides, so match structure is preserved) forces one analyzer
+    # run per ROW — the worst case for dirty web-text sources.
+    def linking_unique_bench(_sf):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from merge_machine_ray.fixtures.dirty_clean import (
+            MATCH_COLS,
+            ref_table,
+            source_table,
+        )
+        from merge_machine_ray.pipelines.linking import (
+            LinkParams,
+            link_datasets,
+        )
+
+        n_ref, n_src = 50_000, 25_000
+        ref = ref_table(n_ref)
+        src = source_table(n_ref, n_src)
+        uniq_ref = pa.array([f"loc{i:06d}" for i in range(n_ref)])
+        di = ref.schema.get_field_index("denomination")
+        ref = ref.set_column(di, "denomination", pc.binary_join_element_wise(
+            ref["denomination"], uniq_ref, " "))
+        ridx = src["_ref_idx"].to_numpy(zero_copy_only=False)
+        uniq_src = pa.array([f"loc{int(j):06d}" for j in ridx])
+        ei = src.schema.get_field_index("etab")
+        src = src.set_column(ei, "etab", pc.binary_join_element_wise(
+            src["etab"], uniq_src, " "))
+        src = src.drop_columns(["_ref_idx"])
+        return link_datasets(rd.from_arrow(src), rd.from_arrow(ref),
+                             MATCH_COLS, LinkParams.default_for(MATCH_COLS),
+                             source_id_col="id_row",
+                             ref_keep_cols=["numero_uai"])
+
+    timed("linking_unique_50k_25k", linking_unique_bench)
     timed("q1_pricing_summary", Q.q1_pricing_summary)
     timed("events_hourly", Q.events_hourly)
     timed("idf_table", Q.idf_table)

@@ -240,6 +240,105 @@ def banded_minhash(elems: np.ndarray, offsets: np.ndarray, num_perm: int,
     return band_keys_from_sigs(fn(sh, sh_off, num_perm), num_bands)
 
 
+def string_shingle_hashes(flat_tokens, offsets: np.ndarray,
+                          width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized twin of ``token_shingles`` + per-shingle
+    ``crc_hash64`` over every row of a flat token column: w-token
+    space-joined shingle STRINGS built with Arrow take+join (short rows
+    0<m<width give one shingle of all m tokens; empty rows none), crc
+    computed once per DISTINCT shingle via dictionary encoding.
+    Returns (shingle_hashes uint64 flat, shingle_offsets int64[n+1]) in
+    row order — byte-identical hash values to the scalar path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from merge_machine_ray.functions.hashing import crc_hash64
+
+    if not isinstance(flat_tokens, (pa.Array, pa.ChunkedArray)):
+        flat_tokens = pa.array(flat_tokens, pa.string())
+    if isinstance(flat_tokens, pa.ChunkedArray):
+        flat_tokens = flat_tokens.combine_chunks()
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = offsets.size - 1
+    lengths = np.diff(offsets)
+    counts = np.where(lengths == 0, 0,
+                      np.where(lengths < width, 1, lengths - width + 1))
+    sh_off = np.concatenate(([0], np.cumsum(counts)))
+    total = int(sh_off[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), sh_off
+    # shingle strings, grouped by arity: full windows (width tokens)
+    # in one join; short rows of length ell in one join per ell < width
+    parts: list[tuple[np.ndarray, pa.Array]] = []  # (dest slots, strings)
+    full_rows = lengths >= width
+    if full_rows.any():
+        starts_per_row = offsets[:-1][full_rows]
+        cnt_full = (lengths[full_rows] - width + 1)
+        base = np.repeat(starts_per_row, cnt_full)
+        within = (np.arange(int(cnt_full.sum()))
+                  - np.repeat(np.concatenate(
+                      ([0], np.cumsum(cnt_full)))[:-1], cnt_full))
+        w0 = base + within
+        cols = [flat_tokens.take(pa.array(w0 + k)) for k in range(width)]
+        sep = pa.nulls(w0.size, pa.string()).fill_null(" ")
+        joined = (pc.binary_join_element_wise(*cols, sep)
+                  if width > 1 else cols[0])
+        dest = np.repeat(sh_off[:-1][full_rows], cnt_full) + within
+        parts.append((dest, joined))
+    for ell in range(1, width):
+        rows = lengths == ell
+        if not rows.any():
+            continue
+        st = offsets[:-1][rows]
+        cols = [flat_tokens.take(pa.array(st + k)) for k in range(ell)]
+        if ell > 1:
+            sep = pa.nulls(st.size, pa.string()).fill_null(" ")
+            joined = pc.binary_join_element_wise(*cols, sep)
+        else:
+            joined = cols[0]
+        parts.append((sh_off[:-1][rows], joined))
+    all_str = pa.concat_arrays([p[1].combine_chunks()
+                                if isinstance(p[1], pa.ChunkedArray)
+                                else p[1] for p in parts])
+    enc = pc.dictionary_encode(all_str)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab_h = np.fromiter((crc_hash64(s)
+                           for s in enc.dictionary.to_pylist()),
+                          dtype=np.uint64, count=len(enc.dictionary))
+    flat_h = vocab_h[enc.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64)]
+    sh = np.empty(total, np.uint64)
+    pos = 0
+    for dest, arr in parts:
+        sh[dest] = flat_h[pos:pos + len(arr)]
+        pos += len(arr)
+    return sh, sh_off
+
+
+def band_crc_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n × num_bands) int64 band keys with the SCALAR family:
+    ``crc_hash64(bytes([b]) + sig_band.tobytes()) & MASK63`` — the
+    per-(row, band) crc stays a python loop (zlib has no batch API) but
+    everything else is vectorized; used by the string-shingle consumers
+    (near-dup MinHashFeatures, LinkBandKeys) for key stability."""
+    from merge_machine_ray.functions.hashing import crc_hash64
+
+    n, num_perm = sigs.shape
+    r = num_perm // num_bands
+    out = np.empty((n, num_bands), np.int64)
+    mask = int(_MASK63)
+    sig_v = np.ascontiguousarray(sigs[:, :num_bands * r]).view(np.uint8) \
+        .reshape(n, num_bands, r * 8)
+    prefixes = [bytes([b]) for b in range(num_bands)]
+    for i in range(n):
+        row = sig_v[i]
+        for b in range(num_bands):
+            v = crc_hash64(prefixes[b] + row[b].tobytes()) & mask
+            out[i, b] = v
+    return out
+
+
 def str_elem_hashes(flat_tokens, crc=None) -> np.ndarray:
     """uint64 element hashes of a flat token sequence (pyarrow
     StringArray or python list), crc-hashed ONCE PER DISTINCT token via

@@ -537,19 +537,30 @@ class LinkBandKeys:
         self.light = light
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from merge_machine_ray.functions.minhash import (
+            band_crc_keys,
+            minhash_from_flat,
+            string_shingle_hashes,
+        )
+
         p = self.p
-        r = p.num_perm // p.num_bands
-        idx_rep, keys = [], []
-        toks_col = batch["block_toks"].to_pylist()
-        for i, toks in enumerate(toks_col):
-            sh = token_shingles(toks, p.shingle_width)
-            sig = minhash_signature(sh, p.num_perm)
-            for b in range(p.num_bands):
-                band = sig[b * r : (b + 1) * r]
-                keys.append(crc_hash64(bytes([b]) + band.tobytes()) & _MASK63)
-                idx_rep.append(i)
-        take = pa.array(idx_rep, pa.int64())
-        karr = np.asarray(keys, dtype=np.int64)
+        batch = batch.combine_chunks()
+        n = batch.num_rows
+        tc = batch["block_toks"]
+        if isinstance(tc, pa.ChunkedArray):
+            tc = tc.combine_chunks()
+        off = tc.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = tc.values.slice(off[0], int(off[-1] - off[0])) if n \
+            else pa.array([], pa.string())
+        off = off - off[0] if n else np.zeros(1, np.int64)
+        # vectorized twin of the scalar token_shingles +
+        # minhash_signature + per-band crc walk — byte-identical keys
+        # (tests/test_linking.py::test_link_band_keys_match_scalar)
+        sh, sh_off = string_shingle_hashes(flat, off, p.shingle_width)
+        sigs = minhash_from_flat(sh, sh_off, p.num_perm)
+        karr = band_crc_keys(sigs, p.num_bands).ravel()
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                  p.num_bands))
         out = {"band_key": pa.array(karr),
                "bucket": pa.array((karr % self.num_buckets).astype(np.int32))}
         carry = (("side", "key") if self.light else

@@ -145,26 +145,61 @@ class MinHashFeatures:
         self.tokenize = ANALYZERS[analyzer]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        from merge_machine_ray.functions.minhash import (
+            band_crc_keys,
+            minhash_from_flat,
+            string_shingle_hashes,
+        )
+
+        batch = batch.combine_chunks()
         texts = batch[self.col].to_pylist()
-        out_id, out_sh, out_bk = [], [], []
-        r = self.num_perm // self.num_bands
-        for i, txt in zip(ids, texts):
-            toks = self.tokenize(txt or "")
-            sh = token_shingles(toks, self.shingle_width)
-            if not sh:
-                continue
-            sig = minhash_signature(sh, self.num_perm)
-            out_id.append(i)
-            out_sh.append(sorted({crc_hash64(s) & _MASK63 for s in sh}))
-            out_bk.append([
-                _to_i64(crc_hash64(bytes([b]) + sig[b * r:(b + 1) * r]
-                                   .tobytes()) & _MASK63)
-                for b in range(self.num_bands)])
+        n = len(texts)
+        # tokenization stays per-string python (analyzer); everything
+        # downstream — shingle strings, crc, signatures, band keys —
+        # is the vectorized twin of the scalar walk (byte-identical,
+        # tests/test_ops.py::test_minhash_features_match_scalar)
+        lens = np.empty(n, np.int64)
+        toks_flat: list[str] = []
+        for i, txt in enumerate(texts):
+            t = self.tokenize(txt or "")
+            lens[i] = len(t)
+            toks_flat.extend(t)
+        off = np.concatenate(([0], np.cumsum(lens)))
+        sh, sh_off = string_shingle_hashes(
+            pa.array(toks_flat, pa.string()), off, self.shingle_width)
+        counts = np.diff(sh_off)
+        keep = counts > 0  # shingle-less docs emit nothing (all-MAX sig)
+        empty = pa.table({
+            "id": pa.array([], pa.int64()),
+            "shingles": pa.array([], pa.list_(pa.int64())),
+            "band_keys": pa.array([], pa.list_(pa.int64())),
+        })
+        if not keep.any():
+            return empty
+        sigs = minhash_from_flat(sh, sh_off, self.num_perm)[keep]
+        bk = band_crc_keys(sigs, self.num_bands)
+        nk = int(keep.sum())
+        # sorted-unique 63-bit shingle hashes per kept row (one lexsort)
+        rows_flat = np.repeat(np.arange(n), counts)
+        h63 = (sh & np.uint64(_MASK63)).astype(np.int64)
+        o = np.lexsort((h63, rows_flat))
+        r_s, v_s = rows_flat[o], h63[o]
+        first = np.ones(r_s.size, bool)
+        first[1:] = (r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])
+        r_u, v_u = r_s[first], v_s[first]
+        per_row = np.bincount(r_u, minlength=n)[keep]
+        sh_out = np.concatenate(([0], np.cumsum(per_row)))
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table({
-            "id": pa.array(out_id, pa.int64()),
-            "shingles": pa.array(out_sh, pa.list_(pa.int64())),
-            "band_keys": pa.array(out_bk, pa.list_(pa.int64())),
+            "id": ids.take(pa.array(np.flatnonzero(keep))).cast(pa.int64()),
+            "shingles": pa.ListArray.from_arrays(
+                pa.array(sh_out, pa.int32()), pa.array(v_u)),
+            "band_keys": pa.ListArray.from_arrays(
+                pa.array(np.arange(nk + 1, dtype=np.int64)
+                         * self.num_bands, pa.int32()),
+                pa.array(bk.ravel())),
         })
 
 

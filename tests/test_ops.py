@@ -495,3 +495,88 @@ def test_repetition_stats_scalar_cases():
         750000, 0, 0, 0, 0, 500000]
     assert out["dup_bigram_frac_micro"].to_pylist() == [
         666666, 0, 0, 0, 0, 0]
+
+
+def test_minhash_features_match_scalar(ray_session):
+    """The vectorized MinHashFeatures (string-shingle crc + flat
+    minhash + band crc) must be byte-identical to the scalar
+    token_shingles/minhash_signature walk it replaced (round 4)."""
+    import random
+
+    import pyarrow as pa
+
+    from merge_machine_ray.functions.hashing import crc_hash64
+    from merge_machine_ray.functions.minhash import (
+        minhash_signature,
+        token_shingles,
+    )
+    from merge_machine_ray.functions.tokenize import ANALYZERS
+    from merge_machine_ray.stages.dedup import (
+        MinHashFeatures,
+        _MASK63,
+        _to_i64,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"word{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.choice([0, 1, 2, 4, 15, 60])))
+             for _ in range(500)] + ["", "   ", "!!!"]
+    ids = list(range(len(texts)))
+    got = MinHashFeatures("text", "doc_id", 128, 16, 3)(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}))
+    tok = ANALYZERS["standard"]
+    out_id, out_sh, out_bk = [], [], []
+    r = 128 // 16
+    for i, txt in zip(ids, texts):
+        sh = token_shingles(tok(txt or ""), 3)
+        if not sh:
+            continue
+        sig = minhash_signature(sh, 128)
+        out_id.append(i)
+        out_sh.append(sorted({crc_hash64(s) & _MASK63 for s in sh}))
+        out_bk.append([_to_i64(crc_hash64(
+            bytes([b]) + sig[b * r:(b + 1) * r].tobytes()) & _MASK63)
+            for b in range(16)])
+    assert got["id"].to_pylist() == out_id
+    assert got["shingles"].to_pylist() == out_sh
+    assert got["band_keys"].to_pylist() == out_bk
+
+
+def test_link_band_keys_match_scalar(ray_session):
+    """LinkBandKeys' vectorized band keys == the scalar per-row walk."""
+    import random
+
+    import pyarrow as pa
+
+    from merge_machine_ray.functions.hashing import crc_hash64
+    from merge_machine_ray.functions.minhash import (
+        minhash_signature,
+        token_shingles,
+    )
+    from merge_machine_ray.pipelines.linking import LinkBandKeys, LinkParams
+
+    rng = random.Random(3)
+    vocab = [f"tk{i}" for i in range(150)]
+    bt = [sorted({rng.choice(vocab)
+                  for _ in range(rng.choice([0, 1, 3, 8, 20]))})
+          for _ in range(400)]
+    ids = list(range(len(bt)))
+    batch = pa.table({
+        "key": pa.array(ids, pa.int64()),
+        "side": pa.array([i % 2 for i in ids], pa.int32()),
+        "block_toks": pa.array(bt, pa.list_(pa.string()))})
+    p = LinkParams.default_for([{"source": "a", "ref": "b"}])
+    got = LinkBandKeys(p, 64, light=True)(batch)
+    keys_w, idx_w = [], []
+    r = p.num_perm // p.num_bands
+    for i, toks in enumerate(bt):
+        sig = minhash_signature(token_shingles(toks, p.shingle_width),
+                                p.num_perm)
+        for b in range(p.num_bands):
+            keys_w.append(crc_hash64(
+                bytes([b]) + sig[b * r:(b + 1) * r].tobytes())
+                & ((1 << 63) - 1))
+            idx_w.append(i)
+    assert got["band_key"].to_pylist() == keys_w
+    assert got["key"].to_pylist() == [ids[i] for i in idx_w]
