@@ -223,7 +223,10 @@ def apply_must_filters(ref_ds, must: dict, must_not: dict):
     token sets of the declared ref columns (reference semantics: every
     ``must`` phrase must appear; any ``must_not`` phrase excludes —
     ``helpers.py:106,144-148``)."""
-    from merge_machine_ray.functions.normalize import normalize_text
+    from merge_machine_ray.functions.normalize import (
+        normalize_column,
+        normalize_text,
+    )
 
     must_n = {c: [normalize_text(p) for p in ps] for c, ps in must.items()}
     must_not_n = {c: [normalize_text(p) for p in ps]
@@ -232,18 +235,24 @@ def apply_must_filters(ref_ds, must: dict, must_not: dict):
     def keep_fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         keep = np.ones(n, dtype=bool)
-        for col, phrases in must_n.items():
-            if col not in batch.column_names:
-                continue
-            vals = [normalize_text(v) for v in batch[col].to_pylist()]
-            for ph in phrases:
-                keep &= np.array([ph in v for v in vals])
-        for col, phrases in must_not_n.items():
-            if col not in batch.column_names:
-                continue
-            vals = [normalize_text(v) for v in batch[col].to_pylist()]
-            for ph in phrases:
-                keep &= np.array([ph not in v for v in vals])
+        for negate, table in ((False, must_n), (True, must_not_n)):
+            for col, phrases in table.items():
+                if col not in batch.column_names or not phrases:
+                    continue
+                arr = batch[col]
+                if not (pa.types.is_string(arr.type)
+                        or pa.types.is_large_string(arr.type)):
+                    # scalar twin maps non-strings to '' (normalize_text
+                    # isinstance check), so a non-string column never
+                    # contains any phrase
+                    arr = pa.nulls(n, pa.string())
+                # vectorized twin of the scalar normalize_text + `in`:
+                # normalize_column is byte-identical by property test
+                norm = normalize_column(arr)
+                for ph in phrases:
+                    hit = pc.match_substring(norm, ph) \
+                        .to_numpy(zero_copy_only=False)
+                    keep &= ~hit if negate else hit
         return batch.filter(pa.array(keep))
 
     return ref_ds.map_batches(keep_fn, batch_format="pyarrow")
