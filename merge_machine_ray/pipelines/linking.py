@@ -197,24 +197,59 @@ def source_group_keys(batch: pa.Table, source_cols: list[str],
     """D1 dedup-group key per row: stable hash of the match-column
     values (reference ``es_match.py:110-164``). Shared by featurize and
     the final reinflation join so both sides derive identical keys.
-    ``memo`` caches by value tuple — match columns are heavily
-    categorical, so most rows hash zero new dicts."""
+
+    Vectorized: each column dictionary-encodes once, rows group by
+    their CODE tuples with one lexsort + run-dedup, and the (python)
+    json+blake2b hash runs once per DISTINCT combination — via ``memo``
+    (cross-batch), so heavily categorical sources hash almost nothing
+    and unique-row sources hash each row exactly once."""
     names = set(batch.column_names)
-    cols = [(c, batch[c].to_pylist() if c in names else None)
-            for c in source_cols]
     n = batch.num_rows
     out = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        tup = tuple(("" if v is None else v[i]) for _, v in cols)
+    if n == 0:
+        return out
+    enc_cols: list[tuple[str, list, np.ndarray]] = []
+    for c in source_cols:
+        if c not in names:
+            enc_cols.append((c, None, np.zeros(n, np.int64)))
+            continue
+        arr = batch[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = pc.dictionary_encode(arr)
+        enc_cols.append((c, enc.dictionary.to_pylist(),
+                         pc.fill_null(enc.indices, -1).to_numpy(
+                             zero_copy_only=False).astype(np.int64)))
+    code_mat = [codes for _, _, codes in enc_cols]
+    order = np.lexsort(code_mat[::-1])
+    brk = np.zeros(n, bool)
+    brk[0] = True
+    for codes in code_mat:
+        s = codes[order]
+        brk[1:] |= s[1:] != s[:-1]
+    grp_start = np.flatnonzero(brk)          # first row of each combo
+    grp_id = np.cumsum(brk) - 1              # combo id per sorted row
+    keys = np.empty(grp_start.size, np.int64)
+    for g, row in enumerate(order[grp_start]):
+        # missing COLUMN → '' (original contract); null VALUE → None
+        # (json 'null'), exactly like the row-wise to_pylist form
+        tup = tuple(
+            ("" if vocab is None
+             else (None if codes[row] < 0 else vocab[codes[row]]))
+            for _, vocab, codes in enc_cols)
         k = memo.get(tup)
         if k is None:
-            basis = {c: ("" if v is None else v[i]) for c, v in cols}
+            basis = {c: ("" if vocab is None
+                         else (None if codes[row] < 0
+                               else vocab[codes[row]]))
+                     for c, vocab, codes in enc_cols}
             k = _to_i64(stable_hash64(
                 json.dumps(basis, sort_keys=True, default=str)))
             if len(memo) > 200_000:
                 memo.clear()
             memo[tup] = k
-        out[i] = k
+        keys[g] = k
+    out[order] = keys[grp_id]
     return out
 
 

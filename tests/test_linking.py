@@ -214,3 +214,40 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_source_group_keys_match_rowwise(ray_session):
+    """Vectorized D1 group keys == the row-wise json+blake2b form,
+    including null values (json null) vs missing columns ('')."""
+    import json
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from merge_machine_ray.functions.hashing import stable_hash64
+    from merge_machine_ray.pipelines.linking import (
+        _to_i64,
+        source_group_keys,
+    )
+
+    rng = random.Random(4)
+    n = 1500
+    vals = [None, "", "a b", "x", "école"]
+    t = pa.table({
+        "c1": pa.array([rng.choice(vals) for _ in range(n)], pa.string()),
+        "c2": pa.array([rng.choice(vals + [f"u{i}" for i in range(5)])
+                        for _ in range(n)], pa.string()),
+        "num": pa.array([rng.choice([None, 1, 2, 3])
+                         for _ in range(n)], pa.int64()),
+    })
+    cols = ["c1", "missing_col", "c2", "num"]
+    got = source_group_keys(t, cols, {})
+    names = set(t.column_names)
+    lists = [(c, t[c].to_pylist() if c in names else None) for c in cols]
+    want = np.empty(n, np.int64)
+    for i in range(n):
+        basis = {c: ("" if v is None else v[i]) for c, v in lists}
+        want[i] = _to_i64(stable_hash64(
+            json.dumps(basis, sort_keys=True, default=str)))
+    assert (got == want).all()
