@@ -36,7 +36,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from merge_machine_ray.functions.hashing import crc_hash64, stable_hash64
-from merge_machine_ray.functions.minhash import minhash_signature, token_shingles
 from merge_machine_ray.functions.tokenize import ANALYZERS
 
 _MASK63 = (1 << 63) - 1

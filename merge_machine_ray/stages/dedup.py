@@ -15,7 +15,6 @@ import pyarrow as pa
 
 from merge_machine_ray.functions.hashing import crc_hash64
 from merge_machine_ray.functions.minhash import (
-    minhash_signature,
     simhash64,
     token_shingles,
 )

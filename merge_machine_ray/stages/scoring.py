@@ -18,7 +18,6 @@ shuffle stages (measured), while tasks share CPUs work-conservingly.
 from __future__ import annotations
 
 import json
-import math
 
 import numpy as np
 import pyarrow as pa
