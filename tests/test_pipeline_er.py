@@ -174,3 +174,44 @@ def test_features_spill_branch_matches_materialized(ray_session, tmp_path,
     spilled = ER.resolve_entities(rd.from_arrow(tbl)).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     assert base.equals(spilled)
+
+
+def test_cli_er_and_link(ray_session, tmp_path):
+    """python -m merge_machine_ray: both subcommands run end-to-end on
+    fixture parquet (the `ray job submit` entry of the north rule)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from merge_machine_ray.__main__ import main
+    from merge_machine_ray.fixtures.dirty_clean import (
+        MATCH_COLS,
+        ref_table,
+        source_table,
+    )
+    from merge_machine_ray.fixtures.pages import pages_table
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pq.write_table(pages_table(0, 30), str(pages_dir / "p0.parquet"))
+    out = tmp_path / "clusters"
+    rc = main(["er", "--input", str(pages_dir), "--out", str(out)])
+    assert rc == 0
+    got = pq.read_table(str(out))
+    assert got.num_rows > 0 and "cluster_id" in got.column_names
+
+    src_dir = tmp_path / "src"
+    ref_dir = tmp_path / "ref"
+    src_dir.mkdir()
+    ref_dir.mkdir()
+    pq.write_table(source_table(200, 100).drop_columns(["_ref_idx"]),
+                   str(src_dir / "s.parquet"))
+    pq.write_table(ref_table(200), str(ref_dir / "r.parquet"))
+    lout = tmp_path / "linked"
+    rc = main(["link", "--source", str(src_dir), "--ref", str(ref_dir),
+               "--match-cols", json.dumps(MATCH_COLS),
+               "--out", str(lout), "--source-id", "id_row",
+               "--ref-keep", "numero_uai"])
+    assert rc == 0
+    lt = pq.read_table(str(lout))
+    assert lt.num_rows == 100 and "__IS_MATCH" in lt.column_names
