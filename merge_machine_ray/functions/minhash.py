@@ -322,7 +322,7 @@ def band_crc_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
     per-(row, band) crc stays a python loop (zlib has no batch API) but
     everything else is vectorized; used by the string-shingle consumers
     (near-dup MinHashFeatures, LinkBandKeys) for key stability."""
-    from merge_machine_ray.functions.hashing import crc_hash64
+    import zlib
 
     n, num_perm = sigs.shape
     r = num_perm // num_bands
@@ -330,12 +330,19 @@ def band_crc_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
     mask = int(_MASK63)
     sig_v = np.ascontiguousarray(sigs[:, :num_bands * r]).view(np.uint8) \
         .reshape(n, num_bands, r * 8)
-    prefixes = [bytes([b]) for b in range(num_bands)]
+    # streaming form of hashing.crc_hash64(prefix + data):
+    # crc32(prefix+data) == crc32(data, crc32(prefix)) and the salted
+    # high half appends AFTER the payload, so both halves compute with
+    # zero per-call byte concatenation (numpy rows pass as buffers)
+    crc32 = zlib.crc32
+    pre = [crc32(bytes([b])) for b in range(num_bands)]
+    salt = b"\x9e\x37"
     for i in range(n):
         row = sig_v[i]
         for b in range(num_bands):
-            v = crc_hash64(prefixes[b] + row[b].tobytes()) & mask
-            out[i, b] = v
+            lo = crc32(row[b], pre[b])
+            hi = crc32(salt, lo)
+            out[i, b] = ((hi << 32) | lo) & mask
     return out
 
 
