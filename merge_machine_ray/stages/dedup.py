@@ -61,11 +61,22 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
     under hash collisions."""
 
     def keep_first(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        idx = df.groupby(col, sort=False)[id_col].idxmin()
-        return pa.Table.from_pandas(
-            df.loc[sorted(idx)].drop(columns=["__h", "__bkt"]),
-            preserve_index=False)
+        import pyarrow.compute as pc
+
+        group = group.combine_chunks()
+        enc = pc.dictionary_encode(group[col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[order][1:] != codes[order][:-1]) + 1)) \
+            if order.size else np.empty(0, np.int64)
+        kept = np.sort(order[starts])  # min-id row per distinct value,
+        # emitted in original row order (the pandas idxmin contract)
+        return group.drop_columns(["__h", "__bkt"]).take(pa.array(kept))
 
     return _dedup_buckets(ds, col, num_buckets).groupby("__bkt") \
         .map_groups(keep_first, batch_format="pyarrow")
@@ -78,10 +89,24 @@ def dedup_representatives(ds, col: str = "text", id_col: str = "doc_id",
     analog, reference ``es_match.py:151-164``)."""
 
     def assign_rep(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        df["rep_id"] = df.groupby(col, sort=False)[id_col].transform("min")
-        return pa.Table.from_pandas(
-            df[[id_col, "rep_id"]], preserve_index=False)
+        import pyarrow.compute as pc
+
+        group = group.combine_chunks()
+        enc = pc.dictionary_encode(group[col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        cs = codes[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1)) \
+            if order.size else np.empty(0, np.int64)
+        rep_per_code = np.empty(int(codes.max(initial=-1)) + 1, ids.dtype)
+        rep_per_code[cs[starts]] = ids[order[starts]]
+        return pa.table({id_col: group[id_col],
+                         "rep_id": pa.array(rep_per_code[codes])})
 
     return _dedup_buckets(ds, col, num_buckets).groupby("__bkt") \
         .map_groups(assign_rep, batch_format="pyarrow")
@@ -117,10 +142,19 @@ def incremental_dedup(incoming_ds, existing_ds, col: str = "text",
         .union(existing_ds.map_batches(tag(1), batch_format="pyarrow"))
 
     def keep_new(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        seen = df.groupby(col, sort=False)["__side"].transform("max")
-        out = df.loc[(seen == 0), [id_col, col]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        import pyarrow.compute as pc
+
+        group = group.combine_chunks()
+        enc = pc.dictionary_encode(group[col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        seen = np.zeros(int(codes.max(initial=-1)) + 1, bool)
+        seen[codes[side == 1]] = True
+        keep = (side == 0) & ~seen[codes]
+        return group.select([id_col, col]).filter(pa.array(keep))
 
     return tagged.groupby("__bkt").map_groups(
         keep_new, batch_format="pyarrow")
