@@ -24,9 +24,33 @@ _MASK63 = (1 << 63) - 1
 
 
 def _content_hash_batch(batch: pa.Table, col: str) -> pa.Table:
-    h = pa.array([crc_hash64(v or "") & _MASK63
-                  for v in batch[col].to_pylist()], pa.int64())
-    return batch.append_column("__h", h)
+    """63-bit content hash per row, computed directly over the Arrow
+    utf8 data buffer (zero python-str decode; crc_hash64-identical:
+    lo = crc32(bytes), hi = crc32(salted tail) via streaming state)."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")  # scalar twin hashed (v or "")
+    n = len(arr)
+    out = np.empty(n, np.int64)
+    if n:
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        voff = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset:arr.offset + n + 1].astype(np.int64)
+        data = memoryview(arr.buffers()[2] or b"")
+        crc32 = zlib.crc32
+        salt = b"\x9e\x37"
+        mask = _MASK63
+        for i in range(n):
+            lo = crc32(data[voff[i]:voff[i + 1]])
+            hi = crc32(salt, lo)
+            out[i] = ((hi << 32) | lo) & mask
+    return batch.append_column("__h", pa.array(out, pa.int64()))
 
 
 def _hash_bucket_batch(batch: pa.Table, col: str, num_buckets: int
