@@ -21,6 +21,57 @@ from merge_machine_ray.functions.normalize import normalize_text
 _WORD_RE = re.compile(r"[a-z0-9]+")
 _WORD_ACCENT_RE = re.compile(r"[^\W_]+", re.UNICODE)
 _INT_RE = re.compile(r"\d+")
+
+# RE2 twin of python's word class [^\W_]: python \w ⊂ RE2 [\p{L}\p{N}]
+# exactly, EXCEPT 4388 codepoints RE2's newer Unicode tables classify
+# as letters/digits that python 3.11's do not (all SMP, 16 contiguous
+# ranges, verified by exhaustive scan over every assigned codepoint).
+# The separator pattern below therefore also breaks on those extras —
+# split output equals _WORD_ACCENT_RE.findall byte-for-byte.
+_RE2_WORD_EXTRAS = (
+    r"\x{1123F}-\x{11240}\x{11F02}\x{11F04}-\x{11F10}"
+    r"\x{11F12}-\x{11F33}\x{11F50}-\x{11F59}\x{1342F}"
+    r"\x{13441}-\x{13446}\x{1B132}\x{1B155}\x{1D2C0}-\x{1D2D3}"
+    r"\x{1DF25}-\x{1DF2A}\x{1E030}-\x{1E06D}\x{1E4D0}-\x{1E4EB}"
+    r"\x{1E4F0}-\x{1E4F9}\x{2B739}\x{31350}-\x{323AF}"
+)
+_RE2_SEP_PLUS = r"(?:[^\p{L}\p{N}]|[" + _RE2_WORD_EXTRAS + r"])+"
+
+
+def standard_tokens_flat(arr):
+    """Vectorized twin of ``standard`` over a whole Arrow string column:
+    → (flat token StringArray, int64 offsets[n+1]) in row order,
+    byte-identical to ``[_WORD_ACCENT_RE.findall(s.lower()) ...]``.
+
+    Exactness (property-tested): the RE2 separator class above matches
+    python's \\w complement exactly; the one str.lower/utf8_lower
+    divergence (U+0130 → 'i'+U+0307 in python, 'i' in Arrow) is
+    pre-substituted."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    arr = pc.fill_null(arr, "")
+    arr = pc.replace_substring(arr, "İ", "i̇")
+    low = pc.utf8_lower(arr)
+    la = pc.split_pattern_regex(low, _RE2_SEP_PLUS)
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = la.values.slice(off[0], int(off[-1] - off[0])) if n \
+        else pa.array([], pa.string())
+    off = off - off[0]
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+        if len(flat) else np.empty(0, bool)
+    rows = np.repeat(np.arange(n), np.diff(off))
+    counts = np.bincount(rows[nonempty], minlength=n)
+    new_off = np.concatenate(([0], np.cumsum(counts)))
+    return flat.filter(pa.array(nonempty)), new_off
 _ELISION_RE = re.compile(r"^(l|d|j|m|t|s|c|n|qu|jusqu|lorsqu|puisqu)'")
 
 # French stopwords (subset of Lucene's french stop set — pinned).

@@ -199,6 +199,7 @@ class MinHashFeatures:
         self.num_perm = num_perm
         self.num_bands = num_bands
         self.shingle_width = shingle_width
+        self.analyzer = analyzer
         self.tokenize = ANALYZERS[analyzer]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -209,21 +210,30 @@ class MinHashFeatures:
         )
 
         batch = batch.combine_chunks()
-        texts = batch[self.col].to_pylist()
-        n = len(texts)
-        # tokenization stays per-string python (analyzer); everything
-        # downstream — shingle strings, crc, signatures, band keys —
-        # is the vectorized twin of the scalar walk (byte-identical,
-        # tests/test_ops.py::test_minhash_features_match_scalar)
-        lens = np.empty(n, np.int64)
-        toks_flat: list[str] = []
-        for i, txt in enumerate(texts):
-            t = self.tokenize(txt or "")
-            lens[i] = len(t)
-            toks_flat.extend(t)
-        off = np.concatenate(([0], np.cumsum(lens)))
-        sh, sh_off = string_shingle_hashes(
-            pa.array(toks_flat, pa.string()), off, self.shingle_width)
+        n = batch.num_rows
+        # the whole walk — tokenize, shingle strings, crc, signatures,
+        # band keys — is the vectorized twin of the scalar form
+        # (byte-identical, tests/test_ops.py::
+        # test_minhash_features_match_scalar); non-standard analyzers
+        # keep the per-string python tokenize
+        if self.analyzer == "standard":
+            from merge_machine_ray.functions.tokenize import (
+                standard_tokens_flat,
+            )
+
+            flat_toks, off = standard_tokens_flat(batch[self.col])
+        else:
+            texts = batch[self.col].to_pylist()
+            lens = np.empty(n, np.int64)
+            toks_list: list[str] = []
+            for i, txt in enumerate(texts):
+                t = self.tokenize(txt or "")
+                lens[i] = len(t)
+                toks_list.extend(t)
+            off = np.concatenate(([0], np.cumsum(lens)))
+            flat_toks = pa.array(toks_list, pa.string())
+        sh, sh_off = string_shingle_hashes(flat_toks, off,
+                                           self.shingle_width)
         counts = np.diff(sh_off)
         keep = counts > 0  # shingle-less docs emit nothing (all-MAX sig)
         empty = pa.table({

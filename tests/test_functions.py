@@ -289,3 +289,29 @@ def test_oph_minhash_long_doc_estimates_and_conventions():
     sig = minhash_from_flat_oph(np.empty(0, np.uint64),
                                 np.array([0, 0], np.int64))
     assert (sig == np.iinfo(np.uint64).max).all()   # empty → all MAX
+
+
+def test_standard_tokens_flat_matches_scalar():
+    """Vectorized standard tokenizer == _WORD_ACCENT_RE.findall(lower)
+    byte-for-byte, incl. the U+0130 lowercase divergence, underscores,
+    unicode digits, soft hyphens, and RE2-only Unicode-15 word chars."""
+    import random
+
+    import pyarrow as pa
+
+    from merge_machine_ray.functions.tokenize import (
+        standard,
+        standard_tokens_flat,
+    )
+
+    rng = random.Random(7)
+    alpha = "abc ÀÉİß_0-9.!?̇ 日本語 ١٢٣ x­y"
+    texts = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+             for _ in range(1500)]
+    texts += ["", None, "İstanbul İİ", "_foo_bar_", "a_b", "ııİİii",
+              "\U0001E4D0\U0001E4F5 word"]
+    flat, off = standard_tokens_flat(pa.array(texts, pa.string()))
+    fl = flat.to_pylist()
+    for i, t in enumerate(texts):
+        want = standard(t) if isinstance(t, str) else []
+        assert fl[off[i]:off[i + 1]] == want, repr(t)
