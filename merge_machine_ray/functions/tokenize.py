@@ -36,6 +36,10 @@ _RE2_WORD_EXTRAS = (
     r"\x{1E4F0}-\x{1E4F9}\x{2B739}\x{31350}-\x{323AF}"
 )
 _RE2_SEP_PLUS = r"(?:[^\p{L}\p{N}]|[" + _RE2_WORD_EXTRAS + r"])+"
+# same story for \d vs \p{Nd}: two Unicode-15 digit ranges RE2 knows
+# and python 3.11 does not (exhaustive scan)
+_RE2_DIGIT_SEP_PLUS = (
+    r"(?:[^\p{Nd}]|[\x{11F50}-\x{11F59}\x{1E4F0}-\x{1E4F9}])+")
 
 
 def standard_tokens_flat(arr):
@@ -60,6 +64,36 @@ def standard_tokens_flat(arr):
     arr = pc.replace_substring(arr, "İ", "i̇")
     low = pc.utf8_lower(arr)
     la = pc.split_pattern_regex(low, _RE2_SEP_PLUS)
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = la.values.slice(off[0], int(off[-1] - off[0])) if n \
+        else pa.array([], pa.string())
+    off = off - off[0]
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+        if len(flat) else np.empty(0, bool)
+    rows = np.repeat(np.arange(n), np.diff(off))
+    counts = np.bincount(rows[nonempty], minlength=n)
+    new_off = np.concatenate(([0], np.cumsum(counts)))
+    return flat.filter(pa.array(nonempty)), new_off
+
+
+def integer_tokens_flat(arr):
+    """Vectorized twin of ``integers`` (``_INT_RE.findall``, python \\d
+    digit runs) over an Arrow string column → (flat tokens, offsets);
+    byte-identical by the digit-class scan above (no lowering — \\d is
+    case-free)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    la = pc.split_pattern_regex(pc.fill_null(arr, ""),
+                                _RE2_DIGIT_SEP_PLUS)
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
     off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -153,6 +187,54 @@ def integers(s: str, max_shingle: int = 5) -> list[str]:
             break
         out.extend("".join(ints[i : i + size]) for i in range(len(ints) - size + 1))
     return out
+
+
+def integer_shingle_tokens_flat(arr, max_shingle: int = 5):
+    """Vectorized twin of ``integers`` over an Arrow string column →
+    (row_ids int64, shingle tokens StringArray) as an UNORDERED
+    (row, token) multiset — per-row token SETS equal the scalar
+    analyzer's (consumers hash + dedupe per row, so emission order is
+    immaterial)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    iflat, ioff = integer_tokens_flat(arr)
+    if len(iflat):
+        trimmed = pc.utf8_ltrim(iflat, "0")
+        iflat = pc.if_else(pc.equal(trimmed, ""), pa.scalar("0"), trimmed)
+        if isinstance(iflat, pa.ChunkedArray):
+            iflat = iflat.combine_chunks()
+    n = ioff.size - 1
+    lens = np.diff(ioff)
+    rows_parts: list[np.ndarray] = []
+    tok_parts: list[pa.Array] = []
+    for size in range(1, max_shingle + 1):
+        cnt = np.maximum(lens - size + 1, 0) * (lens >= size)
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        base = np.repeat(ioff[:-1], cnt)
+        within = (np.arange(total)
+                  - np.repeat(np.concatenate(
+                      ([0], np.cumsum(cnt)))[:-1], cnt))
+        w0 = base + within
+        cols = [iflat.take(pa.array(w0 + k)) for k in range(size)]
+        if size > 1:
+            sep = pa.nulls(total, pa.string()).fill_null("")
+            joined = pc.binary_join_element_wise(*cols, sep)
+            if isinstance(joined, pa.ChunkedArray):
+                joined = joined.combine_chunks()
+        else:
+            joined = cols[0]
+        rows_parts.append(np.repeat(np.arange(n), cnt))
+        tok_parts.append(joined)
+    if not rows_parts:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    return (np.concatenate(rows_parts),
+            pa.concat_arrays([t.combine_chunks()
+                              if isinstance(t, pa.ChunkedArray) else t
+                              for t in tok_parts]))
 
 
 def _light_stem_fr(tok: str) -> str:

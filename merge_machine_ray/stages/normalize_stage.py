@@ -54,6 +54,7 @@ class Featurize:
 
     def __init__(self, analyzer: str = "standard", keep_norm_text: bool = False,
                  id_col: str = "url", text_col: str = "text"):
+        self.analyzer = analyzer
         self._tokenize = ANALYZERS[analyzer]
         self.keep_norm_text = keep_norm_text
         self.id_col = id_col
@@ -89,6 +90,71 @@ class Featurize:
             hosts = [""] * len(ids)
             paths = [""] * len(ids)
 
+        n = batch.num_rows
+        if self.analyzer == "standard":
+            tok_arr, n_tok_arr, int_arr = self._token_cols_vectorized(norm, n)
+        else:
+            tok_arr, n_tok_arr, int_arr = self._token_cols_scalar(norm)
+
+        cols: dict[str, pa.Array] = {}
+        if "url" in names:
+            cols["url"] = batch["url"]
+        cols["doc_id"] = pa.array(doc_id, pa.int64())
+        cols["host"] = pa.array(hosts, pa.string())
+        cols["path"] = pa.array(paths, pa.string())
+        cols["lang"] = batch["lang"] if "lang" in names else pa.array(
+            [""] * batch.num_rows, pa.string())
+        cols["n_tokens"] = n_tok_arr
+        cols["tok_hashes"] = tok_arr
+        cols["int_hashes"] = int_arr
+        if self.keep_norm_text:
+            cols["norm_text"] = norm
+        return pa.table(cols)
+
+    @staticmethod
+    def _hash_distinct31(tokens: pa.Array) -> "np.ndarray":
+        """tok31(crc) per element, computed once per DISTINCT token."""
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(tokens)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        v31 = np.fromiter((tok31(crc_hash64(t))
+                           for t in enc.dictionary.to_pylist()),
+                          np.int64, count=len(enc.dictionary))
+        return v31[enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)] if len(enc) \
+            else np.empty(0, np.int64)
+
+    def _token_cols_vectorized(self, norm: pa.Array, n: int):
+        """standard-analyzer fast path: flat tokenization (RE2 twin),
+        distinct-level hashing, one lexsort for the int-shingle sets —
+        byte-identical to the scalar loop (parity test in
+        tests/test_pipeline_er.py)."""
+        from merge_machine_ray.functions.tokenize import (
+            integer_shingle_tokens_flat,
+            standard_tokens_flat,
+        )
+
+        flat_t, off_t = standard_tokens_flat(norm)
+        th = self._hash_distinct31(flat_t)
+        tok_arr = pa.ListArray.from_arrays(
+            pa.array(off_t, pa.int32()), pa.array(th.astype(np.int32)))
+        n_tok_arr = pa.array(np.diff(off_t).astype(np.int32))
+        irows, itoks = integer_shingle_tokens_flat(norm)
+        ih = self._hash_distinct31(itoks)
+        o = np.lexsort((ih, irows))
+        r_s, v_s = irows[o], ih[o]
+        keep = np.ones(r_s.size, bool)
+        keep[1:] = (r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])
+        r_u, v_u = r_s[keep], v_s[keep]
+        ioff = np.concatenate(
+            ([0], np.cumsum(np.bincount(r_u, minlength=n))))
+        int_arr = pa.ListArray.from_arrays(
+            pa.array(ioff, pa.int32()), pa.array(v_u.astype(np.int32)))
+        return tok_arr, n_tok_arr, int_arr
+
+    def _token_cols_scalar(self, norm: pa.Array):
         integers = ANALYZERS["integers"]
         tok_hash_lists = []
         int_hash_lists = []
@@ -119,21 +185,9 @@ class Featurize:
                     memo[t] = v
                 ih.add(v)
             int_hash_lists.append(sorted(ih))
-
-        cols: dict[str, pa.Array] = {}
-        if "url" in names:
-            cols["url"] = batch["url"]
-        cols["doc_id"] = pa.array(doc_id, pa.int64())
-        cols["host"] = pa.array(hosts, pa.string())
-        cols["path"] = pa.array(paths, pa.string())
-        cols["lang"] = batch["lang"] if "lang" in names else pa.array(
-            [""] * batch.num_rows, pa.string())
-        cols["n_tokens"] = pa.array(n_tokens, pa.int32())
-        cols["tok_hashes"] = pa.array(tok_hash_lists, pa.list_(pa.int32()))
-        cols["int_hashes"] = pa.array(int_hash_lists, pa.list_(pa.int32()))
-        if self.keep_norm_text:
-            cols["norm_text"] = norm
-        return pa.table(cols)
+        return (pa.array(tok_hash_lists, pa.list_(pa.int32())),
+                pa.array(n_tokens, pa.int32()),
+                pa.array(int_hash_lists, pa.list_(pa.int32())))
 
 
 def featurize(ds, analyzer: str = "standard", keep_norm_text: bool = False,

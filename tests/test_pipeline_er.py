@@ -215,3 +215,20 @@ def test_cli_er_and_link(ray_session, tmp_path):
     assert rc == 0
     lt = pq.read_table(str(lout))
     assert lt.num_rows == 100 and "__IS_MATCH" in lt.column_names
+
+
+def test_featurize_vectorized_matches_scalar(ray_session):
+    """Featurize's standard-analyzer fast path (flat RE2 tokenization +
+    distinct-level hashing) == the scalar per-row loop, byte-for-byte."""
+    from merge_machine_ray.fixtures.pages import pages_table
+    from merge_machine_ray.stages.normalize_stage import Featurize
+
+    b = pages_table(0, 80)
+    fv = Featurize()
+    fs = Featurize()
+    fs.analyzer = "___force_scalar_path"
+    out_v = fv(b)
+    out_s = fs(b)
+    for c in ("tok_hashes", "int_hashes", "n_tokens",
+              "doc_id", "host", "path"):
+        assert out_v[c].to_pylist() == out_s[c].to_pylist(), c
