@@ -397,6 +397,39 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def simhash64_batch(tok_hashes: np.ndarray, offsets: np.ndarray,
+                    n: int) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a flat token-hash array with
+    per-doc ``offsets`` (occurrences row-grouped, as flat tokenizers
+    emit them): positive-bit counts accumulate per doc with contiguous
+    ``np.add.reduceat`` (no elementwise scatter), and the sign rule
+    votes > 0 ⟺ 2·pos_count > total reproduces the scalar form exactly
+    (per-occurrence ±1 == Counter-weighted ±w; empty doc → 0)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    out = np.zeros(n, np.uint64)
+    nonempty = np.flatnonzero(counts > 0)
+    if nonempty.size == 0:
+        return out
+    red = offsets[:-1][nonempty]
+    h = tok_hashes.astype(np.uint64, copy=False)
+    shifts = np.arange(64, dtype=np.uint64)
+    votes_pos = np.empty((nonempty.size, 64), np.int64)
+    CH = 16  # bit-group chunk: bits matrix stays ~occurrences×16 bytes
+    for b0 in range(0, 64, CH):
+        bits = ((h[:, None] >> shifts[None, b0:b0 + CH])
+                & np.uint64(1)).astype(np.uint8)
+        votes_pos[:, b0:b0 + CH] = np.add.reduceat(
+            bits, red, axis=0, dtype=np.int64)
+    tot = counts[nonempty][:, None]
+    pos = (votes_pos * 2) > tot
+    acc = np.zeros(nonempty.size, np.uint64)
+    for b in range(64):
+        acc |= pos[:, b].astype(np.uint64) << np.uint64(b)
+    out[nonempty] = acc
+    return out
+
+
 # --------------------------------------------------------------------------
 # One-permutation hashing (OPH) — OPT-IN scale path for LONG documents.
 #

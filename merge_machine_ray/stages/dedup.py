@@ -528,24 +528,57 @@ class SimHashFeatures:
         self.col = col
         self.id_col = id_col
         self.bands = bands
+        self.analyzer = analyzer
         self.tokenize = ANALYZERS[analyzer]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.col].to_pylist()
+        from merge_machine_ray.functions.minhash import simhash64_batch
+
+        batch = batch.combine_chunks()
+        n = batch.num_rows
         width = 64 // self.bands
-        mask = (1 << width) - 1
-        out_id, out_sim, out_bk = [], [], []
-        for i, txt in zip(ids, texts):
-            sh = simhash64(self.tokenize(txt or ""))
-            out_id.append(i)
-            out_sim.append(_to_i64(sh))
-            out_bk.append([(b << 60) | ((sh >> (b * width)) & mask)
-                           for b in range(self.bands)])
+        mask = np.uint64((1 << width) - 1)
+        if self.analyzer == "standard":
+            from merge_machine_ray.functions.tokenize import (
+                standard_tokens_flat,
+            )
+
+            flat, off = standard_tokens_flat(batch[self.col])
+            # RAW crc per distinct token (simhash64's hash — NO mix64)
+            import pyarrow.compute as pc
+
+            if len(flat):
+                enc = pc.dictionary_encode(flat)
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.combine_chunks()
+                vh = np.fromiter((crc_hash64(t)
+                                  for t in enc.dictionary.to_pylist()),
+                                 np.uint64, count=len(enc.dictionary))
+                th = vh[enc.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)]
+            else:
+                th = np.empty(0, np.uint64)
+            sh = simhash64_batch(th, off, n)
+        else:
+            texts = batch[self.col].to_pylist()
+            sh = np.fromiter(
+                (simhash64(self.tokenize(t or "")) for t in texts),
+                np.uint64, count=n)
+        bands_mat = np.empty((n, self.bands), np.int64)
+        for b in range(self.bands):
+            bands_mat[:, b] = (
+                (np.uint64(b) << np.uint64(60))
+                | ((sh >> np.uint64(b * width)) & mask)).astype(np.int64)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table({
-            "id": pa.array(out_id, pa.int64()),
-            "simhash": pa.array(out_sim, pa.int64()),
-            "band_keys": pa.array(out_bk, pa.list_(pa.int64())),
+            "id": ids.cast(pa.int64()),
+            "simhash": pa.array(sh.astype(np.int64)),
+            "band_keys": pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * self.bands,
+                         pa.int32()),
+                pa.array(bands_mat.ravel())),
         })
 
 
