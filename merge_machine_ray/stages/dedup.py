@@ -417,19 +417,44 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
     the result a documented under-approximation — leave None for exact
     semantics at oracle scale."""
     def postings(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[col].to_pylist()
-        tokenize = ANALYZERS[analyzer]
-        out_sh, out_id, out_sz = [], [], []
-        for i, txt in zip(ids, texts):
-            hs = sorted({crc_hash64(s) & _MASK63 for s in
-                         token_shingles(tokenize(txt or ""), shingle_width)})
-            out_sh.extend(hs)
-            out_id.extend([i] * len(hs))
-            out_sz.extend([len(hs)] * len(hs))
-        return pa.table({"sh": pa.array(out_sh, pa.int64()),
-                         "id": pa.array(out_id, pa.int64()),
-                         "sz": pa.array(out_sz, pa.int64())})
+        from merge_machine_ray.functions.minhash import (
+            string_shingle_hashes,
+        )
+
+        batch = batch.combine_chunks()
+        n = batch.num_rows
+        # flat vectorized twin of the scalar per-row walk (sorted
+        # distinct 63-bit shingle hashes per doc, one lexsort)
+        if analyzer == "standard":
+            from merge_machine_ray.functions.tokenize import (
+                standard_tokens_flat,
+            )
+
+            flat_toks, off = standard_tokens_flat(batch[col])
+        else:
+            tokenize = ANALYZERS[analyzer]
+            texts = batch[col].to_pylist()
+            lens = np.empty(n, np.int64)
+            toks_list: list[str] = []
+            for i, txt in enumerate(texts):
+                t = tokenize(txt or "")
+                lens[i] = len(t)
+                toks_list.extend(t)
+            off = np.concatenate(([0], np.cumsum(lens)))
+            flat_toks = pa.array(toks_list, pa.string())
+        sh, sh_off = string_shingle_hashes(flat_toks, off, shingle_width)
+        rows = np.repeat(np.arange(n), np.diff(sh_off))
+        h63 = (sh & np.uint64(_MASK63)).astype(np.int64)
+        o = np.lexsort((h63, rows))
+        r_s, v_s = rows[o], h63[o]
+        keep = np.ones(r_s.size, bool)
+        keep[1:] = (r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])
+        r_u, v_u = r_s[keep], v_s[keep]
+        sz = np.bincount(r_u, minlength=n)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"sh": pa.array(v_u),
+                         "id": pa.array(ids[r_u]),
+                         "sz": pa.array(sz[r_u])})
 
     from merge_machine_ray.stages.pairs import auto_buckets
 
