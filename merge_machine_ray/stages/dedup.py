@@ -14,10 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from merge_machine_ray.functions.hashing import crc_hash64
-from merge_machine_ray.functions.minhash import (
-    simhash64,
-    token_shingles,
-)
+from merge_machine_ray.functions.minhash import simhash64
 from merge_machine_ray.functions.tokenize import ANALYZERS
 
 _MASK63 = (1 << 63) - 1
