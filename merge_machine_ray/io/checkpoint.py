@@ -44,6 +44,26 @@ class StageCheckpoint:
         self.config_fp = config_fingerprint
         os.makedirs(self.dir, exist_ok=True)
         self.manifest = self._load_or_init()
+        import threading
+
+        # partition files are unique per id; only the shared manifest
+        # needs serializing (concurrent edge-range threads, resumable.py)
+        self._manifest_lock = threading.Lock()
+
+    def __getstate__(self):
+        # the lock can't pickle into Ray task closures; a deserialized
+        # copy (remote worker) gets its own fresh lock — manifest writes
+        # only ever happen on the driver, so cross-process locking is
+        # not needed
+        d = dict(self.__dict__)
+        d.pop("_manifest_lock", None)
+        return d
+
+    def __setstate__(self, d):
+        import threading
+
+        self.__dict__.update(d)
+        self._manifest_lock = threading.Lock()
 
     def _load_or_init(self) -> dict:
         if os.path.exists(self.manifest_path):
@@ -89,9 +109,10 @@ class StageCheckpoint:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-        self.manifest["completed"][partition_id] = {
-            "rows": table.num_rows, **(metrics or {})}
-        self._flush_manifest()
+        with self._manifest_lock:
+            self.manifest["completed"][partition_id] = {
+                "rows": table.num_rows, **(metrics or {})}
+            self._flush_manifest()
 
     def read_all(self):
         """→ ray.data.Dataset over the completed partitions."""

@@ -93,7 +93,8 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
             feats = Featurize(analyzer=p.analyzer)(table)
             bands = BandKeys(p.num_perm, p.num_bands, p.shingle_width,
                              True)(feats)
-            keys = np.asarray(bands["band_key"].to_pylist(), dtype=np.int64)
+            keys = bands["band_key"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             bands = bands.append_column(
                 "bucket", pa.array((keys % num_buckets).astype(np.int32)))
             return pid, feats, bands, time.monotonic() - t0
@@ -141,11 +142,8 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
     if not all(edge_ck.is_done(r) for r in range_ids):
         oc = overcap_band_keys(band_ck.read_all(), p.block_cap)
         oc_ref = ray.put(oc) if oc.size else None
-    for k, rid in enumerate(range_ids):
-        if edge_ck.is_done(rid):
-            continue
+    def run_range(bands, k: int, rid: str) -> None:
         t0 = time.monotonic()
-        bands = band_ck.read_all()
         lo = k * num_buckets // edge_ranges
         hi = (k + 1) * num_buckets // edge_ranges
         sub = bands.filter(expr=f"bucket >= {lo} and bucket < {hi}")
@@ -162,6 +160,19 @@ def resolve_entities_resumable(input_paths: list[str], out_root: str,
         edge_ck.write_partition(rid, tbl, metrics={
             "elapsed_ms": int((time.monotonic() - t0) * 1000),
             "bucket_lo": lo, "bucket_hi": hi})
+
+    todo = [(k, rid) for k, rid in enumerate(range_ids)
+            if not edge_ck.is_done(rid)]
+    if todo:
+        # SEQUENTIAL by measurement: running ranges as concurrent
+        # Dataset executions was tried and reverted — 4 streaming
+        # executors contend for operator slots and the driver GIL
+        # (A/B at 139k docs: concurrent 79.1 s vs sequential 65.4 s).
+        # Each range checkpoints atomically on completion, so
+        # kill/resume granularity per bucket-range is preserved.
+        bands_all = band_ck.read_all()
+        for k, rid in todo:
+            run_range(bands_all, k, rid)
 
     # ---- stage 4: clustering ------------------------------------------
     clus_ck = StageCheckpoint(out_root, "clusters",
