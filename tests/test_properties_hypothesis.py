@@ -1,0 +1,91 @@
+"""Hypothesis fuzzing of the scalar↔vectorized parity contracts.
+
+Each vectorized kernel must be BYTE-identical to its scalar twin on
+arbitrary unicode — these generators hit surrogate-adjacent codepoints,
+exotic whitespace, combining marks and zero-width characters that the
+hand-written fixtures can't enumerate."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# text over the full unicode space minus surrogates (not encodable)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_text, max_size=40))
+def test_normalize_column_matches_scalar(texts):
+    from merge_machine_ray.functions.normalize import (
+        normalize_column,
+        normalize_text,
+    )
+
+    got = normalize_column(pa.array(texts, pa.string())).to_pylist()
+    assert got == [normalize_text(t) for t in texts]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_text, max_size=40))
+def test_standard_tokens_flat_matches_scalar_fuzz(texts):
+    from merge_machine_ray.functions.tokenize import (
+        standard,
+        standard_tokens_flat,
+    )
+
+    flat, off = standard_tokens_flat(pa.array(texts, pa.string()))
+    fl = flat.to_pylist()
+    for i, t in enumerate(texts):
+        assert fl[off[i]:off[i + 1]] == standard(t), repr(t)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_text, max_size=40))
+def test_integer_shingles_match_scalar_fuzz(texts):
+    from collections import defaultdict
+
+    from merge_machine_ray.functions.tokenize import (
+        integer_shingle_tokens_flat,
+        integers,
+    )
+
+    rows, toks = integer_shingle_tokens_flat(pa.array(texts, pa.string()))
+    got = defaultdict(list)
+    for r, t in zip(rows, toks.to_pylist()):
+        got[int(r)].append(t)
+    for i, s in enumerate(texts):
+        assert sorted(got.get(i, [])) == sorted(integers(s)), repr(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_text, _text), max_size=30))
+def test_jaro_winkler_batch_matches_scalar_fuzz(pairs):
+    from merge_machine_ray.functions.similarity import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    got = jaro_winkler_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([jaro_winkler(x, y) for x, y in pairs])
+    assert got.shape == want.shape and (got == want).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(_text, max_size=12), max_size=25))
+def test_shingle_hashes_match_scalar_fuzz(rows):
+    from merge_machine_ray.functions.hashing import crc_hash64
+    from merge_machine_ray.functions.minhash import (
+        string_shingle_hashes,
+        token_shingles,
+    )
+
+    flat = [t for r in rows for t in r]
+    off = np.concatenate(
+        ([0], np.cumsum([len(r) for r in rows]))).astype(np.int64)
+    sh, sh_off = string_shingle_hashes(
+        pa.array(flat, pa.string()), off, 3)
+    for i, toks in enumerate(rows):
+        want = [crc_hash64(s) for s in token_shingles(toks, 3)]
+        assert sh[sh_off[i]:sh_off[i + 1]].tolist() == want, toks
