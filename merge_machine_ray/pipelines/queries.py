@@ -2077,6 +2077,29 @@ def er_pages_fixture(sf_dir: str, n_entities: int = 500):
     return resolve_entities(ds).select_columns(["url", "cluster_id"])
 
 
+def _page_url_warc(t: pa.Table):
+    """Shared url/warc synthesis for the pages shape (url embeds the
+    doc_id, host spread over 97 fake domains, warc epoch = 1.6e9 +
+    doc_id) — used by the flagship page render and the metadata-only
+    projection so their SQL twins share one formula."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    id_str = pc.cast(t["doc_id"], pa.string())
+    host_str = pa.array((ids % 97).astype(np.int64)).cast(pa.string())
+    url = pc.binary_join_element_wise(
+        "https://ex", host_str, ".example.com/doc/", id_str, "")
+    warc = pa.array((np.int64(1_600_000_000) + ids).view("datetime64[s]")
+                    .astype("datetime64[us]"))
+    return ids, url, warc
+
+
+def _docs_to_page_meta(t: pa.Table) -> pa.Table:
+    """documents rows → pages METADATA projection (url, warc_ts, lang)
+    — what a host-level pass would read after column pruning (html
+    never leaves storage)."""
+    _, url, warc = _page_url_warc(t)
+    return pa.table({"url": url, "warc_ts": warc, "lang": t["lang"]})
+
+
 def _docs_to_pages(t: pa.Table) -> pa.Table:
     """documents rows → input_hint-shaped pages rows, fully vectorized:
     url embeds the doc_id (host spread over 97 fake domains), html wraps
@@ -2084,11 +2107,7 @@ def _docs_to_pages(t: pa.Table) -> pa.Table:
     round-trips (same contract as fixtures/pages._render_html), warc_ts
     derives from doc_id. ``text`` is intentionally DROPPED so the
     pipeline must take the html-extraction path."""
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    id_str = pc.cast(t["doc_id"], pa.string())
-    host_str = pa.array((ids % 97).astype(np.int64)).cast(pa.string())
-    url = pc.binary_join_element_wise(
-        "https://ex", host_str, ".example.com/doc/", id_str, "")
+    ids, url, warc = _page_url_warc(t)
     # minimal html-escape (&, <, >) — html.unescape inverts it exactly
     esc = pc.fill_null(t["text"], "")
     esc = pc.replace_substring(esc, "&", "&amp;")
@@ -2102,8 +2121,6 @@ def _docs_to_pages(t: pa.Table) -> pa.Table:
     html = pc.binary_join_element_wise(
         "<html><head><title>d", base_str, "</title></head><body><p>",
         esc, "</p></body></html>", "")
-    warc = pa.array((np.int64(1_600_000_000) + ids).view("datetime64[s]")
-                    .astype("datetime64[us]"))
     return pa.table({"url": url, "warc_ts": warc,
                      "html": html.cast(pa.binary()), "lang": t["lang"]})
 
@@ -2305,6 +2322,186 @@ WHERE i.doc_id % 2 <> 0
 """
 
 
+# --------------------------------------------- web-corpus organization ops
+_HOST_SQL_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def pages_host_stats(sf_dir: str):
+    """Host-level crawl report over the input-hint pages shape: page
+    count, distinct langs, first/last warc timestamp per url-host.
+    The host is PARSED back out of the url with the same RE2 class on
+    both engines (the twin synthesizes the identical urls in SQL and
+    parses them with regexp_extract) — so this checks the vectorized
+    url_host kernel, not just the groupby."""
+    from merge_machine_ray.stages.webcorpus import host_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    pages = ds.map_batches(_docs_to_page_meta, batch_format="pyarrow")
+    return host_stats(pages)
+
+
+PAGES_HOST_STATS_SQL = f"""
+WITH pages AS (
+  SELECT 'https://ex' || CAST(doc_id % 97 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         1600000000 + doc_id AS ep, lang
+  FROM documents),
+parsed AS (
+  SELECT lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)) AS host, ep, lang
+  FROM pages)
+SELECT host,
+       CAST(count(*) AS BIGINT)             AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(min(ep) AS BIGINT)              AS first_ep,
+       CAST(max(ep) AS BIGINT)              AS last_ep
+FROM parsed GROUP BY host
+"""
+
+
+def doc_keywords_q(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords (corpus DF broadcast once,
+    per-doc counts + ranking batch-local; see webcorpus.doc_keywords)."""
+    from merge_machine_ray.stages.webcorpus import doc_keywords
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_keywords(ds, k=3)
+
+
+DOC_KEYWORDS_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(round((ln((nd.n + 1.0) / (df.df + 1.0)) + 1.0)
+                    * tf.cnt * 1000000) AS BIGINT) AS score_micro
+  FROM tf, df, nd WHERE tf.tok = df.tok),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, tok ASC) AS rk
+  FROM scored)
+SELECT doc_id, CAST(rk AS BIGINT) AS rank, tok, score_micro
+FROM ranked WHERE rk <= 3
+"""
+
+
+def source_overlap_q(sf_dir: str):
+    """Cross-source shared-content matrix with PLANTED overlap (the
+    corpus's texts are all distinct, so every 10th/20th doc is
+    re-emitted verbatim under synthetic sources dup_a/dup_b — the same
+    planted-twin oracle style as er_pages_planted): for each source
+    pair, how many DISTINCT texts appear in both."""
+    from merge_machine_ray.stages.webcorpus import source_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        parts = [t.select(["doc_id", "text", "source"])]
+        for mod, name in ((10, "dup_a"), (20, "dup_b")):
+            sel = t.filter(pa.array(ids % mod == 0))
+            parts.append(pa.table({
+                "doc_id": sel["doc_id"], "text": sel["text"],
+                "source": pa.array([name] * sel.num_rows, pa.string())}))
+        return pa.concat_tables(parts)
+
+    return source_overlap(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+SOURCE_OVERLAP_SQL = """
+WITH aug AS (
+  SELECT text, source FROM documents
+  UNION ALL SELECT text, 'dup_a' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT text, 'dup_b' FROM documents WHERE doc_id % 20 = 0),
+d AS (SELECT DISTINCT text, source FROM aug)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+# funnel thresholds — integer/micro comparisons on BOTH engines so no
+# float boundary can diverge; bands chosen to discriminate on this
+# corpus (tokens 10..99, chars 48..553)
+_FUNNEL_MIN_TOKENS = 30
+_FUNNEL_MAX_TOKENS = 80
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_MAX_CHARS = 500
+_FUNNEL_LANGS = ("en", "es", "fr")
+
+
+def filter_funnel(sf_dir: str):
+    """Quality-filter funnel report: documents surviving each
+    successive curation gate (the audit table every web-pipeline run
+    publishes). One vectorized pass per batch emits per-stage partial
+    counts; one tiny groupby folds them."""
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.textstats import add_quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = add_quality_scores(t)
+        ntok = q["n_tokens_q"].to_numpy(zero_copy_only=False)
+        nch = q["n_chars_q"].to_numpy(zero_copy_only=False)
+        lang = pc.fill_null(t["lang"].cast(pa.string()), "")
+        m1 = nch > 0
+        m2 = m1 & (ntok >= _FUNNEL_MIN_TOKENS)
+        m3 = m2 & (ntok <= _FUNNEL_MAX_TOKENS)
+        m4 = m3 & (nch >= _FUNNEL_MIN_CHARS) & (nch <= _FUNNEL_MAX_CHARS)
+        m5 = m4 & pc.is_in(lang, value_set=pa.array(_FUNNEL_LANGS)) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "stage": pa.array(["0_total", "1_nonempty", "2_min_tokens",
+                               "3_max_tokens", "4_char_band", "5_lang"]),
+            "pn": pa.array(np.array(
+                [t.num_rows, m1.sum(), m2.sum(), m3.sum(), m4.sum(),
+                 m5.sum()], dtype=np.int64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("stage").aggregate(Sum("pn", alias_name="n_docs"))
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({"stage": t["stage"],
+                         "n_docs": t["n_docs"].cast(pa.int64())})
+
+    return agg.map_batches(tidy, batch_format="pyarrow")
+
+
+FILTER_FUNNEL_SQL = f"""
+WITH q AS (
+  SELECT length(text) AS nch,
+         length(regexp_extract_all(text, '\\S+')) AS ntok,
+         lang
+  FROM documents)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT '0_total' AS stage, count(*) AS n_docs FROM q
+  UNION ALL SELECT '1_nonempty', count(*) FROM q WHERE nch > 0
+  UNION ALL SELECT '2_min_tokens', count(*) FROM q
+    WHERE nch > 0 AND ntok >= {_FUNNEL_MIN_TOKENS}
+  UNION ALL SELECT '3_max_tokens', count(*) FROM q
+    WHERE nch > 0 AND ntok >= {_FUNNEL_MIN_TOKENS}
+      AND ntok <= {_FUNNEL_MAX_TOKENS}
+  UNION ALL SELECT '4_char_band', count(*) FROM q
+    WHERE nch > 0 AND ntok >= {_FUNNEL_MIN_TOKENS}
+      AND ntok <= {_FUNNEL_MAX_TOKENS}
+      AND nch >= {_FUNNEL_MIN_CHARS} AND nch <= {_FUNNEL_MAX_CHARS}
+  UNION ALL SELECT '5_lang', count(*) FROM q
+    WHERE nch > 0 AND ntok >= {_FUNNEL_MIN_TOKENS}
+      AND ntok <= {_FUNNEL_MAX_TOKENS}
+      AND nch >= {_FUNNEL_MIN_CHARS} AND nch <= {_FUNNEL_MAX_CHARS}
+      AND lang IN {_FUNNEL_LANGS!r})
+"""
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -2327,6 +2524,11 @@ def build_queries() -> dict:
         "exact_dedup_docs": exact_dedup_docs,
         "dedup_reinflate": dedup_reinflate,
         "incremental_dedup": incremental_dedup_docs,
+        # web-corpus organization (newest)
+        "pages_host_stats": pages_host_stats,
+        "doc_keywords": doc_keywords_q,
+        "source_overlap": source_overlap_q,
+        "filter_funnel": filter_funnel,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -2436,6 +2638,10 @@ def build_oracle_sql() -> dict:
         "doc_chunks": DOC_CHUNKS_SQL,
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
+        "pages_host_stats": PAGES_HOST_STATS_SQL,
+        "doc_keywords": DOC_KEYWORDS_SQL,
+        "source_overlap": SOURCE_OVERLAP_SQL,
+        "filter_funnel": FILTER_FUNNEL_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }

@@ -1,0 +1,269 @@
+"""Corpus-organization operators over web-page / document tables:
+host-level aggregation, per-document TF-IDF keywords, and cross-source
+content overlap. These are the reporting / curation axes a web-scale
+training-data pipeline runs before and after dedup (host quotas and
+blocklists, per-doc salient terms, snapshot-overlap matrices).
+
+Scale notes (100 TB):
+* ``host_stats`` pre-combines per (host, lang) INSIDE each batch, so
+  the first exchange carries at most one row per distinct (host, lang)
+  per block, and the second one row per distinct (host, lang) overall
+  — never a per-page shuffle.
+* ``doc_keywords`` broadcasts the (vocabulary-bounded) IDF table once
+  via ``ray.put`` and scores each batch locally; per-doc top-k is one
+  lexsort per batch — a doc's tokens never leave its batch.
+* ``source_overlap`` is the exact-dedup shuffle shape (content-hash
+  buckets carry the text ONCE, collision-exact within buckets) plus
+  the vectorized per-segment pair emission of ``stages/pairs.py``.
+
+Reference parity: Merge-Machine has no corpus-analytics surface (its
+labeller statistics are per-linkage-session, `es_labeller.py`); this
+module belongs to the training-data extension surface of SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from merge_machine_ray.functions.urls import url_host
+
+_TOKEN_SEP = "[^a-z0-9]+"           # same token class as stages/idf.py
+
+
+def _np(arr):
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _sorted_rank_codes(arr):
+    """Dictionary-encode a string array and remap codes so that code
+    order == lexicographic order of the dictionary. Returns
+    (rank_codes:int64, sorted_dictionary:pa.Array)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = pc.dictionary_encode(arr)
+    dic = d.dictionary
+    order = pc.sort_indices(dic)
+    rank = np.empty(len(dic), dtype=np.int64)
+    rank[_np(order)] = np.arange(len(dic), dtype=np.int64)
+    codes = rank[_np(d.indices)]
+    return codes, dic.take(order)
+
+
+# ------------------------------------------------------------- host stats
+def _host_partial(t: pa.Table, url_col: str, ts_col: str,
+                  lang_col: str) -> pa.Table:
+    """Batch-local combine: one output row per distinct (host, lang)
+    with page count and min/max warc epoch-seconds."""
+    host_codes, host_dic = _sorted_rank_codes(url_host(t[url_col]))
+    lang_codes, lang_dic = _sorted_rank_codes(
+        pc.fill_null(t[lang_col].cast(pa.string()), ""))
+    ep = _np(t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())) \
+        // 1_000_000
+    key = host_codes * max(len(lang_dic), 1) + lang_codes
+    o = np.argsort(key, kind="stable")
+    key, ep = key[o], ep[o]
+    cuts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+    n = np.diff(np.concatenate((cuts, [key.size]))).astype(np.int64)
+    mn = np.minimum.reduceat(ep, cuts)
+    mx = np.maximum.reduceat(ep, cuts)
+    kc = key[cuts]
+    return pa.table({
+        "host": pa.array(host_dic.take(
+            pa.array(kc // max(len(lang_dic), 1)))),
+        "lang": pa.array(lang_dic.take(
+            pa.array(kc % max(len(lang_dic), 1)))),
+        "pn": pa.array(n),
+        "pmin": pa.array(mn.astype(np.int64)),
+        "pmax": pa.array(mx.astype(np.int64)),
+    })
+
+
+def host_stats(pages_ds, url_col: str = "url", ts_col: str = "warc_ts",
+               lang_col: str = "lang"):
+    """Per-host crawl aggregates over the input-hint pages shape:
+    ``(host, n_pages, n_langs, first_ep, last_ep)`` with epoch-second
+    timestamps. Two small exchanges (see module docstring)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    lvl1 = pages_ds.map_batches(
+        lambda t: _host_partial(t, url_col, ts_col, lang_col),
+        batch_format="pyarrow") \
+        .groupby(["host", "lang"]) \
+        .aggregate(Sum("pn", alias_name="pn"),
+                   Min("pmin", alias_name="pmin"),
+                   Max("pmax", alias_name="pmax"))
+    lvl2 = lvl1.groupby("host").aggregate(
+        Sum("pn", alias_name="n_pages"),
+        Count(alias_name="n_langs"),
+        Min("pmin", alias_name="first_ep"),
+        Max("pmax", alias_name="last_ep"))
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "n_pages": t["n_pages"].cast(pa.int64()),
+            "n_langs": t["n_langs"].cast(pa.int64()),
+            "first_ep": t["first_ep"].cast(pa.int64()),
+            "last_ep": t["last_ep"].cast(pa.int64()),
+        })
+
+    return lvl2.map_batches(tidy, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- tf-idf keywords
+class KeywordScorer:
+    """Actor-pool stage: holds the broadcast IDF lookup (token →
+    idf float64, vocabulary-bounded) built once per actor from the
+    ``ray.put`` handle; per batch, per-doc token counts and top-k by
+    quantized score are one dictionary-encode + one lexsort."""
+
+    def __init__(self, idf_ref, k: int, id_col: str, text_col: str):
+        import ray
+        toks, idfs = ray.get(idf_ref)
+        self._lookup = pa.array(toks, pa.string())
+        self._idf = np.asarray(idfs, dtype=np.float64)
+        self._k = k
+        self._id = id_col
+        self._text = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = _np(t[self._id].cast(pa.int64()))
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t[self._text].cast(pa.string()),
+                                       "")), _TOKEN_SEP)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = _np(pc.list_value_length(toks)).astype(np.int64)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "")
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        row = row[_np(keep)]
+        flat = flat.filter(keep)
+        if not len(flat):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string()),
+                             "score_micro": pa.array([], pa.int64())})
+        codes, dic = _sorted_rank_codes(flat)
+        # per-(row, tok) counts: one sort over the flat stream
+        key = row * len(dic) + codes
+        o = np.argsort(key, kind="stable")
+        key = key[o]
+        cuts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        cnt = np.diff(np.concatenate((cuts, [key.size]))).astype(np.int64)
+        krow = key[cuts] // len(dic)
+        kcode = key[cuts] % len(dic)
+        idf = self._idf[_np(pc.index_in(dic, value_set=self._lookup))[kcode]]
+        micro = _np(pc.round(pa.array(idf * cnt * 1e6))).astype(np.int64)
+        # top-k per row by (score desc, tok asc): one lexsort
+        o2 = np.lexsort((kcode, -micro, krow))
+        krow, kcode, micro = krow[o2], kcode[o2], micro[o2]
+        starts = np.flatnonzero(
+            np.concatenate(([True], krow[1:] != krow[:-1])))
+        seg = np.repeat(starts, np.diff(
+            np.concatenate((starts, [krow.size]))))
+        within = np.arange(krow.size) - seg
+        top = within < self._k
+        return pa.table({
+            "doc_id": pa.array(ids[krow[top]]),
+            "rank": pa.array(within[top] + 1),
+            "tok": dic.take(pa.array(kcode[top])),
+            "score_micro": pa.array(micro[top]),
+        })
+
+
+def doc_keywords(ds, k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Top-``k`` TF-IDF tokens per document, scored as
+    ``round(1e6 * (ln((N+1)/(df+1)) + 1) * tf)`` (the idf_table
+    convention) and ranked by (score_micro desc, tok asc) — the rank
+    is computed on the QUANTIZED score so cross-engine 1-ulp float
+    noise cannot reorder ties."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.idf import partial_df_strings
+
+    n_docs = ds.count()
+    df = ds.map_batches(
+        lambda t: partial_df_strings(t, text_col=text_col),
+        batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("pdf", alias_name="df"))
+    parts = [b for b in df.iter_batches(batch_size=1 << 16,
+                                        batch_format="pyarrow")]
+    dftbl = (pa.concat_tables(parts) if parts
+             else pa.table({"tok": pa.array([], pa.string()),
+                            "df": pa.array([], pa.int64())}))
+    idf = np.log((n_docs + 1.0)
+                 / (_np(dftbl["df"].cast(pa.int64())) + 1.0)) + 1.0
+    ref = ray.put((dftbl["tok"].combine_chunks()
+                   if isinstance(dftbl["tok"], pa.ChunkedArray)
+                   else dftbl["tok"], idf))
+    return ds.map_batches(
+        KeywordScorer, fn_constructor_args=(ref, k, id_col, text_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------- source overlap
+def source_overlap(ds, text_col: str = "text", src_col: str = "source",
+                   id_col: str = "doc_id", num_buckets: int = 64):
+    """Distinct-content overlap between source shards: for every source
+    pair (src_a < src_b), the number of DISTINCT texts present in both.
+    Exact on text equality (the bucket key is a hash, membership is
+    resolved on the real strings within each bucket)."""
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.dedup import _hash_bucket_batch
+
+    def distinct_local(t: pa.Table) -> pa.Table:
+        tc, tdic = _sorted_rank_codes(
+            pc.fill_null(t[text_col].cast(pa.string()), ""))
+        sc, sdic = _sorted_rank_codes(
+            pc.fill_null(t[src_col].cast(pa.string()), ""))
+        key = tc * max(len(sdic), 1) + sc
+        u = np.unique(key)
+        out = pa.table({
+            text_col: tdic.take(pa.array(u // max(len(sdic), 1))),
+            src_col: sdic.take(pa.array(u % max(len(sdic), 1))),
+        })
+        return _hash_bucket_batch(out, text_col, num_buckets)
+
+    def emit(group: pa.Table) -> pa.Table:
+        tc, _ = _sorted_rank_codes(group[text_col])
+        sc, sdic = _sorted_rank_codes(group[src_col])
+        o = np.lexsort((sc, tc))
+        tc, sc = tc[o], sc[o]
+        dup = np.concatenate(
+            ([False], (tc[1:] == tc[:-1]) & (sc[1:] == sc[:-1])))
+        tc, sc = tc[~dup], sc[~dup]
+        cuts = np.flatnonzero(np.concatenate(([True], tc[1:] != tc[:-1])))
+        sizes = np.diff(np.concatenate((cuts, [tc.size])))
+        pos = np.arange(tc.size)
+        rep = np.repeat(cuts + sizes, sizes) - pos - 1
+        npairs = int(rep.sum())
+        if not npairs:
+            return pa.table({"src_a": pa.array([], pa.string()),
+                             "src_b": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        A = np.repeat(pos, rep)
+        within = (np.arange(npairs) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)))[:-1], rep))
+        a, b = sc[A], sc[A + 1 + within]
+        return pa.table({"src_a": sdic.take(pa.array(a)),
+                         "src_b": sdic.take(pa.array(b)),
+                         "pn": pa.array(np.ones(npairs, np.int64))})
+
+    pairs = ds.map_batches(distinct_local, batch_format="pyarrow") \
+        .groupby("__bkt").map_groups(emit, batch_format="pyarrow")
+    agg = pairs.groupby(["src_a", "src_b"]) \
+        .aggregate(Sum("pn", alias_name="n_shared"))
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({"src_a": t["src_a"], "src_b": t["src_b"],
+                         "n_shared": t["n_shared"].cast(pa.int64())})
+
+    return agg.map_batches(tidy, batch_format="pyarrow")
