@@ -2426,6 +2426,39 @@ FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
 GROUP BY a.source, b.source
 """
 
+def bigram_pmi_q(sf_dir: str):
+    """Top-25 bigram collocations (count + PMI micro) — corpus-level
+    n-gram statistics for tokenizer/vocab curation."""
+    from merge_machine_ray.stages.webcorpus import bigram_pmi
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_pmi(ds, k=25, min_count=2)
+
+
+BIGRAM_PMI_SQL = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+bi AS (
+  SELECT z[1] AS tok_a, z[2] AS tok_b
+  FROM (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:])) AS z
+        FROM toks WHERE len(ts) >= 2)),
+bc AS (SELECT tok_a, tok_b, count(*) AS nab FROM bi
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+uni AS (SELECT tok, count(*) AS n
+        FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+nu AS (SELECT sum(n) AS total FROM uni)
+SELECT bc.tok_a, bc.tok_b, CAST(bc.nab AS BIGINT) AS n_pairs,
+       CAST(round(ln((CAST(bc.nab AS DOUBLE) * nu.total)
+                     / (CAST(ua.n AS DOUBLE) * ub.n)) * 1000000)
+            AS BIGINT) AS pmi_micro
+FROM bc, uni ua, uni ub, nu
+WHERE bc.tok_a = ua.tok AND bc.tok_b = ub.tok
+ORDER BY n_pairs DESC, tok_a ASC, tok_b ASC LIMIT 25
+"""
+
+
 # funnel thresholds — integer/micro comparisons on BOTH engines so no
 # float boundary can diverge; bands chosen to discriminate on this
 # corpus (tokens 10..99, chars 48..553)
@@ -2529,6 +2562,7 @@ def build_queries() -> dict:
         "doc_keywords": doc_keywords_q,
         "source_overlap": source_overlap_q,
         "filter_funnel": filter_funnel,
+        "bigram_pmi": bigram_pmi_q,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -2642,6 +2676,7 @@ def build_oracle_sql() -> dict:
         "doc_keywords": DOC_KEYWORDS_SQL,
         "source_overlap": SOURCE_OVERLAP_SQL,
         "filter_funnel": FILTER_FUNNEL_SQL,
+        "bigram_pmi": BIGRAM_PMI_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }

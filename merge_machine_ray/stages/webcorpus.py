@@ -208,6 +208,101 @@ def doc_keywords(ds, k: int = 3, id_col: str = "doc_id",
         batch_format="pyarrow", concurrency=(1, 8))
 
 
+# ------------------------------------------------------- bigram collocation
+def _bigram_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch bigram occurrence counts over the empty-filtered token
+    sequence of each row (adjacency is taken AFTER dropping empty
+    splits, matching the SQL twin's list_filter-then-zip)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(t[text_col].cast(pa.string()), "")),
+        _TOKEN_SEP)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = _np(pc.list_value_length(toks)).astype(np.int64)
+    flat = toks.flatten()
+    row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = _np(pc.not_equal(flat, ""))
+    flat, row = flat.filter(pa.array(keep)), row[keep]
+    empty = pa.table({"tok_a": pa.array([], pa.string()),
+                      "tok_b": pa.array([], pa.string()),
+                      "pn": pa.array([], pa.int64())})
+    if len(flat) < 2:
+        return empty
+    codes, dic = _sorted_rank_codes(flat)
+    adj = row[1:] == row[:-1]
+    a, b = codes[:-1][adj], codes[1:][adj]
+    if not a.size:
+        return empty
+    key = a * len(dic) + b
+    u, n = np.unique(key, return_counts=True)
+    return pa.table({"tok_a": dic.take(pa.array(u // len(dic))),
+                     "tok_b": dic.take(pa.array(u % len(dic))),
+                     "pn": pa.array(n.astype(np.int64))})
+
+
+def bigram_pmi(ds, k: int = 25, text_col: str = "text",
+               min_count: int = 2) -> pa.Table:
+    """Top-``k`` bigram collocations by frequency with pointwise mutual
+    information, ``pmi = ln(n_ab * N / (n_a * n_b))`` with all counts
+    over the same token stream (N = total token occurrences). Returns
+    the k-row driver-final table (count desc, tok_a, tok_b asc);
+    ``pmi_micro`` is int64 fixed-point. Bigram counts combine inside
+    each batch before one vocabulary-bounded groupby; the unigram
+    lookup for the k winners folds on the driver (vocab-bounded,
+    idf_table precedent)."""
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.sketch import _token_count_partial
+
+    uni = ds.map_batches(
+        lambda t: _token_count_partial(t, text_col, _TOKEN_SEP),
+        batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("pn", alias_name="n"))
+    parts = [b for b in uni.iter_batches(batch_size=1 << 16,
+                                         batch_format="pyarrow")]
+    utbl = pa.concat_tables(parts) if parts else pa.table(
+        {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    ucnt = _np(utbl["n"].cast(pa.int64()))
+    total = float(ucnt.sum())
+    utok = (utbl["tok"].combine_chunks()
+            if isinstance(utbl["tok"], pa.ChunkedArray) else utbl["tok"])
+
+    bi = ds.map_batches(lambda t: _bigram_partial(t, text_col),
+                        batch_format="pyarrow") \
+        .groupby(["tok_a", "tok_b"]).aggregate(Sum("pn", alias_name="nab"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("nab"), "nab",
+                         t["nab"].cast(pa.int64()))
+        t = t.filter(pc.greater_equal(t["nab"], min_count))
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(
+            t, k, [("nab", "descending"), ("tok_a", "ascending"),
+                   ("tok_b", "ascending")])
+        return t.take(idx)
+
+    tops = [b for b in bi.map_batches(local_topk, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 16, batch_format="pyarrow")]
+    tbl = pa.concat_tables(tops) if tops else pa.table(
+        {"tok_a": pa.array([], pa.string()),
+         "tok_b": pa.array([], pa.string()),
+         "nab": pa.array([], pa.int64())})
+    tbl = tbl.sort_by([("nab", "descending"), ("tok_a", "ascending"),
+                       ("tok_b", "ascending")]).slice(0, k)
+    na = ucnt[_np(pc.index_in(tbl["tok_a"], value_set=utok))]
+    nb = ucnt[_np(pc.index_in(tbl["tok_b"], value_set=utok))]
+    nab = _np(tbl["nab"].cast(pa.int64()))
+    pmi = np.log((nab.astype(np.float64) * total)
+                 / (na.astype(np.float64) * nb)) if len(nab) else \
+        np.array([], np.float64)
+    micro = _np(pc.round(pc.multiply(pa.array(pmi),
+                                     pa.scalar(1e6)))).astype(np.int64)
+    return pa.table({"tok_a": tbl["tok_a"], "tok_b": tbl["tok_b"],
+                     "n_pairs": pa.array(nab),
+                     "pmi_micro": pa.array(micro)})
+
+
 # ---------------------------------------------------------- source overlap
 def source_overlap(ds, text_col: str = "text", src_col: str = "source",
                    id_col: str = "doc_id", num_buckets: int = 64):
