@@ -187,6 +187,9 @@ def run_bench() -> dict:
     timed("decontaminated_docs", Q.decontaminated_docs)
     timed("doc_chunks", Q.doc_chunks)
     timed("incremental_dedup", Q.incremental_dedup_docs)
+    timed("pages_host_stats", Q.pages_host_stats)
+    timed("doc_keywords", Q.doc_keywords_q)
+    timed("bigram_pmi", Q.bigram_pmi_q)
 
     result = {
         "metric": "er_pages_e2e",
