@@ -89,3 +89,37 @@ def test_shingle_hashes_match_scalar_fuzz(rows):
     for i, toks in enumerate(rows):
         want = [crc_hash64(s) for s in token_shingles(toks, 3)]
         assert sh[sh_off[i]:sh_off[i + 1]].tolist() == want, toks
+
+
+# realistic url shapes: scheme://[user@]host[:port]/path?q#f over
+# bracket-free reg-name hosts (IPv6 literal brackets are out of the
+# url_host contract — the kernel targets web-crawl reg-names)
+_label = st.text(alphabet=st.sampled_from(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_"),
+    min_size=1, max_size=8)
+_urls = st.builds(
+    lambda scheme, labels, user, port, path, q:
+        scheme + "://" + (user + "@" if user else "")
+        + ".".join(labels) + (f":{port}" if port else "")
+        + path + ("?" + q if q else ""),
+    st.sampled_from(["http", "https", "ftp", "ws"]),
+    st.lists(_label, min_size=1, max_size=4),
+    st.one_of(st.none(), _label),
+    st.one_of(st.none(), st.integers(1, 65535)),
+    st.one_of(st.just(""), st.just("/"),
+              st.builds(lambda p: "/" + "/".join(p),
+                        st.lists(_label, max_size=3))),
+    st.one_of(st.none(), _label),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_urls, max_size=30))
+def test_url_host_matches_urlsplit_fuzz(urls):
+    from urllib.parse import urlsplit
+
+    from merge_machine_ray.functions.urls import url_host
+
+    got = url_host(pa.array(urls, pa.string())).to_pylist()
+    want = [(urlsplit(u).hostname or "") for u in urls]
+    assert got == want
