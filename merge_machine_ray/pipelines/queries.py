@@ -2426,6 +2426,63 @@ FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
 GROUP BY a.source, b.source
 """
 
+_HOST_QUOTA = 3
+
+
+def host_quota_docs(sf_dir: str):
+    """Per-host document quota (C4/RefinedWeb-style host cap): keep at
+    most N pages per url-host, selected by a deterministic
+    multiplicative doc_id hash (stages/sketch's hash family) so the
+    kept set is stable across runs, partitionings and resumes. Built
+    on the hash-bucketed window machinery (one shuffle over bucket
+    groups, one lexsort per bucket) — never a per-host python group."""
+    from merge_machine_ray.functions.urls import url_host
+    from merge_machine_ray.stages.sketch import _KNUTH, _MOD
+    from merge_machine_ray.stages.window import WindowSpec, window
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids, url, _ = _page_url_warc(t)
+        hkey = (ids.astype(np.uint64) * np.uint64(_KNUTH)
+                % np.uint64(_MOD)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "host": url_host(url),
+                         "hkey": pa.array(hkey)})
+
+    spec = WindowSpec(partition_by="host",
+                      order_by=[("hkey", False), ("doc_id", False)],
+                      row_number="rk")
+    out = window(ds.map_batches(prep, batch_format="pyarrow"), spec,
+                 keep_cols=["doc_id", "host"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["rk"], _HOST_QUOTA))
+        return pa.table({"doc_id": t["doc_id"], "host": t["host"],
+                         "rk": t["rk"].cast(pa.int64())})
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
+HOST_QUOTA_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://ex' || CAST(doc_id % 97 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)) AS host,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hkey
+  FROM pages)
+SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, host, row_number() OVER (
+      PARTITION BY host ORDER BY hkey ASC, doc_id ASC) AS rk
+  FROM p)
+WHERE rk <= {_HOST_QUOTA}
+"""
+
+
 def bigram_pmi_q(sf_dir: str):
     """Top-25 bigram collocations (count + PMI micro) — corpus-level
     n-gram statistics for tokenizer/vocab curation."""
@@ -2563,6 +2620,7 @@ def build_queries() -> dict:
         "source_overlap": source_overlap_q,
         "filter_funnel": filter_funnel,
         "bigram_pmi": bigram_pmi_q,
+        "host_quota_docs": host_quota_docs,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -2677,6 +2735,7 @@ def build_oracle_sql() -> dict:
         "source_overlap": SOURCE_OVERLAP_SQL,
         "filter_funnel": FILTER_FUNNEL_SQL,
         "bigram_pmi": BIGRAM_PMI_SQL,
+        "host_quota_docs": HOST_QUOTA_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }
