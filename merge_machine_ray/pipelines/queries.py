@@ -2483,6 +2483,87 @@ WHERE rk <= {_HOST_QUOTA}
 """
 
 
+_BP_PREFIX = "subscribe to our newsletter for daily updates"
+_BP_SUFFIX = "copyright example site all rights reserved"
+
+
+def _docs_to_multiline(t: pa.Table) -> pa.Table:
+    """documents rows → multi-line pages: content lines are consecutive
+    8-token windows of ``text`` (the corpus is single-line), plus
+    PLANTED boilerplate — a newsletter banner on every 3rd doc and a
+    copyright footer on every 4th (the planted-twin oracle style of
+    source_overlap_q). Fully vectorized: one split, two
+    ListArray/binary_join passes, no per-row python."""
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern(pc.fill_null(txt.cast(pa.string()), ""), " ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    nch = -(-counts // 8)                      # ceil; counts ≥ 1 ('' → [''])
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), nch)
+    cum = np.concatenate(([0], np.cumsum(nch)[:-1]))
+    chunk_idx = np.arange(int(nch.sum()), dtype=np.int64) - \
+        np.repeat(cum, nch)
+    starts = offs[:-1][rows] + chunk_idx * 8
+    la = pa.ListArray.from_arrays(
+        pa.array(np.concatenate((starts, offs[-1:])), pa.int32()),
+        toks.values)
+    lines = pc.binary_join(la, " ")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    doc_offs = pa.array(np.concatenate(([0], np.cumsum(nch))), pa.int32())
+    body = pc.binary_join(pa.ListArray.from_arrays(doc_offs, lines), "\n")
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    prefix = pc.if_else(pa.array(ids % 3 == 0), _BP_PREFIX + "\n", "")
+    suffix = pc.if_else(pa.array(ids % 4 == 0), "\n" + _BP_SUFFIX, "")
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "text": pc.binary_join_element_wise(prefix, body, suffix, ""),
+    })
+
+
+def line_dedup_docs(sf_dir: str):
+    """CCNet-style boilerplate line removal over multi-line pages:
+    drop every line occurring in ≥2 distinct documents corpus-wide
+    (here: exactly the planted banner/footer), keep line order, report
+    per-doc kept/total line counts. One bucketed exchange for the
+    frequent-line set + one broadcast streaming pass
+    (webcorpus.remove_common_lines)."""
+    from merge_machine_ray.stages.webcorpus import remove_common_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_docs_to_multiline, batch_format="pyarrow")
+    return remove_common_lines(ds, min_df=2)
+
+
+LINE_DEDUP_SQL = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+content AS (
+  SELECT doc_id, r.ln + 1 AS line_no,
+         array_to_string(ts[(r.ln*8+1):(r.ln*8+8)], ' ') AS line
+  FROM base, unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS r(ln)),
+lines AS (
+  SELECT doc_id, 0 AS line_no, '{_BP_PREFIX}' AS line
+    FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, line_no, line FROM content
+  UNION ALL SELECT doc_id, 2147483647 AS line_no, '{_BP_SUFFIX}' AS line
+    FROM documents WHERE doc_id % 4 = 0),
+df AS (SELECT line FROM lines GROUP BY line
+       HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT l.doc_id, l.line_no, l.line FROM lines l
+         WHERE l.line NOT IN (SELECT line FROM df)),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY doc_id),
+ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)
+         AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+       t.n_lines, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM tot t LEFT JOIN ka k USING (doc_id)
+"""
+
+
 def bigram_pmi_q(sf_dir: str):
     """Top-25 bigram collocations (count + PMI micro) — corpus-level
     n-gram statistics for tokenizer/vocab curation."""
@@ -2621,6 +2702,7 @@ def build_queries() -> dict:
         "filter_funnel": filter_funnel,
         "bigram_pmi": bigram_pmi_q,
         "host_quota_docs": host_quota_docs,
+        "line_dedup_docs": line_dedup_docs,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -2736,6 +2818,7 @@ def build_oracle_sql() -> dict:
         "filter_funnel": FILTER_FUNNEL_SQL,
         "bigram_pmi": BIGRAM_PMI_SQL,
         "host_quota_docs": HOST_QUOTA_SQL,
+        "line_dedup_docs": LINE_DEDUP_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }

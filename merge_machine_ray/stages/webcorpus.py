@@ -362,3 +362,110 @@ def source_overlap(ds, text_col: str = "text", src_col: str = "source",
                          "n_shared": t["n_shared"].cast(pa.int64())})
 
     return agg.map_batches(tidy, batch_format="pyarrow")
+
+
+# -------------------------------------------- line-level boilerplate dedup
+def _split_lines(col, sep: str) -> pa.ListArray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.split_pattern(pc.fill_null(col.cast(pa.string()), ""), sep)
+
+
+def common_lines(ds, min_df: int = 2, text_col: str = "text",
+                 sep: str = "\n", num_buckets: int = 64) -> pa.Array:
+    """Corpus-frequent lines (CCNet-style boilerplate detection): every
+    line occurring in ≥ ``min_df`` DISTINCT documents. Exact on line
+    strings — the shuffle key is a content hash but membership and
+    counting resolve on the real strings within each bucket, so a hash
+    collision can never merge two different lines.
+
+    Scale shape: each batch ships at most one (line, partial_df) row
+    per DISTINCT line in the batch (docs never span batches, so
+    per-batch distinct-doc counts sum to the exact corpus df); the
+    groupby runs over ``num_buckets`` hash buckets, never per-line.
+    The RESULT (lines above the df threshold) is driver-resident by
+    design — boilerplate vocabulary, not corpus: its size is bounded
+    by (corpus lines / min_df) and in practice by the few thousand
+    nav/footer strings a crawl repeats; raise ``min_df`` or pre-filter
+    by host before calling if a corpus breaks that assumption.
+    """
+    from merge_machine_ray.stages.dedup import _hash_bucket_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        lines = _split_lines(t[text_col], sep)
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                         np.diff(offs))
+        enc = pc.dictionary_encode(lines.values)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((codes, rows))
+        rs, cs = rows[o], codes[o]
+        first = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])))
+        cnt = np.bincount(cs[first],
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        out = pa.table({"line": enc.dictionary, "dn": pa.array(cnt)})
+        return _hash_bucket_batch(out, "line", num_buckets)
+
+    def frequent(g: pa.Table) -> pa.Table:
+        lc, ldic = _sorted_rank_codes(g["line"])
+        tot = np.zeros(len(ldic), dtype=np.int64)
+        np.add.at(tot, lc, _np(g["dn"]))
+        sel = np.flatnonzero(tot >= min_df)
+        return pa.table({"line": ldic.take(pa.array(sel))})
+
+    freq = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__bkt").map_groups(frequent, batch_format="pyarrow")
+    parts = [b["line"].combine_chunks()
+             for b in freq.iter_batches(batch_size=262144,
+                                        batch_format="pyarrow")]
+    if not parts:
+        return pa.array([], pa.string())
+    return pa.concat_arrays([p.cast(pa.string()) for p in parts])
+
+
+def remove_common_lines(ds, min_df: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id", sep: str = "\n",
+                        num_buckets: int = 64):
+    """CCNet-style boilerplate line removal: drop every line that
+    occurs in ≥ ``min_df`` distinct documents corpus-wide, preserving
+    the order of the surviving lines. Emits ``(id, clean_text,
+    n_lines, n_kept)`` — the kept/total ratio is the standard
+    boilerplate-fraction quality signal.
+
+    Two passes over the input: one bucketed exchange to find the
+    frequent-line set (see :func:`common_lines`), then one streaming
+    map with the set broadcast once via ``ray.put`` (zero-copy plasma
+    read per task) — a doc's lines never leave its batch in pass 2.
+    """
+    import ray
+
+    common_ref = ray.put(common_lines(ds, min_df, text_col, sep,
+                                      num_buckets))
+
+    def keep(t: pa.Table) -> pa.Table:
+        vs = ray.get(common_ref)
+        lines = _split_lines(t[text_col], sep)
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if len(vs):
+            drop = pc.is_in(lines.values, value_set=vs) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            drop = np.zeros(int(offs[-1]), dtype=bool)
+        keepm = ~drop
+        kept_counts = np.bincount(rows[keepm], minlength=len(counts)) \
+            .astype(np.int64)
+        new_offs = np.concatenate(([0], np.cumsum(kept_counts)))
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            lines.values.filter(pa.array(keepm)))
+        return pa.table({
+            id_col: t[id_col],
+            "clean_text": pc.binary_join(la, sep),
+            "n_lines": pa.array(counts.astype(np.int64)),
+            "n_kept": pa.array(kept_counts),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -71,3 +71,54 @@ def test_source_overlap_counts_distinct_shared_texts(ray_session):
     out = source_overlap(rd.from_arrow(t)).to_pandas()
     got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
     assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_remove_common_lines_semantics(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import remove_common_lines
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "banner\nalpha one\nbeta two",      # banner common
+            "banner\nbanner\ngamma three",      # in-doc dup counts ONCE
+            "banner",                           # everything removed
+            "delta four\nepsilon five",         # untouched
+        ]),
+    })
+    out = remove_common_lines(rd.from_arrow(docs), min_df=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["clean_text"].tolist() == [
+        "alpha one\nbeta two", "gamma three", "", "delta four\nepsilon five"]
+    assert out["n_lines"].tolist() == [3, 3, 1, 2]
+    assert out["n_kept"].tolist() == [2, 1, 0, 2]
+
+
+def test_remove_common_lines_all_unique_noop(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import remove_common_lines
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a\nb", "c\nd"]),
+    })
+    out = remove_common_lines(rd.from_arrow(docs), min_df=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["clean_text"].tolist() == ["a\nb", "c\nd"]
+    assert out["n_kept"].tolist() == [2, 2]
+
+
+def test_common_lines_df_is_distinct_docs(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import common_lines
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        # 'x' repeats 3 times but only inside doc 1 → df=1, NOT common
+        "text": pa.array(["x\nx\nx\nshared", "shared\ny"]),
+    })
+    got = sorted(common_lines(rd.from_arrow(docs), min_df=2).to_pylist())
+    assert got == ["shared"]
