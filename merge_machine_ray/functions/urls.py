@@ -53,3 +53,88 @@ def registered_domain(host_arr, labels: int = 2) -> pa.Array:
     pat = r"(?P<dom>[^.]+" + (r"\.[^.]+" * (labels - 1)) + r")$"
     m = pc.extract_regex(host, pat)
     return pc.fill_null(pc.struct_field(m, "dom"), host)
+
+
+# --------------------------------------------------- canonicalization
+# One rewrite chain, applied by BOTH engines: `canonical_url` runs it
+# as Arrow RE2 kernels, `canonical_url_sql_expr` emits the identical
+# chain as nested DuckDB regexp_replace calls (DuckDB is RE2 too, so
+# the semantics match byte-for-byte). Plain (pattern, rewrite,
+# global) steps live in _CANON_STEPS; the two non-replace steps
+# (prefix lowercasing, orphan-'&' promotion) are handled explicitly
+# in both emitters.
+_PRE_RE = (r"^(?P<pre>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+           r"(?P<rest>.*)$")
+_CANON_STEPS = [
+    # fragment
+    (r"#.*", "", False),
+    # tracking params (heuristic: utm_*, fbclid, gclid, ref)
+    (r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "", True),
+    # (orphan-& promotion happens here, between these steps)
+    # empty trailing query separator
+    (r"[?&]$", "", False),
+    # default ports
+    (r"^(https://[^/:?#]+):443(.*)$", r"\1\2", False),
+    (r"^(http://[^/:?#]+):80(.*)$", r"\1\2", False),
+    # www prefix
+    (r"^(https?://)www\.", r"\1", False),
+    # trailing slash
+    (r"/$", "", False),
+]
+# steps applied BEFORE the orphan-& promotion (see chain comment)
+_CANON_PRE_AMP = 2
+
+
+def canonical_url(arr) -> pa.Array:
+    """Canonical form of each url: lowercase scheme+authority, strip
+    fragment, strip tracking query params (utm_*/fbclid/gclid/ref),
+    strip default ports and a leading ``www.``, drop a trailing slash.
+    Heuristic by design (a bare ``&`` in a query-less path would be
+    promoted to ``?``); every step is one RE2 kernel over the column."""
+    u = _utf8(arr)
+    m = pc.extract_regex(u, _PRE_RE)
+    pre = pc.struct_field(m, "pre")
+    rest = pc.struct_field(m, "rest")
+    lowered = pc.binary_join_element_wise(
+        pc.utf8_lower(pre), rest, "")
+    u = pc.if_else(pc.is_valid(pre), lowered, u)
+
+    def _apply(u, steps):
+        for pat, rw, _g in steps:
+            u = pc.replace_substring_regex(u, pat, rw)
+        return u
+
+    u = _apply(u, _CANON_STEPS[:_CANON_PRE_AMP])
+    # promote an orphaned leading '&' (left by tracking-param removal
+    # of the original '?param') to '?' — first '&' only, query-less
+    # urls that contain '&' in the path accept the heuristic
+    has_q = pc.match_substring(u, "?")
+    has_amp = pc.match_substring(u, "&")
+    promoted = pc.replace_substring(u, "&", "?", max_replacements=1)
+    u = pc.if_else(pc.and_(pc.invert(has_q), has_amp), promoted, u)
+    return _apply(u, _CANON_STEPS[_CANON_PRE_AMP:])
+
+
+def canonical_url_sql_expr(col: str) -> str:
+    """The exact same rewrite chain as :func:`canonical_url`, emitted
+    as a DuckDB SQL expression over ``col`` (for oracle twins)."""
+    pre_pat = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
+    expr = (f"CASE WHEN regexp_matches({col}, '{pre_pat}') THEN "
+            f"lower(regexp_extract({col}, '{pre_pat}', 1)) || "
+            f"regexp_extract({col}, '{pre_pat}', 2) ELSE {col} END")
+
+    def _wrap(expr, steps):
+        for pat, rw, g in steps:
+            # DuckDB '...' literals are escape-free: backslashes pass
+            # through verbatim (\. stays \., \1 stays the RE2 backref)
+            sp = pat.replace("'", "''")
+            sr = rw
+            flag = ", 'g'" if g else ""
+            expr = f"regexp_replace({expr}, '{sp}', '{sr}'{flag})"
+        return expr
+
+    expr = _wrap(expr, _CANON_STEPS[:_CANON_PRE_AMP])
+    expr = (f"(SELECT CASE WHEN NOT contains(u, '?') AND "
+            f"contains(u, '&') THEN regexp_replace(u, '&', '?') "
+            f"ELSE u END FROM (SELECT ({expr}) AS u))")
+    return _wrap(expr, _CANON_STEPS[_CANON_PRE_AMP:])

@@ -2483,6 +2483,97 @@ WHERE rk <= {_HOST_QUOTA}
 """
 
 
+def latest_page_snapshot(sf_dir: str):
+    """Crawl-revisit dedup: 37 logical pages are each crawled ~N/37
+    times (url derives from doc_id % 37, warc epoch from doc_id); keep
+    only the newest snapshot per url plus the snapshot count. One
+    batch-local argmax combine + one url-hash-bucketed exchange
+    (webcorpus.latest_snapshot)."""
+    from merge_machine_ray.stages.webcorpus import latest_snapshot
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        key = ids % 37
+        url = pc.binary_join_element_wise(
+            "https://ex", pa.array(key % 7).cast(pa.string()),
+            ".example.com/page/", pa.array(key).cast(pa.string()), "")
+        return pa.table({
+            "url": url, "doc_id": t["doc_id"],
+            "warc_ep": pa.array(np.int64(1_600_000_000) + ids)})
+
+    return latest_snapshot(ds.map_batches(prep, batch_format="pyarrow"))
+
+
+LATEST_SNAPSHOT_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         'https://ex' || CAST((doc_id % 37) % 7 AS VARCHAR)
+           || '.example.com/page/' || CAST(doc_id % 37 AS VARCHAR) AS url,
+         1600000000 + doc_id AS warc_ep
+  FROM documents)
+SELECT url, CAST(warc_ep AS BIGINT) AS warc_ep, doc_id, n_snapshots
+FROM (
+  SELECT url, doc_id, warc_ep,
+         row_number() OVER (PARTITION BY url
+             ORDER BY warc_ep DESC, doc_id DESC) AS rk,
+         CAST(count(*) OVER (PARTITION BY url) AS BIGINT) AS n_snapshots
+  FROM pages) WHERE rk = 1
+"""
+
+
+def canonical_url_dedup(sf_dir: str):
+    """URL-normalization dedup: every doc renders one of six raw-url
+    decorations of its logical page (tracking query, fragment, www,
+    :443, trailing slash, or clean); canonicalization collapses five
+    of them onto the base url and keeps the real ?page=2 variant as
+    its own group. The rewrite chain is SHARED with the SQL twin
+    (functions/urls._CANON_STEPS emits both the Arrow kernels and the
+    DuckDB expression), so this checks the canonicalizer itself."""
+    from merge_machine_ray.stages.webcorpus import canonical_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m, k = ids % 6, ids % 41
+        www = np.where(m == 3, "www.", "")
+        port = np.where(m == 4, ":443", "")
+        sfx = np.array(["", "?utm_source=news&page=2", "#section",
+                        "", "", "/"], dtype=object)[m]
+        url = pc.binary_join_element_wise(
+            "https://", pa.array(www, pa.string()),
+            "ex", pa.array(k % 5).cast(pa.string()), ".example.com",
+            pa.array(port, pa.string()),
+            "/a/", pa.array(k).cast(pa.string()),
+            pa.array(sfx, pa.string()), "")
+        return pa.table({"url": url, "doc_id": t["doc_id"]})
+
+    return canonical_groups(ds.map_batches(prep, batch_format="pyarrow"))
+
+
+def _canonical_url_dedup_sql() -> str:
+    from merge_machine_ray.functions.urls import canonical_url_sql_expr
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN doc_id % 6 = 3 THEN 'www.' ELSE '' END
+      || 'ex' || CAST((doc_id % 41) % 5 AS VARCHAR) || '.example.com'
+      || CASE WHEN doc_id % 6 = 4 THEN ':443' ELSE '' END
+      || '/a/' || CAST(doc_id % 41 AS VARCHAR)
+      || CASE doc_id % 6 WHEN 1 THEN '?utm_source=news&page=2'
+              WHEN 2 THEN '#section' WHEN 5 THEN '/' ELSE '' END AS url
+  FROM documents),
+canon AS (SELECT doc_id, {canonical_url_sql_expr('url')} AS canon_url
+          FROM raw)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY canon_url
+"""
+
+
 _BP_PREFIX = "subscribe to our newsletter for daily updates"
 _BP_SUFFIX = "copyright example site all rights reserved"
 
@@ -2703,6 +2794,8 @@ def build_queries() -> dict:
         "bigram_pmi": bigram_pmi_q,
         "host_quota_docs": host_quota_docs,
         "line_dedup_docs": line_dedup_docs,
+        "latest_page_snapshot": latest_page_snapshot,
+        "canonical_url_dedup": canonical_url_dedup,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -2819,6 +2912,8 @@ def build_oracle_sql() -> dict:
         "bigram_pmi": BIGRAM_PMI_SQL,
         "host_quota_docs": HOST_QUOTA_SQL,
         "line_dedup_docs": LINE_DEDUP_SQL,
+        "latest_page_snapshot": LATEST_SNAPSHOT_SQL,
+        "canonical_url_dedup": _canonical_url_dedup_sql(),
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }

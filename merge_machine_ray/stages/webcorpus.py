@@ -469,3 +469,92 @@ def remove_common_lines(ds, min_df: int = 2, text_col: str = "text",
         })
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------- crawl-revisit dedup
+def latest_snapshot(pages_ds, url_col: str = "url",
+                    ts_col: str = "warc_ep", id_col: str = "doc_id",
+                    num_buckets: int = 64):
+    """Crawl-revisit dedup: keep, per url, only the MOST RECENT
+    snapshot row (ties broken by highest id), and report how many
+    snapshots the crawl held. The cross-snapshot collapse every
+    CC-derived corpus applies before any content work.
+
+    Scale shape: a batch-local combine first reduces each batch to one
+    row per DISTINCT url (argmax over (ts, id) in one lexsort), so the
+    single exchange carries at most one narrow row per (url, batch);
+    the groupby runs over ``num_buckets`` url-hash buckets and the
+    final per-bucket resolve is the same vectorized argmax. Equal urls
+    are resolved on the real strings within a bucket — a hash
+    collision can never merge two different urls.
+    """
+    from merge_machine_ray.stages.dedup import _hash_bucket_batch
+
+    def _argmax_rows(t: pa.Table, pn):
+        uc, udic = _sorted_rank_codes(t[url_col])
+        ep = _np(t[ts_col]).astype(np.int64)
+        ids = _np(t[id_col]).astype(np.int64)
+        o = np.lexsort((ids, ep, uc))
+        uo = uc[o]
+        last = np.concatenate((uo[1:] != uo[:-1], [True]))
+        tot = np.zeros(len(udic), dtype=np.int64)
+        np.add.at(tot, uc, pn)
+        sel = o[last]
+        return pa.table({
+            url_col: udic.take(pa.array(uc[sel])),
+            ts_col: pa.array(ep[sel]),
+            id_col: pa.array(ids[sel]),
+            "pn": pa.array(tot[uc[sel]]),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        out = _argmax_rows(t, np.ones(t.num_rows, dtype=np.int64))
+        return _hash_bucket_batch(out, url_col, num_buckets)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        out = _argmax_rows(g, _np(g["pn"]).astype(np.int64))
+        return out.rename_columns(
+            [url_col, ts_col, id_col, "n_snapshots"])
+
+    return pages_ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("__bkt").map_groups(resolve, batch_format="pyarrow")
+
+
+# -------------------------------------------- canonical-url grouping
+def canonical_groups(pages_ds, url_col: str = "url",
+                     id_col: str = "doc_id", num_buckets: int = 64):
+    """Group crawl rows by CANONICAL url (functions/urls.canonical_url:
+    tracking params, fragments, default ports, www, trailing slash all
+    stripped) and report per-group page count + first id — the
+    url-normalization dedup pass that precedes content dedup in
+    CC-style pipelines.
+
+    Scale shape: canonicalization is batch-local RE2; each batch ships
+    one (canon_url, pn, dmin) row per distinct canonical url in the
+    batch; the groupby runs over ``num_buckets`` hash buckets and
+    resolves equality on real strings within each bucket."""
+    from merge_machine_ray.functions.urls import canonical_url
+    from merge_machine_ray.stages.dedup import _hash_bucket_batch
+
+    def _fold(canon, pn, dmin):
+        uc, udic = _sorted_rank_codes(canon)
+        n = np.zeros(len(udic), dtype=np.int64)
+        np.add.at(n, uc, pn)
+        mn = np.full(len(udic), np.iinfo(np.int64).max)
+        np.minimum.at(mn, uc, dmin)
+        return pa.table({"canon_url": udic,
+                         "pn": pa.array(n), "dmin": pa.array(mn)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        ids = _np(t[id_col]).astype(np.int64)
+        out = _fold(canonical_url(t[url_col]),
+                    np.ones(t.num_rows, dtype=np.int64), ids)
+        return _hash_bucket_batch(out, "canon_url", num_buckets)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        out = _fold(g["canon_url"], _np(g["pn"]).astype(np.int64),
+                    _np(g["dmin"]).astype(np.int64))
+        return out.rename_columns(["canon_url", "n_pages", "first_doc"])
+
+    return pages_ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("__bkt").map_groups(resolve, batch_format="pyarrow")

@@ -123,3 +123,50 @@ def test_url_host_matches_urlsplit_fuzz(urls):
     got = url_host(pa.array(urls, pa.string())).to_pylist()
     want = [(urlsplit(u).hostname or "") for u in urls]
     assert got == want
+
+
+# canonical_url contract: the Arrow kernel chain and the generated
+# DuckDB expression (functions/urls.canonical_url_sql_expr) must agree
+# byte-for-byte on every input — they share _CANON_STEPS, so a diff
+# means the two emitters drifted
+_canon_param = st.sampled_from([
+    "utm_source=a", "utm_campaign=x%20y", "utm_medium=", "fbclid=zz",
+    "gclid=9", "ref=home", "id=7", "page=2", "a_b=c.d"])
+_canon_urls = st.one_of(
+    st.builds(
+        lambda scheme, www, labels, port, path, slash, params, frag:
+            scheme + "://" + ("www." if www else "") + ".".join(labels)
+            + (f":{port}" if port else "")
+            + ("/" + "/".join(path) if path else "")
+            + ("/" if slash else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#" + frag if frag is not None else ""),
+        st.sampled_from(["http", "https", "HTTP", "HttpS", "ftp"]),
+        st.booleans(),
+        st.lists(_label, min_size=1, max_size=3),
+        st.one_of(st.none(), st.sampled_from([80, 443, 8080])),
+        st.lists(_label, max_size=2),
+        st.booleans(),
+        st.lists(_canon_param, max_size=3),
+        st.one_of(st.none(), st.just(""), _label),
+    ),
+    st.text(max_size=25).filter(lambda s: "\x00" not in s),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_canon_urls, min_size=1, max_size=20))
+def test_canonical_url_matches_duckdb_twin_fuzz(urls):
+    import duckdb
+
+    from merge_machine_ray.functions.urls import (canonical_url,
+                                                  canonical_url_sql_expr)
+
+    got = canonical_url(pa.array(urls, pa.string())).to_pylist()
+    con = duckdb.connect()
+    expr = canonical_url_sql_expr("url")
+    rows = con.execute(
+        f"SELECT i, {expr} FROM (SELECT unnest($1) AS url, "
+        f"unnest(range(len($1))) AS i) ORDER BY i", [urls]).fetchall()
+    want = [r[1] for r in rows]
+    assert got == want

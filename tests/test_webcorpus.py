@@ -122,3 +122,43 @@ def test_common_lines_df_is_distinct_docs(ray_session):
     })
     got = sorted(common_lines(rd.from_arrow(docs), min_df=2).to_pylist())
     assert got == ["shared"]
+
+
+def test_latest_snapshot_argmax_and_tiebreak(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import latest_snapshot
+
+    pages = pa.table({
+        "url": pa.array(["u1", "u1", "u1", "u2", "u2", "u3"]),
+        "warc_ep": pa.array([10, 30, 20, 5, 5, 1], pa.int64()),
+        "doc_id": pa.array([1, 2, 3, 4, 9, 7], pa.int64()),
+    })
+    out = latest_snapshot(rd.from_arrow(pages)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert out["url"].tolist() == ["u1", "u2", "u3"]
+    assert out["doc_id"].tolist() == [2, 9, 7]    # u2: ep tie → max id
+    assert out["warc_ep"].tolist() == [30, 5, 1]
+    assert out["n_snapshots"].tolist() == [3, 2, 1]
+
+
+def test_canonical_groups_collapses_decorations(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import canonical_groups
+
+    pages = pa.table({
+        "url": pa.array([
+            "https://ex.com/a",
+            "https://www.ex.com/a",
+            "https://ex.com:443/a?utm_source=x",
+            "https://ex.com/a?page=2",
+        ]),
+        "doc_id": pa.array([4, 2, 3, 9], pa.int64()),
+    })
+    out = canonical_groups(rd.from_arrow(pages)).to_pandas() \
+        .sort_values("canon_url").reset_index(drop=True)
+    assert out["canon_url"].tolist() == [
+        "https://ex.com/a", "https://ex.com/a?page=2"]
+    assert out["n_pages"].tolist() == [3, 1]
+    assert out["first_doc"].tolist() == [2, 9]
