@@ -190,6 +190,10 @@ def run_bench() -> dict:
     timed("pages_host_stats", Q.pages_host_stats)
     timed("doc_keywords", Q.doc_keywords_q)
     timed("bigram_pmi", Q.bigram_pmi_q)
+    timed("host_quota_docs", Q.host_quota_docs)
+    timed("line_dedup_docs", Q.line_dedup_docs)
+    timed("latest_page_snapshot", Q.latest_page_snapshot)
+    timed("canonical_url_dedup", Q.canonical_url_dedup)
 
     result = {
         "metric": "er_pages_e2e",
