@@ -194,6 +194,7 @@ def run_bench() -> dict:
     timed("line_dedup_docs", Q.line_dedup_docs)
     timed("latest_page_snapshot", Q.latest_page_snapshot)
     timed("canonical_url_dedup", Q.canonical_url_dedup)
+    timed("repeated_span_docs", Q.repeated_span_docs)
 
     result = {
         "metric": "er_pages_e2e",

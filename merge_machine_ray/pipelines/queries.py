@@ -2523,6 +2523,100 @@ FROM (
 """
 
 
+_SPAM_SPAN = ("win a free prize click here now to claim your reward "
+              "today")                       # 12 tokens
+_SPAN_N = 8
+
+
+def repeated_span_docs(sf_dir: str):
+    """Cross-document repeated-SPAN removal (Lee et al. 2022 substring
+    dedup at 8-token granularity): every 5th doc gets a 12-token spam
+    paragraph spliced in after its 10th token; the op finds all
+    8-grams shared by ≥2 docs and strips every covered token,
+    reporting per-doc coverage. One bucketed exchange + one broadcast
+    streaming pass (webcorpus.remove_repeated_spans)."""
+    from merge_machine_ray.stages.webcorpus import remove_repeated_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _window_join(bounds: np.ndarray, values) -> pa.Array:
+        """Join token windows given interleaved [s0,e0,s1,e1,...]
+        boundaries: the even lists of the boundary ListArray are the
+        wanted windows (odd lists are the inter-window gaps)."""
+        la = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()),
+                                      values)
+        joined = pc.binary_join(la, " ")
+        evens = pa.array(np.arange(0, len(joined), 2, dtype=np.int64))
+        return joined.take(evens)
+
+    def plant(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt.cast(pa.string()), "")
+        toks = pc.split_pattern(txt, " ")
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cut = offs[:-1] + np.minimum(np.diff(offs), 10)
+        pre = _window_join(
+            np.stack((offs[:-1], cut), 1).reshape(-1), toks.values)
+        rest = _window_join(
+            np.stack((cut, offs[1:]), 1).reshape(-1), toks.values)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        spammed = pc.binary_join_element_wise(pre, _SPAM_SPAN, rest, " ")
+        out = pc.if_else(pa.array(ids % 5 == 0), spammed, txt)
+        return pa.table({"doc_id": t["doc_id"], "text": out})
+
+    return remove_repeated_spans(
+        ds.map_batches(plant, batch_format="pyarrow"), n=_SPAN_N,
+        min_df=2)
+
+
+REPEATED_SPAN_SQL = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN
+      COALESCE(array_to_string(ts[1:10], ' '), '')
+        || ' {_SPAM_SPAN} ' ||
+      COALESCE(array_to_string(ts[11:], ' '), '')
+    ELSE array_to_string(ts, ' ') END AS text
+  FROM base),
+t2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs2),
+tok AS (
+  SELECT doc_id, r.i + 1 AS pos, ts[r.i + 1] AS tok,
+         len(ts) AS n_tokens
+  FROM t2, unnest(range(CAST(len(ts) AS BIGINT))) AS r(i)),
+grams AS (
+  SELECT doc_id, r.i + 1 AS spos,
+         array_to_string(ts[(r.i + 1):(r.i + {_SPAN_N})], ' ') AS gram
+  FROM t2, unnest(range(CAST(greatest(len(ts) - {_SPAN_N - 1}, 0)
+                        AS BIGINT))) AS r(i)),
+rep AS (SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+flag AS (
+  SELECT g.doc_id, g.spos,
+         CASE WHEN g.gram IN (SELECT gram FROM rep) THEN 1 ELSE 0 END
+           AS f
+  FROM grams g),
+cov AS (
+  SELECT t.doc_id, t.pos, t.tok, t.n_tokens,
+         max(COALESCE(f.f, 0)) OVER (
+             PARTITION BY t.doc_id ORDER BY t.pos
+             ROWS BETWEEN {_SPAN_N - 1} PRECEDING AND CURRENT ROW)
+           AS covered
+  FROM tok t LEFT JOIN flag f
+    ON f.doc_id = t.doc_id AND f.spos = t.pos)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END,
+                           ' ' ORDER BY pos), '') AS clean_text,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(covered) AS BIGINT) AS n_covered
+FROM cov GROUP BY doc_id
+"""
+
+
 def canonical_url_dedup(sf_dir: str):
     """URL-normalization dedup: every doc renders one of six raw-url
     decorations of its logical page (tracking query, fragment, www,
@@ -2796,6 +2890,7 @@ def build_queries() -> dict:
         "line_dedup_docs": line_dedup_docs,
         "latest_page_snapshot": latest_page_snapshot,
         "canonical_url_dedup": canonical_url_dedup,
+        "repeated_span_docs": repeated_span_docs,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -2914,6 +3009,7 @@ def build_oracle_sql() -> dict:
         "line_dedup_docs": LINE_DEDUP_SQL,
         "latest_page_snapshot": LATEST_SNAPSHOT_SQL,
         "canonical_url_dedup": _canonical_url_dedup_sql(),
+        "repeated_span_docs": REPEATED_SPAN_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }

@@ -389,14 +389,31 @@ def common_lines(ds, min_df: int = 2, text_col: str = "text",
     nav/footer strings a crawl repeats; raise ``min_df`` or pre-filter
     by host before calling if a corpus breaks that assumption.
     """
-    from merge_machine_ray.stages.dedup import _hash_bucket_batch
-
-    def partial(t: pa.Table) -> pa.Table:
+    def pairs(t: pa.Table):
         lines = _split_lines(t[text_col], sep)
         offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         rows = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
                          np.diff(offs))
-        enc = pc.dictionary_encode(lines.values)
+        return rows, lines.values
+
+    return frequent_values(ds, pairs, min_df, num_buckets)
+
+
+def frequent_values(ds, pairs_fn, min_df: int, num_buckets: int = 64
+                    ) -> pa.Array:
+    """Generic exact distinct-document-frequency filter: collect every
+    string whose owning-id count across the corpus is ≥ ``min_df``.
+    ``pairs_fn(batch) -> (ids: int64 ndarray, values: pa.Array)`` where
+    ids only need to be unique WITHIN the batch (documents never span
+    batches, so per-batch distinct-id counts sum to the exact corpus
+    df). Shared by line-level boilerplate detection and repeated
+    k-gram (substring-dedup) detection; same scale shape and
+    driver-residency bound as :func:`common_lines`."""
+    from merge_machine_ray.stages.dedup import _hash_bucket_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows, values = pairs_fn(t)
+        enc = pc.dictionary_encode(values)
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((codes, rows))
         rs, cs = rows[o], codes[o]
@@ -404,19 +421,19 @@ def common_lines(ds, min_df: int = 2, text_col: str = "text",
             ([True], (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])))
         cnt = np.bincount(cs[first],
                           minlength=len(enc.dictionary)).astype(np.int64)
-        out = pa.table({"line": enc.dictionary, "dn": pa.array(cnt)})
-        return _hash_bucket_batch(out, "line", num_buckets)
+        out = pa.table({"val": enc.dictionary, "dn": pa.array(cnt)})
+        return _hash_bucket_batch(out, "val", num_buckets)
 
     def frequent(g: pa.Table) -> pa.Table:
-        lc, ldic = _sorted_rank_codes(g["line"])
+        lc, ldic = _sorted_rank_codes(g["val"])
         tot = np.zeros(len(ldic), dtype=np.int64)
         np.add.at(tot, lc, _np(g["dn"]))
         sel = np.flatnonzero(tot >= min_df)
-        return pa.table({"line": ldic.take(pa.array(sel))})
+        return pa.table({"val": ldic.take(pa.array(sel))})
 
     freq = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("__bkt").map_groups(frequent, batch_format="pyarrow")
-    parts = [b["line"].combine_chunks()
+    parts = [b["val"].combine_chunks()
              for b in freq.iter_batches(batch_size=262144,
                                         batch_format="pyarrow")]
     if not parts:
@@ -558,3 +575,90 @@ def canonical_groups(pages_ds, url_col: str = "url",
 
     return pages_ds.map_batches(combine, batch_format="pyarrow") \
         .groupby("__bkt").map_groups(resolve, batch_format="pyarrow")
+
+
+# --------------------------------- repeated-span (substring) dedup
+def repeated_grams(ds, n: int, min_df: int = 2, col: str = "text",
+                   id_col: str = "doc_id",
+                   num_buckets: int = 64) -> pa.Array:
+    """Every whitespace ``n``-gram occurring in ≥ ``min_df`` DISTINCT
+    documents (exact on gram strings, collision-exact within hash
+    buckets) — the cross-document repeated-substring vocabulary of the
+    corpus, in the sense of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") at ``n``-token granularity."""
+    from merge_machine_ray.stages.decontam import ngram_table
+
+    def pairs(t: pa.Table):
+        gt = ngram_table(t, n, col, id_col)
+        ids = _np(gt[id_col]).astype(np.int64)
+        gram = gt["gram"]
+        if isinstance(gram, pa.ChunkedArray):
+            gram = gram.combine_chunks()
+        return ids, gram
+
+    return frequent_values(ds, pairs, min_df, num_buckets)
+
+
+def remove_repeated_spans(ds, n: int, min_df: int = 2,
+                          col: str = "text", id_col: str = "doc_id",
+                          num_buckets: int = 64):
+    """Cross-document repeated-SPAN removal: drop every token covered
+    by at least one whitespace ``n``-gram that occurs in ≥ ``min_df``
+    distinct documents corpus-wide (spam paragraphs, licence blocks,
+    templated passages), keep everything else in order, and report
+    per-doc coverage. Token ``i`` is covered iff some flagged gram
+    START lies in ``[i-n+1, i]`` — so a repeated span of any length
+    ≥ n is removed in full while unique text within n-1 tokens of its
+    borders survives.
+
+    Scale shape: one bucketed exchange to find the repeated-gram set
+    (:func:`repeated_grams`; at most one (gram, partial_df) row per
+    distinct gram per batch), then one streaming pass with the set
+    broadcast via ``ray.put`` — coverage is a cumulative-sum window
+    over flat token positions, a doc's tokens never leave its batch.
+    The broadcast set is bounded by the corpus's repeated-passage
+    vocabulary; raise ``min_df``/``n`` if a corpus breaks that."""
+    import ray
+
+    from merge_machine_ray.stages.decontam import (_split_tokens,
+                                                   _window_starts)
+
+    rep_ref = ray.put(repeated_grams(ds, n, min_df, col, id_col,
+                                     num_buckets))
+
+    def strip(t: pa.Table) -> pa.Table:
+        vs = ray.get(rep_ref)
+        toks = _split_tokens(t[col])
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        total = int(offs[-1])
+        flags = np.zeros(total + 1, dtype=np.int64)
+        starts, _rows = _window_starts(offs, n)
+        if starts.size and len(vs):
+            flat = toks.values
+            cols_ = [flat.take(pa.array(starts + j)) for j in range(n)]
+            grams = pc.binary_join_element_wise(*cols_, " ")
+            hit = pc.is_in(grams, value_set=vs) \
+                .to_numpy(zero_copy_only=False)
+            flags[starts[hit] + 1] = 1
+        c = np.cumsum(flags)
+        idx = np.arange(total, dtype=np.int64)
+        tok_rows = np.repeat(np.arange(len(counts), dtype=np.int64),
+                             counts)
+        lo = np.maximum(idx - n + 1, offs[:-1][tok_rows])
+        covered = (c[idx + 1] - c[lo]) > 0
+        keepm = ~covered
+        kept_counts = np.bincount(tok_rows[keepm],
+                                  minlength=len(counts)).astype(np.int64)
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(kept_counts))),
+                     pa.int32()),
+            toks.values.filter(pa.array(keepm)))
+        return pa.table({
+            id_col: t[id_col],
+            "clean_text": pc.binary_join(la, " "),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "n_covered": pa.array((counts - kept_counts).astype(np.int64)),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow")

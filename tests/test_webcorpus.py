@@ -162,3 +162,44 @@ def test_canonical_groups_collapses_decorations(ray_session):
         "https://ex.com/a", "https://ex.com/a?page=2"]
     assert out["n_pages"].tolist() == [3, 1]
     assert out["first_doc"].tolist() == [2, 9]
+
+
+def test_remove_repeated_spans_exact_coverage(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import remove_repeated_spans
+
+    spam = "s1 s2 s3 s4"                      # 4-token shared span
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"a b {spam} c d",                # span mid-doc
+            f"{spam} x y z",                  # span at start
+            "p q r s t u v w",                # untouched
+        ]),
+    })
+    out = remove_repeated_spans(rd.from_arrow(docs), n=4, min_df=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # only the 4 spam tokens are covered: boundary grams mix doc-
+    # specific tokens so they never repeat across docs
+    assert out["clean_text"].tolist() == ["a b c d", "x y z",
+                                          "p q r s t u v w"]
+    assert out["n_covered"].tolist() == [4, 4, 0]
+    assert out["n_tokens"].tolist() == [8, 7, 8]
+
+
+def test_remove_repeated_spans_within_doc_repeat_not_removed(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import remove_repeated_spans
+
+    # the 3-gram "r r r" repeats INSIDE doc 1 only → df counts
+    # distinct docs → 1 < min_df → kept
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["r r r r r r", "a b c d e f"]),
+    })
+    out = remove_repeated_spans(rd.from_arrow(docs), n=3, min_df=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_covered"].tolist() == [0, 0]
+    assert out["clean_text"].tolist() == ["r r r r r r", "a b c d e f"]
