@@ -2550,6 +2550,9 @@ def repeated_span_docs(sf_dir: str):
         return joined.take(evens)
 
     def plant(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
         txt = t["text"]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
