@@ -195,6 +195,7 @@ def run_bench() -> dict:
     timed("latest_page_snapshot", Q.latest_page_snapshot)
     timed("canonical_url_dedup", Q.canonical_url_dedup)
     timed("repeated_span_docs", Q.repeated_span_docs)
+    timed("doc_lm_score", Q.doc_lm_score)
 
     result = {
         "metric": "er_pages_e2e",

@@ -2523,6 +2523,38 @@ FROM (
 """
 
 
+def doc_lm_score(sf_dir: str):
+    """CCNet-style LM quality scores: corpus-fit add-one-smoothed
+    unigram log-probs, per-doc total and floor-mean in micro units
+    (the monotone stand-in for negative log-perplexity that the
+    CCNet head/middle/tail filter thresholds). Per-token log-probs
+    are quantized BEFORE the doc fold so float summation order can
+    never flip a value (webcorpus.unigram_lm_scores)."""
+    from merge_machine_ray.stages.webcorpus import unigram_lm_scores
+
+    return unigram_lm_scores(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]))
+
+
+DOC_LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+lp AS (SELECT tok,
+              CAST(round(ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT)
+                AS lp_micro
+       FROM cnt, tot),
+per AS (
+  SELECT t.doc_id, CAST(sum(lp.lp_micro) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS ntok
+  FROM toks t JOIN lp USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, ntok AS n_tokens, s AS lp_sum_micro,
+       CAST(floor(CAST(s AS DOUBLE) / ntok) AS BIGINT) AS avg_lp_micro
+FROM per
+"""
+
+
 _SPAM_SPAN = ("win a free prize click here now to claim your reward "
               "today")                       # 12 tokens
 _SPAN_N = 8
@@ -2894,6 +2926,7 @@ def build_queries() -> dict:
         "latest_page_snapshot": latest_page_snapshot,
         "canonical_url_dedup": canonical_url_dedup,
         "repeated_span_docs": repeated_span_docs,
+        "doc_lm_score": doc_lm_score,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -3013,6 +3046,7 @@ def build_oracle_sql() -> dict:
         "latest_page_snapshot": LATEST_SNAPSHOT_SQL,
         "canonical_url_dedup": _canonical_url_dedup_sql(),
         "repeated_span_docs": REPEATED_SPAN_SQL,
+        "doc_lm_score": DOC_LM_SCORE_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }

@@ -662,3 +662,78 @@ def remove_repeated_spans(ds, n: int, min_df: int = 2,
         })
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+# ----------------------------------------------- LM quality scoring
+def unigram_lm_scores(ds, col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style LM quality scoring with a corpus-fit unigram LM:
+    fit add-one-smoothed token log-probabilities ``ln((c+1)/(N+V))``
+    on the corpus itself, then score every doc by total and mean
+    per-token log-prob (micro-quantized; the mean is the monotone
+    equivalent of negative log-perplexity, so thresholding/bucketing
+    it IS the CCNet perplexity filter). Emits ``(id, n_tokens,
+    lp_sum_micro, avg_lp_micro)``.
+
+    Scale shape: pass 1 pre-combines token counts inside each batch,
+    so the exchange is vocabulary-bounded (one (tok, partial_count)
+    row per distinct token per batch); the fitted table is
+    vocabulary-bounded and broadcast once via ``ray.put``; pass 2 is
+    one streaming lookup + segmented integer sum per batch. Per-token
+    log-probs are quantized to int64 micro BEFORE the doc fold, so
+    cross-engine float summation order cannot flip a result."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.decontam import _split_tokens
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = _split_tokens(t[col])
+        enc = pc.dictionary_encode(toks.values)
+        cnt = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"tok": enc.dictionary, "pc_": pa.array(cnt)})
+
+    counts = ds.map_batches(tf_partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("pc_", alias_name="c"))
+    parts = [b for b in counts.iter_batches(batch_size=1 << 16,
+                                            batch_format="pyarrow")]
+    tbl = (pa.concat_tables(parts) if parts
+           else pa.table({"tok": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())}))
+    c = _np(tbl["c"].cast(pa.int64()))
+    n_total, vocab = int(c.sum()), len(c)
+    lp_micro = np.round(
+        np.log((c + 1.0) / (n_total + vocab)) * 1e6).astype(np.int64)
+    unseen_micro = np.int64(round(
+        np.log(1.0 / (n_total + vocab)) * 1e6)) if vocab else np.int64(0)
+    tok_arr = tbl["tok"]
+    if isinstance(tok_arr, pa.ChunkedArray):
+        tok_arr = tok_arr.combine_chunks()
+    ref = ray.put((tok_arr, lp_micro, unseen_micro))
+
+    def score(t: pa.Table) -> pa.Table:
+        lookup, lp, unseen = ray.get(ref)
+        toks = _split_tokens(t[col])
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.diff(offs)
+        pos = pc.index_in(toks.values, value_set=lookup)
+        valid = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        if len(lp):
+            pos_np = pos.to_numpy(zero_copy_only=False)
+            idxs = np.zeros(len(valid), dtype=np.int64)
+            idxs[valid] = pos_np[valid].astype(np.int64)
+            tok_lp = np.where(valid, lp[idxs], unseen)
+        else:
+            tok_lp = np.full(len(valid), unseen, dtype=np.int64)
+        rows = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        s = np.zeros(len(ntok), dtype=np.int64)
+        np.add.at(s, rows, tok_lp)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(ntok.astype(np.int64)),
+            "lp_sum_micro": pa.array(s),
+            "avg_lp_micro": pa.array(np.floor_divide(s, ntok)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -203,3 +203,27 @@ def test_remove_repeated_spans_within_doc_repeat_not_removed(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["n_covered"].tolist() == [0, 0]
     assert out["clean_text"].tolist() == ["r r r r r r", "a b c d e f"]
+
+
+def test_unigram_lm_scores_semantics(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import unigram_lm_scores
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a a b", "b c"]),
+    })
+    out = unigram_lm_scores(rd.from_arrow(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # corpus: a×2 b×2 c×1, N=5 V=3 → lp(tok)=ln((c+1)/8)
+    lp = {t: int(np.round(np.log((c + 1) / 8.0) * 1e6))
+          for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    s1 = 2 * lp["a"] + lp["b"]
+    s2 = lp["b"] + lp["c"]
+    assert out["lp_sum_micro"].tolist() == [s1, s2]
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out["avg_lp_micro"].tolist() == [s1 // 3, s2 // 2]
+    # repeat docs score higher (less negative) than rare-token docs
+    assert out["avg_lp_micro"][0] > out["avg_lp_micro"][1]
