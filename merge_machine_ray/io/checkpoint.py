@@ -142,3 +142,46 @@ def run_stage_checkpointed(ckpt: StageCheckpoint, partition_ids: list[str],
             for pid in pending:
                 ckpt.write_partition(pid, make_table(pid))
     return ckpt.read_all()
+
+
+_REPORT_SCHEMA = pa.schema([
+    ("stage", pa.string()), ("partition", pa.string()),
+    ("rows", pa.int64()), ("elapsed_ms", pa.int64()),
+    ("input_fingerprint", pa.string()),
+    ("config_fingerprint", pa.string()),
+])
+
+
+def lineage_report(root: str) -> pa.Table:
+    """Operational lineage view over a checkpointed run: one row per
+    COMPLETED partition across every stage directory under ``root``,
+    with its row count, wall time and the stage's input/config
+    fingerprints (the invalidation keys). This is the queryable form
+    of the per-partition lineage + metrics the manifests record —
+    feed it to a Dataset for fleet-level aggregation, or eyeball it
+    to find the slow/fat partition after a resume."""
+    stages, parts, rows_, ms, ifp, cfp = [], [], [], [], [], []
+    if os.path.isdir(root):
+        for stage in sorted(os.listdir(root)):
+            mp = os.path.join(root, stage, "_manifest.json")
+            if not os.path.isfile(mp):
+                continue
+            with open(mp) as f:
+                m = json.load(f)
+            for pid, met in sorted(m.get("completed", {}).items()):
+                if not isinstance(met, dict):   # legacy bare row count
+                    met = {"rows": met}
+                stages.append(stage)
+                parts.append(pid)
+                rows_.append(int(met.get("rows", 0)))
+                ms.append(int(met.get("elapsed_ms", -1)))
+                ifp.append(str(m.get("input_fingerprint", "")))
+                cfp.append(str(m.get("config_fingerprint", "")))
+    return pa.table({
+        "stage": pa.array(stages, pa.string()),
+        "partition": pa.array(parts, pa.string()),
+        "rows": pa.array(rows_, pa.int64()),
+        "elapsed_ms": pa.array(ms, pa.int64()),
+        "input_fingerprint": pa.array(ifp, pa.string()),
+        "config_fingerprint": pa.array(cfp, pa.string()),
+    }).cast(_REPORT_SCHEMA)

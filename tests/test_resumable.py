@@ -48,6 +48,18 @@ def test_resume_skips_completed_and_matches_full_run(
             assert entry["rows"] >= 0, (stage, pid)
             assert "elapsed_ms" in entry, (stage, pid)
 
+    # the queryable lineage view must cover every stage's completed
+    # partitions with metrics and carry the invalidation fingerprints
+    from merge_machine_ray.io.checkpoint import lineage_report
+
+    rep = lineage_report(out_root).to_pandas()
+    assert set(rep["stage"]) == {"features", "bands", "edges",
+                                 "clusters", "output"}
+    assert (rep["rows"] >= 0).all() and (rep["elapsed_ms"] >= 0).all()
+    assert (rep["input_fingerprint"].str.len() > 0).all()
+    feats = rep[rep.stage == "features"]
+    assert len(feats) == len(paths)       # one partition per shard
+
     # simulate a mid-pipeline kill: wipe the edges stage of one range and
     # the whole output stage; features/bands/clusters stay on disk
     edges_dir = os.path.join(out_root, "edges")
