@@ -413,6 +413,11 @@ def frequent_values(ds, pairs_fn, min_df: int, num_buckets: int = 64
 
     def partial(t: pa.Table) -> pa.Table:
         rows, values = pairs_fn(t)
+        if not len(values):        # e.g. every doc shorter than a window
+            return _hash_bucket_batch(
+                pa.table({"val": pa.array([], pa.string()),
+                          "dn": pa.array([], pa.int64())}),
+                "val", num_buckets)
         enc = pc.dictionary_encode(values)
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((codes, rows))

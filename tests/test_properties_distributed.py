@@ -152,3 +152,107 @@ def test_distributed_cc_random_graphs(ray_session):
         assert got == want
 
     check()
+
+
+def test_remove_common_lines_matches_reference(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import remove_common_lines
+
+    line = st.text(alphabet="ab ", max_size=6)
+    doc = st.builds("\n".join, st.lists(line, min_size=1, max_size=5))
+
+    @settings(**_SETTINGS)
+    @given(st.lists(doc, min_size=1, max_size=12),
+           st.integers(2, 3))
+    def check(texts, min_df):
+        from collections import Counter
+
+        df = Counter()
+        for t in texts:
+            for ln in set(t.split("\n")):
+                df[ln] += 1
+        want = []
+        for i, t in enumerate(texts):
+            lines = t.split("\n")
+            kept = [ln for ln in lines if df[ln] < min_df]
+            want.append((i, "\n".join(kept), len(lines), len(kept)))
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts)})
+        out = remove_common_lines(rd.from_arrow(tbl), min_df=min_df) \
+            .to_pandas().sort_values("doc_id")
+        got = list(zip(out.doc_id, out.clean_text, out.n_lines,
+                       out.n_kept))
+        assert got == want
+
+    check()
+
+
+def test_remove_repeated_spans_matches_reference(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import remove_repeated_spans
+
+    tok = st.sampled_from(["a", "b", "c", "aa"])
+    doc = st.builds(" ".join, st.lists(tok, min_size=1, max_size=12))
+
+    @settings(**_SETTINGS)
+    @given(st.lists(doc, min_size=1, max_size=10),
+           st.integers(2, 4))
+    def check(texts, n):
+        from collections import Counter
+
+        def grams(toks):
+            return [" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)]
+
+        df = Counter()
+        for t in texts:
+            for g in set(grams(t.split(" "))):
+                df[g] += 1
+        want = []
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            flag = [df[g] >= 2 for g in grams(toks)]
+            cov = [any(flag[max(0, p - n + 1):p + 1])
+                   for p in range(len(toks))]
+            kept = [tk for tk, c in zip(toks, cov) if not c]
+            want.append((i, " ".join(kept), len(toks),
+                         sum(cov)))
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts)})
+        out = remove_repeated_spans(rd.from_arrow(tbl), n=n, min_df=2) \
+            .to_pandas().sort_values("doc_id")
+        got = list(zip(out.doc_id, out.clean_text, out.n_tokens,
+                       out.n_covered))
+        assert got == want
+
+    check()
+
+
+def test_latest_snapshot_matches_reference(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import latest_snapshot
+
+    @settings(**_SETTINGS)
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 4),
+                              st.integers(0, 50)),
+                    min_size=1, max_size=30))
+    def check(rows):
+        best, cnt = {}, {}
+        for u, ep, i in rows:
+            cnt[u] = cnt.get(u, 0) + 1
+            if u not in best or (ep, i) > best[u]:
+                best[u] = (ep, i)
+        want = {f"u{u}": (ep, i, cnt[u]) for u, (ep, i) in best.items()}
+        tbl = pa.table({
+            "url": pa.array([f"u{u}" for u, _, _ in rows]),
+            "warc_ep": pa.array([ep for _, ep, _ in rows], pa.int64()),
+            "doc_id": pa.array([i for _, _, i in rows], pa.int64())})
+        out = latest_snapshot(rd.from_arrow(tbl)).to_pandas()
+        got = {r.url: (r.warc_ep, r.doc_id, r.n_snapshots)
+               for r in out.itertuples()}
+        assert got == want
+
+    check()
