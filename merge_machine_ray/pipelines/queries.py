@@ -898,6 +898,74 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """)
 
 
+def cluster_representatives(sf_dir: str):
+    """Near-dup cluster REPRESENTATIVE selection — the keep-decision
+    every dedup pass ends with: per transitive cluster (same graph as
+    cluster_exact_jaccard), keep the longest doc (max n_chars, ties →
+    max doc_id) and report cluster size. The per-cluster argmax is the
+    same batch-local-combine + bucketed-resolve machinery as the
+    crawl-revisit dedup (webcorpus.latest_snapshot), keyed by cluster
+    instead of url."""
+    from merge_machine_ray.stages.clustering import (attach_assignments,
+                                                     connected_components)
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+    from merge_machine_ray.stages.webcorpus import latest_snapshot
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    edges = ngram_jaccard_pairs(ds.select_columns(["doc_id", "text"]),
+                                threshold_micro=500_000) \
+        .select_columns(["id_a", "id_b"]) \
+        .rename_columns({"id_a": "a", "id_b": "b"})
+    assign = connected_components(edges)
+    with_c = attach_assignments(
+        ds.select_columns(["doc_id", "n_chars"]), assign)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"ckey": t["cluster_id"].cast(pa.string()),
+                         "n_chars": t["n_chars"].cast(pa.int64()),
+                         "doc_id": t["doc_id"]})
+
+    rep = latest_snapshot(with_c.map_batches(prep, batch_format="pyarrow"),
+                          url_col="ckey", ts_col="n_chars",
+                          id_col="doc_id")
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t["ckey"].cast(pa.int64()),
+            "rep_doc_id": t["doc_id"],
+            "rep_n_chars": t["n_chars"].cast(pa.int64()),
+            "n_members": t["n_snapshots"].cast(pa.int64()),
+        })
+
+    return rep.map_batches(tidy, batch_format="pyarrow")
+
+
+CLUSTER_REPRESENTATIVES_SQL = (
+    _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks") + """
+, edges AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard_micro >= 500000),
+undirected AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, r) AS (
+  SELECT a AS node, b AS r FROM undirected
+  UNION
+  SELECT reach.node, u.b AS r FROM reach JOIN undirected u ON reach.r = u.a),
+comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node),
+full_assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT cluster_id, rep_doc_id, rep_n_chars, n_members FROM (
+  SELECT cluster_id, doc_id AS rep_doc_id,
+         CAST(n_chars AS BIGINT) AS rep_n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id DESC) AS rk,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members
+  FROM full_assign) WHERE rk = 1
+""")
+
+
 def cluster_size_hist(sf_dir: str):
     """Dedup-graph metrics: histogram of transitive-cluster sizes (how
     many clusters of 1, 2, 3… docs the exact-Jaccard near-dup graph
@@ -2927,6 +2995,7 @@ def build_queries() -> dict:
         "canonical_url_dedup": canonical_url_dedup,
         "repeated_span_docs": repeated_span_docs,
         "doc_lm_score": doc_lm_score,
+        "cluster_representatives": cluster_representatives,
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
@@ -3047,6 +3116,7 @@ def build_oracle_sql() -> dict:
         "canonical_url_dedup": _canonical_url_dedup_sql(),
         "repeated_span_docs": REPEATED_SPAN_SQL,
         "doc_lm_score": DOC_LM_SCORE_SQL,
+        "cluster_representatives": CLUSTER_REPRESENTATIVES_SQL,
         "clean_corpus_full": _clean_corpus_full_sql(),
         "cluster_size_hist": CLUSTER_SIZE_HIST_SQL,
     }
