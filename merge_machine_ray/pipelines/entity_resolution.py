@@ -54,7 +54,8 @@ def _reusable_features(ds_in, features, spill_dir: str | None = None):
 
 def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
                           id_col: str = "url", text_col: str = "text",
-                          concurrency=None, num_partitions: int = 32):
+                          concurrency=None, num_partitions: int = 32,
+                          pair_filter=None):
     """pages/documents Dataset → scored candidate-pair Dataset.
 
     Returns (scored_pairs_ds, features_ds). ``scored`` has per-field
@@ -91,6 +92,10 @@ def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
         features, num_perm=p.num_perm, num_bands=p.num_bands,
         shingle_width=p.shingle_width, block_cap=p.block_cap,
         include_host=(id_col == "url"))
+    if pair_filter is not None:
+        # prune BEFORE the scoring actor pool — the expensive stage
+        # (used by resolve_entities_incremental to drop old-old pairs)
+        pairs = pairs.map_batches(pair_filter, batch_format="pyarrow")
     scored = score_pairs(pairs, idf_ref=idf_ref, params=p,
                          concurrency=concurrency)
     return scored, features
@@ -125,3 +130,80 @@ def resolve_entities(ds, params=None, id_col: str = "url",
     # Singleton fill / re-duplication join: stages.clustering.attach_assignments
     # (size-aware broadcast searchsorted probe vs bucketed left hash join).
     return attach_assignments(docs, assign)
+
+
+def resolve_entities_incremental(old_ds, new_ds, prev_assign,
+                                 params=None, id_col: str = "url",
+                                 text_col: str = "text",
+                                 concurrency=None, cc_mode: str = "auto"):
+    """Incremental ER for a crawl increment: cluster ``new_ds`` into an
+    ALREADY-CLUSTERED corpus without rescoring a single old-old pair.
+
+    How: the union corpus goes through the normal featurize → banding,
+    but candidate pairs where BOTH sides are old are pruned before the
+    scoring actor pool (the increment's id set broadcasts once via
+    ``ray.put``; membership is one searchsorted probe per batch). The
+    previous assignment enters connected components as STAR edges
+    (doc → its cluster label), which preserve old connectivity exactly
+    — so the output equals a full recompute whenever the old-old match
+    decisions are stable under the increment (they were decided under
+    the old corpus's IDF table; a full recompute re-decides them under
+    the union's — the standard freeze semantics of incremental dedup).
+    Labels stay min-member-id in both, so stable decisions give
+    byte-identical clusters (tested).
+
+    Scale shape: scoring work is O(pairs touching the increment), not
+    O(corpus pairs); the increment id set is increment-sized by
+    definition; everything else streams exactly like resolve_entities.
+    """
+    import numpy as np
+    import ray
+
+    from merge_machine_ray.functions.hashing import stable_hash64
+    from merge_machine_ray.stages.normalize_stage import _to_i64
+
+    parts = []
+    for b in new_ds.select_columns([id_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        col = b[id_col]
+        if id_col == "url":
+            parts.append(np.array(
+                [_to_i64(stable_hash64(u)) for u in col.to_pylist()],
+                dtype=np.int64))
+        else:
+            parts.append(col.cast(pa.int64())
+                         .to_numpy(zero_copy_only=False).astype(np.int64))
+    new_ids = (np.unique(np.concatenate(parts)) if parts
+               else np.empty(0, dtype=np.int64))
+    new_ref = ray.put(new_ids)
+
+    def touches_new(t: pa.Table) -> pa.Table:
+        ids = ray.get(new_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+
+        def member(x):
+            pos = np.searchsorted(ids, x)
+            pos = np.minimum(pos, max(len(ids) - 1, 0))
+            return (ids[pos] == x) if len(ids) else \
+                np.zeros(len(x), dtype=bool)
+
+        return t.filter(pa.array(member(a) | member(b)))
+
+    union = old_ds.union(new_ds)
+    scored, features = score_candidate_pairs(
+        union, params, id_col=id_col, text_col=text_col,
+        concurrency=concurrency, pair_filter=touches_new)
+    schema = features.schema()
+    new_edges = scored.filter(expr="is_match").select_columns(["a", "b"])
+    stars = prev_assign.select_columns(["doc_id", "cluster_id"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "a": t["doc_id"].cast(pa.int64()),
+                "b": t["cluster_id"].cast(pa.int64())}),
+            batch_format="pyarrow") \
+        .filter(expr="a != b")
+    edges = new_edges.union(stars).materialize()
+    assign = connected_components(edges, mode=cc_mode)
+    keep = ["url", "doc_id"] if "url" in schema.names else ["doc_id"]
+    return attach_assignments(features.select_columns(keep), assign)

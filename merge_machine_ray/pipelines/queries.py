@@ -2228,6 +2228,53 @@ def er_pages_planted(sf_dir: str):
 ER_PAGES_PLANTED_SQL = _PLANTED_PAIRS_SQL
 
 
+def er_pages_incremental(sf_dir: str):
+    """INCREMENTAL flagship ER with the same planted-twin driver
+    oracle as er_pages_planted: the base pages are clustered first
+    (the 'yesterday' corpus), the verbatim twin pages arrive as a
+    crawl increment, and resolve_entities_incremental folds them in —
+    pruning every old-old candidate pair before the scoring pool and
+    seeding connected components with yesterday's assignment as star
+    edges. Every planted twin must land in its base's cluster, so the
+    hash check covers the increment path end to end (byte-equality
+    with a full recompute is additionally pytest-enforced in
+    test_pipeline_er.py)."""
+    from merge_machine_ray.pipelines.entity_resolution import (
+        resolve_entities, resolve_entities_incremental)
+    from merge_machine_ray.state.params import MatchParams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    planted = _plant_doc_twins(ds)
+
+    def side(want_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = ids >= _PLANT_OFFSET
+            return t.filter(pa.array(m if want_new else ~m))
+        return f
+
+    old_pages = planted.map_batches(side(False), batch_format="pyarrow") \
+        .map_batches(_docs_to_pages, batch_format="pyarrow")
+    new_pages = planted.map_batches(side(True), batch_format="pyarrow") \
+        .map_batches(_docs_to_pages, batch_format="pyarrow")
+    p = MatchParams(w_text=0.9, w_ints=0.0, w_url=0.0, w_host=0.0,
+                    w_lang=0.1, threshold=0.8, block_cap=8192)
+    prev = resolve_entities(old_pages, p, id_col="url")
+    assign = resolve_entities_incremental(old_pages, new_pages, prev,
+                                          p, id_col="url")
+
+    def orig_ids(t: pa.Table) -> pa.Table:
+        oid = pc.extract_regex(t["url"], r"/doc/(?P<oid>\d+)$")
+        oid = pc.cast(pc.struct_field(oid, "oid"), pa.int64())
+        return pa.table({"doc_id": oid, "cluster_id": t["cluster_id"]})
+
+    kv = assign.map_batches(orig_ids, batch_format="pyarrow")
+    return _planted_equal_pairs(kv, "cluster_id")
+
+
+ER_PAGES_INCREMENTAL_SQL = _PLANTED_PAIRS_SQL
+
+
 # ------------------------------------------------- decontamination
 _DECON_N = 5          # n-gram width (GPT-3 used 13; corpus here is short)
 _DECON_MOD = 13       # doc_id % 13 == 0 plays the (small) eval benchmark
@@ -2971,6 +3018,7 @@ def build_queries() -> dict:
     return {
         # flagship + ER family
         "er_pages_planted": er_pages_planted,
+        "er_pages_incremental": er_pages_incremental,
         "er_documents": er_documents,
         "link_suppliers_to_nations": link_suppliers_to_nations,
         "cluster_exact_jaccard": cluster_exact_jaccard,
@@ -3086,6 +3134,7 @@ def build_oracle_sql() -> dict:
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         "er_documents": ER_DOCUMENTS_SQL,
         "er_pages_planted": ER_PAGES_PLANTED_SQL,
+        "er_pages_incremental": ER_PAGES_INCREMENTAL_SQL,
         "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
         "orders_lag_delta": ORDERS_LAG_SQL,
         "inactive_customers": INACTIVE_CUSTOMERS_SQL,

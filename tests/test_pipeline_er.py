@@ -232,3 +232,33 @@ def test_featurize_vectorized_matches_scalar(ray_session):
     for c in ("tok_hashes", "int_hashes", "n_tokens",
               "doc_id", "host", "path"):
         assert out_v[c].to_pylist() == out_s[c].to_pylist(), c
+
+
+def test_incremental_er_matches_full_recompute(ray_session,
+                                               tmp_path_factory):
+    """Incremental ER (old clustered corpus + crawl increment, old-old
+    pairs pruned, prev assignment as star edges) must reproduce the
+    full recompute byte-for-byte on the fixture: same labels for every
+    doc, old AND new."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from merge_machine_ray.fixtures.pages import write_fixture
+    from merge_machine_ray.pipelines.entity_resolution import (
+        resolve_entities, resolve_entities_incremental)
+
+    d = str(tmp_path_factory.mktemp("pages_inc"))
+    write_fixture(d, n_entities=150, shard_size=50)
+    paths = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    assert len(paths) >= 3
+    old_paths, new_paths = paths[:-1], paths[-1:]
+
+    full = {r["doc_id"]: r["cluster_id"]
+            for r in resolve_entities(rd.read_parquet(paths)).take_all()}
+    prev = resolve_entities(rd.read_parquet(old_paths))
+    inc = resolve_entities_incremental(
+        rd.read_parquet(old_paths), rd.read_parquet(new_paths), prev)
+    got = {r["doc_id"]: r["cluster_id"] for r in inc.take_all()}
+    assert got == full
