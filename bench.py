@@ -197,6 +197,28 @@ def run_bench() -> dict:
     timed("repeated_span_docs", Q.repeated_span_docs)
     timed("doc_lm_score", Q.doc_lm_score)
 
+    # incremental ER: cluster all but the last shard (untimed), then
+    # time folding the last shard in — old-old pairs are pruned before
+    # the scoring pool, so the add costs featurize+banding (linear)
+    # plus scoring only the increment-touching pairs
+    import glob as _glob
+
+    from merge_machine_ray.pipelines.entity_resolution import (
+        resolve_entities_incremental,
+    )
+
+    shards = sorted(_glob.glob(os.path.join(PAGES_DIR, "*.parquet")))
+    if len(shards) >= 2:
+        old_p, new_p = shards[:-1], shards[-1:]
+        prev = resolve_entities(rd.read_parquet(old_p)).materialize()
+        t0 = time.time()
+        inc = resolve_entities_incremental(
+            rd.read_parquet(old_p), rd.read_parquet(new_p), prev)
+        for _ in inc.iter_batches(batch_size=65536,
+                                  batch_format="pyarrow"):
+            pass
+        timings["er_incremental_add"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "er_pages_e2e",
         "value": round(headline, 3),
