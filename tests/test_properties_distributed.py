@@ -256,3 +256,77 @@ def test_latest_snapshot_matches_reference(ray_session):
         assert got == want
 
     check()
+
+
+def test_canonical_groups_matches_reference(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from merge_machine_ray.functions.urls import canonical_url_sql_expr
+    from merge_machine_ray.stages.webcorpus import canonical_groups
+
+    url = st.builds(
+        lambda h, p, dec: f"https://{'www.' if dec == 1 else ''}h{h}.com"
+        f"{':443' if dec == 2 else ''}/p{p}"
+        + {0: "", 1: "", 2: "", 3: "?utm_source=x", 4: "#f", 5: "/",
+           6: "?id=1"}[dec],
+        st.integers(0, 2), st.integers(0, 3), st.integers(0, 6))
+
+    @settings(**_SETTINGS)
+    @given(st.lists(url, min_size=1, max_size=25))
+    def check(urls):
+        # reference: canonicalize via the (fuzz-proven) DuckDB twin
+        # expression, then group in python
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT i, {canonical_url_sql_expr('url')} "
+            f"FROM (SELECT unnest($1) AS url, "
+            f"unnest(range(len($1))) AS i) ORDER BY i",
+            [urls]).fetchall()
+        want = {}
+        for i, cu in rows:
+            n, mn = want.get(cu, (0, 1 << 62))
+            want[cu] = (n + 1, min(mn, i))
+        tbl = pa.table({"url": pa.array(urls),
+                        "doc_id": pa.array(range(len(urls)), pa.int64())})
+        out = canonical_groups(rd.from_arrow(tbl)).to_pandas()
+        got = {r.canon_url: (r.n_pages, r.first_doc)
+               for r in out.itertuples()}
+        assert got == want
+
+    check()
+
+
+def test_unigram_lm_scores_matches_reference(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import unigram_lm_scores
+
+    doc = st.builds(" ".join, st.lists(
+        st.sampled_from(["a", "b", "cc", ""]), min_size=0, max_size=6))
+
+    @settings(**_SETTINGS)
+    @given(st.lists(doc, min_size=1, max_size=10))
+    def check(texts):
+        from collections import Counter
+
+        cnt = Counter()
+        for t in texts:
+            cnt.update(t.split(" "))
+        n, v = sum(cnt.values()), len(cnt)
+        lp = {t: int(np.round(np.log((c + 1.0) / (n + v)) * 1e6))
+              for t, c in cnt.items()}
+        want = []
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            s = sum(lp[tk] for tk in toks)
+            want.append((i, len(toks), s, s // len(toks)))
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts)})
+        out = unigram_lm_scores(rd.from_arrow(tbl)).to_pandas() \
+            .sort_values("doc_id")
+        got = list(zip(out.doc_id, out.n_tokens, out.lp_sum_micro,
+                       out.avg_lp_micro))
+        assert got == want
+
+    check()
