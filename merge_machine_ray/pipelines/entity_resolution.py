@@ -88,14 +88,13 @@ def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
     features = _reusable_features(ds, features)  # IDF + blocking + output
     idf = build_idf_table(features)
     idf_ref = ray.put(idf)
+    # pair_filter prunes the ID-ONLY pair set inside candidate_pairs,
+    # before the feature-attach joins AND the scoring actor pool (used
+    # by resolve_entities_incremental to drop old-old pairs)
     pairs = candidate_pairs(
         features, num_perm=p.num_perm, num_bands=p.num_bands,
         shingle_width=p.shingle_width, block_cap=p.block_cap,
-        include_host=(id_col == "url"))
-    if pair_filter is not None:
-        # prune BEFORE the scoring actor pool — the expensive stage
-        # (used by resolve_entities_incremental to drop old-old pairs)
-        pairs = pairs.map_batches(pair_filter, batch_format="pyarrow")
+        include_host=(id_col == "url"), pair_id_filter=pair_filter)
     scored = score_pairs(pairs, idf_ref=idf_ref, params=p,
                          concurrency=concurrency)
     return scored, features

@@ -393,7 +393,7 @@ def overcap_band_keys(bands_ds, block_cap: int) -> np.ndarray:
 def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
                     shingle_width: int = 3, block_cap: int = 64,
                     include_host: bool = True, num_buckets: int | None = None,
-                    attach: str = "auto"):
+                    attach: str = "auto", pair_id_filter=None):
     """features → candidate pair dataset with both sides' features
     attached (columns a, b, url_a/b, host_a/b, lang_a/b, tok_hashes_a/b).
 
@@ -465,10 +465,13 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
         bucketed = bucketed.materialize()
         oc = overcap_band_keys(bucketed, block_cap)
         oc_ref = ray.put(oc) if oc.size else None
-        return bucketed.groupby("bucket").map_groups(
+        out = bucketed.groupby("bucket").map_groups(
             _emit_pairs_bucket_fn(block_cap, tuple(present),
                                   overcap_ref=oc_ref),
             batch_format="pyarrow")
+        if pair_id_filter is not None:
+            out = out.map_batches(pair_id_filter, batch_format="pyarrow")
+        return out
     pairs = bucketed.groupby("bucket").map_groups(
         _emit_pairs_bucket_fn(block_cap, ()), batch_format="pyarrow")
 
@@ -493,6 +496,11 @@ def candidate_pairs(features_ds, num_perm: int = 128, num_bands: int = 16,
 
     pairs = pairs.map_batches(pair_bucket, batch_format="pyarrow") \
         .groupby("pbkt").map_groups(uniq_pairs, batch_format="pyarrow")
+    if pair_id_filter is not None:
+        # prune on the ID-ONLY pair set, BEFORE features re-attach —
+        # the attach joins then size to the surviving pairs (the
+        # incremental-ER path drops every old-old pair here)
+        pairs = pairs.map_batches(pair_id_filter, batch_format="pyarrow")
 
     # only the scoring features re-attach — url/norm_text/n_tokens come
     # back from the features dataset if a caller needs them
