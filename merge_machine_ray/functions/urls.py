@@ -117,7 +117,9 @@ def canonical_url(arr) -> pa.Array:
 
 def canonical_url_sql_expr(col: str) -> str:
     """The exact same rewrite chain as :func:`canonical_url`, emitted
-    as a DuckDB SQL expression over ``col`` (for oracle twins)."""
+    as a DuckDB SQL expression over ``col`` (for oracle twins). NULLs
+    fold to '' up front, matching the Arrow chain's fill_null."""
+    col = f"COALESCE({col}, '')"
     pre_pat = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
     expr = (f"CASE WHEN regexp_matches({col}, '{pre_pat}') THEN "
             f"lower(regexp_extract({col}, '{pre_pat}', 1)) || "

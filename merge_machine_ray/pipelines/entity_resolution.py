@@ -100,35 +100,51 @@ def score_candidate_pairs(ds, params: MatchParams | dict | str | None = None,
     return scored, features
 
 
-def resolve_entities(ds, params=None, id_col: str = "url",
-                     text_col: str = "text", concurrency=None,
-                     num_partitions: int = 32, cc_mode: str = "auto"):
-    """Full ER: returns Dataset[(url?, doc_id, cluster_id)] covering every
-    input row (singletons get cluster_id = own doc_id)."""
-    import ray
+def _empty_assignment():
+    import ray.data as rd
 
-    scored, features = score_candidate_pairs(
-        ds, params, id_col=id_col, text_col=text_col,
-        concurrency=concurrency, num_partitions=num_partitions)
-    # Materialize the (small) edge list once: clustering consumes it
-    # repeatedly and must not re-run the scoring actor pool per pass —
-    # with few CPUs, piled-up actor pools from repeated executions can
-    # starve each other.
+    return rd.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64())}))
+
+
+def _finish_clustering(scored, features, cc_mode: str,
+                       extra_edges=None):
+    """Shared ER tail: match edges (+ optional extra edges) →
+    connected components → singleton fill over the feature rows.
+    Returns None when the input was empty (caller emits the empty
+    assignment).
+
+    The edge list is materialized once: clustering consumes it
+    repeatedly and must not re-run the scoring actor pool per pass —
+    with few CPUs, piled-up actor pools from repeated executions can
+    starve each other."""
     schema = features.schema()
     if schema is None or features.count() == 0:  # empty input
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table({
-            "url": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "cluster_id": pa.array([], pa.int64())}))
-    edges = scored.filter(expr="is_match").select_columns(["a", "b"]).materialize()
+        return None
+    edges = scored.filter(expr="is_match").select_columns(["a", "b"])
+    if extra_edges is not None:
+        edges = edges.union(extra_edges)
+    edges = edges.materialize()
     assign = connected_components(edges, mode=cc_mode)
     keep = ["url", "doc_id"] if "url" in schema.names else ["doc_id"]
     docs = features.select_columns(keep)
     # Singleton fill / re-duplication join: stages.clustering.attach_assignments
     # (size-aware broadcast searchsorted probe vs bucketed left hash join).
     return attach_assignments(docs, assign)
+
+
+def resolve_entities(ds, params=None, id_col: str = "url",
+                     text_col: str = "text", concurrency=None,
+                     num_partitions: int = 32, cc_mode: str = "auto"):
+    """Full ER: returns Dataset[(url?, doc_id, cluster_id)] covering every
+    input row (singletons get cluster_id = own doc_id)."""
+    scored, features = score_candidate_pairs(
+        ds, params, id_col=id_col, text_col=text_col,
+        concurrency=concurrency, num_partitions=num_partitions)
+    out = _finish_clustering(scored, features, cc_mode)
+    return _empty_assignment() if out is None else out
 
 
 def resolve_entities_incremental(old_ds, new_ds, prev_assign,
@@ -158,20 +174,26 @@ def resolve_entities_incremental(old_ds, new_ds, prev_assign,
     import numpy as np
     import ray
 
-    from merge_machine_ray.functions.hashing import stable_hash64
-    from merge_machine_ray.stages.normalize_stage import _to_i64
+    def to_ids(b: pa.Table) -> pa.Table:
+        from merge_machine_ray.functions.hashing import stable_hash64
+        from merge_machine_ray.stages.normalize_stage import _to_i64
 
-    parts = []
-    for b in new_ds.select_columns([id_col]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
         col = b[id_col]
         if id_col == "url":
-            parts.append(np.array(
+            ids = np.array(
                 [_to_i64(stable_hash64(u)) for u in col.to_pylist()],
-                dtype=np.int64))
+                dtype=np.int64)
         else:
-            parts.append(col.cast(pa.int64())
-                         .to_numpy(zero_copy_only=False).astype(np.int64))
+            ids = col.cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"nid": pa.array(ids)})
+
+    # id hashing runs distributed (one map per increment batch); only
+    # the increment-sized id column folds on the driver
+    parts = [b["nid"].to_numpy(zero_copy_only=False)
+             for b in new_ds.select_columns([id_col])
+             .map_batches(to_ids, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
     new_ids = (np.unique(np.concatenate(parts)) if parts
                else np.empty(0, dtype=np.int64))
     new_ref = ray.put(new_ids)
@@ -193,8 +215,6 @@ def resolve_entities_incremental(old_ds, new_ds, prev_assign,
     scored, features = score_candidate_pairs(
         union, params, id_col=id_col, text_col=text_col,
         concurrency=concurrency, pair_filter=touches_new)
-    schema = features.schema()
-    new_edges = scored.filter(expr="is_match").select_columns(["a", "b"])
     stars = prev_assign.select_columns(["doc_id", "cluster_id"]) \
         .map_batches(
             lambda t: pa.table({
@@ -202,7 +222,6 @@ def resolve_entities_incremental(old_ds, new_ds, prev_assign,
                 "b": t["cluster_id"].cast(pa.int64())}),
             batch_format="pyarrow") \
         .filter(expr="a != b")
-    edges = new_edges.union(stars).materialize()
-    assign = connected_components(edges, mode=cc_mode)
-    keep = ["url", "doc_id"] if "url" in schema.names else ["doc_id"]
-    return attach_assignments(features.select_columns(keep), assign)
+    out = _finish_clustering(scored, features, cc_mode,
+                             extra_edges=stars)
+    return _empty_assignment() if out is None else out

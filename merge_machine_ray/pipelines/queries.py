@@ -2555,7 +2555,7 @@ def host_quota_docs(sf_dir: str):
     from merge_machine_ray.stages.sketch import _KNUTH, _MOD
     from merge_machine_ray.stages.window import WindowSpec, window
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
     def prep(t: pa.Table) -> pa.Table:
         ids, url, _ = _page_url_warc(t)

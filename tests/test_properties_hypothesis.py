@@ -151,6 +151,7 @@ _canon_urls = st.one_of(
         st.one_of(st.none(), st.just(""), _label),
     ),
     st.text(max_size=25).filter(lambda s: "\x00" not in s),
+    st.none(),        # null urls must fold to '' on BOTH engines
 )
 
 
