@@ -999,6 +999,115 @@ FROM sizes GROUP BY cluster_size
 """)
 
 
+def _ratio_micro(num: int, den: int) -> int:
+    """Half-up integer micro ratio: floor(num*1e6/den + 0.5) without
+    any float, so the engine and the DuckDB twin agree bit-for-bit
+    (pc.round is half-even, DuckDB round() is half-away — ties would
+    diverge; pure int64 arithmetic has no ties to break)."""
+    return 0 if den == 0 else (num * 2_000_000 + den) // (2 * den)
+
+
+def cluster_agreement(sf_dir: str):
+    """ER evaluation: PAIRWISE precision/recall/F1 of one clustering
+    against another — the standard record-linkage quality metric
+    (Menestrina et al., "Evaluating entity resolution results").
+    Predicted = the exact-Jaccard transitive clustering
+    (cluster_exact_jaccard); truth = shared-prefix duplicate groups
+    (rep_id = min doc_id per first-120-chars key — the corpus has no
+    byte-identical texts, while near-dup families share a long prefix,
+    so this is the non-degenerate weak-truth proxy a crawl-eval would
+    use). TP = doc pairs co-clustered
+    in BOTH; precision = TP / predicted-pairs; recall = TP / truth-pairs;
+    pairwise F1 = 2·TP / (pred_pairs + truth_pairs) (the exact identity,
+    so no float chaining).
+
+    Scale shape: one bucketed hash join of the two assignments on doc_id
+    (3 int64 columns per doc ride the shuffle), then three
+    groupby-counts; sum of C(n,2) over each size table is a per-batch
+    partial fold — no all-pairs enumeration anywhere. The joined
+    assignment is materialized once (24 B/doc in the object store,
+    spillable) because three aggregations consume it. Evaluation runs
+    typically score a labeled subset, not the full corpus."""
+    from ray.data.aggregate import Count
+
+    from merge_machine_ray.stages.dedup import dedup_representatives
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    def prefix_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "key": pc.utf8_slice_codeunits(t["text"], 0, 120),
+        })
+
+    pred = cluster_exact_jaccard(sf_dir)
+    truth = dedup_representatives(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(prefix_key, batch_format="pyarrow"),
+        col="key")
+    joined = bucket_hash_join(pred, truth, "doc_id", "doc_id") \
+        .materialize()
+
+    def _pair_count(keys: list[str]) -> int:
+        sizes = joined.groupby(keys).aggregate(Count(alias_name="n"))
+
+        def part(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"pairs": pa.array([int((n * (n - 1) // 2).sum())],
+                                               type=pa.int64())})
+
+        out = sizes.map_batches(part, batch_format="pyarrow").sum("pairs")
+        return int(out or 0)
+
+    tp = _pair_count(["cluster_id", "rep_id"])
+    pred_pairs = _pair_count(["cluster_id"])
+    truth_pairs = _pair_count(["rep_id"])
+    return pa.table({
+        "tp_pairs": pa.array([tp], type=pa.int64()),
+        "pred_pairs": pa.array([pred_pairs], type=pa.int64()),
+        "truth_pairs": pa.array([truth_pairs], type=pa.int64()),
+        "precision_micro": pa.array(
+            [_ratio_micro(tp, pred_pairs)], type=pa.int64()),
+        "recall_micro": pa.array(
+            [_ratio_micro(tp, truth_pairs)], type=pa.int64()),
+        "f1_micro": pa.array(
+            [_ratio_micro(2 * tp, pred_pairs + truth_pairs)],
+            type=pa.int64()),
+    })
+
+
+CLUSTER_AGREEMENT_SQL = CLUSTER_EXACT_JACCARD_SQL.replace(
+    """SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
+    """, assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+truth AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY substr(text, 1, 120))
+                   AS rep_id
+          FROM documents),
+j AS (SELECT a.cluster_id, t.rep_id
+      FROM assign a JOIN truth t ON a.doc_id = t.doc_id),
+tp AS (SELECT CAST(coalesce(sum((n*(n-1))//2), 0) AS BIGINT) AS v FROM
+       (SELECT count(*) AS n FROM j GROUP BY cluster_id, rep_id)),
+pp AS (SELECT CAST(coalesce(sum((n*(n-1))//2), 0) AS BIGINT) AS v FROM
+       (SELECT count(*) AS n FROM j GROUP BY cluster_id)),
+tt AS (SELECT CAST(coalesce(sum((n*(n-1))//2), 0) AS BIGINT) AS v FROM
+       (SELECT count(*) AS n FROM j GROUP BY rep_id))
+SELECT tp.v AS tp_pairs, pp.v AS pred_pairs, tt.v AS truth_pairs,
+       CAST(CASE WHEN pp.v = 0 THEN 0
+            ELSE (tp.v*2000000 + pp.v)//(2*pp.v) END AS BIGINT)
+         AS precision_micro,
+       CAST(CASE WHEN tt.v = 0 THEN 0
+            ELSE (tp.v*2000000 + tt.v)//(2*tt.v) END AS BIGINT)
+         AS recall_micro,
+       CAST(CASE WHEN pp.v + tt.v = 0 THEN 0
+            ELSE (2*tp.v*2000000 + pp.v + tt.v)//(2*(pp.v + tt.v)) END
+            AS BIGINT) AS f1_micro
+FROM tp, pp, tt
+""")
+
+
 def link_suppliers_to_nations(sf_dir: str):
     """Driver-oracle twin for the flagship LINKING pipeline
     (``pipelines.linking.link_datasets``, reference es_match.py:241-417):
@@ -3022,6 +3131,7 @@ def build_queries() -> dict:
         "er_documents": er_documents,
         "link_suppliers_to_nations": link_suppliers_to_nations,
         "cluster_exact_jaccard": cluster_exact_jaccard,
+        "cluster_agreement": cluster_agreement,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -3129,6 +3239,7 @@ def build_oracle_sql() -> dict:
         "minhash_near_dups": MINHASH_NEAR_DUPS_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "cluster_exact_jaccard": CLUSTER_EXACT_JACCARD_SQL,
+        "cluster_agreement": CLUSTER_AGREEMENT_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
