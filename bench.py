@@ -184,6 +184,8 @@ def run_bench() -> dict:
     timed("lang_id_pred", Q.lang_id_pred)
     timed("ann_topk", Q.ann_topk)
     timed("er_documents", Q.er_documents)
+    timed("cluster_agreement", Q.cluster_agreement)
+    timed("blocking_quality", Q.blocking_quality)
     timed("decontaminated_docs", Q.decontaminated_docs)
     timed("doc_chunks", Q.doc_chunks)
     timed("incremental_dedup", Q.incremental_dedup_docs)

@@ -1007,6 +1007,49 @@ def _ratio_micro(num: int, den: int) -> int:
     return 0 if den == 0 else (num * 2_000_000 + den) // (2 * den)
 
 
+def _sum_c2(ds, keys: list[str]) -> int:
+    """Σ C(n,2) over the group sizes of ``keys``: the number of
+    same-group pairs, WITHOUT enumerating any pair — one groupby-count
+    plus a per-batch partial fold over the (small) size table."""
+    from ray.data.aggregate import Count
+
+    sizes = ds.groupby(keys).aggregate(Count(alias_name="n"))
+
+    def part(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pairs": pa.array([int((n * (n - 1) // 2).sum())],
+                                           type=pa.int64())})
+
+    out = sizes.map_batches(part, batch_format="pyarrow").sum("pairs")
+    return int(out or 0)
+
+
+def _agreement_join(sf_dir: str):
+    """Shared predicted-vs-truth assignment join for the ER evaluation
+    metrics: predicted = the exact-Jaccard transitive clustering
+    (cluster_exact_jaccard), truth = shared-prefix duplicate groups
+    (rep_id = min doc_id per first-120-chars key — the corpus has no
+    byte-identical texts while near-dup families share a long prefix,
+    so this is the non-degenerate weak-truth proxy a crawl-eval would
+    use). One bucketed hash join on doc_id; 3 int64 columns per doc
+    ride the shuffle."""
+    from merge_machine_ray.stages.dedup import dedup_representatives
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    def prefix_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "key": pc.utf8_slice_codeunits(t["text"], 0, 120),
+        })
+
+    pred = cluster_exact_jaccard(sf_dir)
+    truth = dedup_representatives(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(prefix_key, batch_format="pyarrow"),
+        col="key")
+    return bucket_hash_join(pred, truth, "doc_id", "doc_id")
+
+
 def cluster_agreement(sf_dir: str):
     """ER evaluation: PAIRWISE precision/recall/F1 of one clustering
     against another — the standard record-linkage quality metric
@@ -1028,39 +1071,10 @@ def cluster_agreement(sf_dir: str):
     assignment is materialized once (24 B/doc in the object store,
     spillable) because three aggregations consume it. Evaluation runs
     typically score a labeled subset, not the full corpus."""
-    from ray.data.aggregate import Count
-
-    from merge_machine_ray.stages.dedup import dedup_representatives
-    from merge_machine_ray.stages.joins import bucket_hash_join
-
-    def prefix_key(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "key": pc.utf8_slice_codeunits(t["text"], 0, 120),
-        })
-
-    pred = cluster_exact_jaccard(sf_dir)
-    truth = dedup_representatives(
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(prefix_key, batch_format="pyarrow"),
-        col="key")
-    joined = bucket_hash_join(pred, truth, "doc_id", "doc_id") \
-        .materialize()
-
-    def _pair_count(keys: list[str]) -> int:
-        sizes = joined.groupby(keys).aggregate(Count(alias_name="n"))
-
-        def part(t: pa.Table) -> pa.Table:
-            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"pairs": pa.array([int((n * (n - 1) // 2).sum())],
-                                               type=pa.int64())})
-
-        out = sizes.map_batches(part, batch_format="pyarrow").sum("pairs")
-        return int(out or 0)
-
-    tp = _pair_count(["cluster_id", "rep_id"])
-    pred_pairs = _pair_count(["cluster_id"])
-    truth_pairs = _pair_count(["rep_id"])
+    joined = _agreement_join(sf_dir).materialize()
+    tp = _sum_c2(joined, ["cluster_id", "rep_id"])
+    pred_pairs = _sum_c2(joined, ["cluster_id"])
+    truth_pairs = _sum_c2(joined, ["rep_id"])
     return pa.table({
         "tp_pairs": pa.array([tp], type=pa.int64()),
         "pred_pairs": pa.array([pred_pairs], type=pa.int64()),
@@ -1106,6 +1120,145 @@ SELECT tp.v AS tp_pairs, pp.v AS pred_pairs, tt.v AS truth_pairs,
             AS BIGINT) AS f1_micro
 FROM tp, pp, tt
 """)
+
+
+def bcubed_per_doc(sf_dir: str):
+    """ER evaluation: per-record B-CUBED precision/recall (Bagga &
+    Baldwin 1998; Amigó et al. 2009) of the exact-Jaccard transitive
+    clustering against the shared-prefix weak truth — the record-level
+    companion to ``cluster_agreement``'s pairwise metric (pairwise is
+    dominated by the largest clusters via C(n,2) weighting; B-cubed
+    weights every record equally, so eval suites report both). One row
+    per doc: intersection size |C(i)∩T(i)|, cluster sizes |C(i)| and
+    |T(i)|, and the two exact integer-micro ratios.
+
+    Scale shape: the joined assignment rides two narrow bucketed
+    exchanges (pred-keyed, then truth-keyed); per-bucket work is one
+    lexsort + bincount (``stages/er_metrics.py``). No materialization —
+    single consumer chain."""
+    from merge_machine_ray.stages.er_metrics import bcubed_per_record
+
+    return bcubed_per_record(_agreement_join(sf_dir))
+
+
+BCUBED_PER_DOC_SQL = CLUSTER_EXACT_JACCARD_SQL.replace(
+    """SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
+    """, assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+truth AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY substr(text, 1, 120))
+                   AS rep_id
+          FROM documents),
+j AS (SELECT a.doc_id, a.cluster_id, t.rep_id
+      FROM assign a JOIN truth t ON a.doc_id = t.doc_id),
+w AS (SELECT doc_id,
+             count(*) OVER (PARTITION BY cluster_id, rep_id) AS cell_n,
+             count(*) OVER (PARTITION BY cluster_id) AS csize,
+             count(*) OVER (PARTITION BY rep_id) AS tsize
+      FROM j)
+SELECT doc_id, CAST(cell_n AS BIGINT) AS cell_n,
+       CAST(csize AS BIGINT) AS csize, CAST(tsize AS BIGINT) AS tsize,
+       CAST((cell_n*2000000 + csize)//(2*csize) AS BIGINT)
+         AS b3_prec_micro,
+       CAST((cell_n*2000000 + tsize)//(2*tsize) AS BIGINT)
+         AS b3_rec_micro
+FROM w
+""")
+
+
+def blocking_quality(sf_dir: str):
+    """ER evaluation: PAIR COMPLETENESS and REDUCTION RATIO of a
+    blocking scheme (Christen, "A survey of indexing techniques for
+    scalable record linkage", TKDE 2012) — the two numbers that justify
+    any blocking design: what fraction of true match pairs the blocks
+    retain (completeness = covered / truth) and what fraction of the
+    all-pairs comparison space they eliminate (reduction = 1 −
+    candidates / C(N,2)). Scheme under test: first-32-chars prefix key
+    (deterministic and SQL-replayable — the production minhash banding
+    needs 64-bit wraparound multiplies SQL lacks, so the driver-checked
+    scheme is the classic prefix-blocking baseline the LSH design is
+    measured against in BASELINE.md). Truth = the exact n-gram-Jaccard
+    match pairs (the hash-matched postings join).
+
+    Scale shape: candidate count = Σ C(n,2) over key-group sizes (one
+    groupby-count + partial fold, no pair enumeration); truth pairs
+    pick up each side's key via two bucketed hash joins (3 narrow
+    columns ride each shuffle); covered/total fold per batch. Output is
+    one row of exact int64 counts + integer-micro ratios."""
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefix_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "key": pc.utf8_slice_codeunits(t["text"], 0, 32),
+        })
+
+    keys = ds.map_batches(prefix_key, batch_format="pyarrow")
+    n_docs = ds.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    cand_pairs = _sum_c2(keys, ["key"])
+
+    edges = ngram_jaccard_pairs(ds, threshold_micro=500_000) \
+        .select_columns(["id_a", "id_b"])
+    with_keys = bucket_hash_join(
+        bucket_hash_join(edges, keys, "id_a", "doc_id", right_suffix="_a"),
+        keys, "id_b", "doc_id", right_suffix="_b")
+
+    def fold(t: pa.Table) -> pa.Table:
+        eq = pc.equal(t["key_a"], t["key_b"])
+        return pa.table({
+            "truth_n": pa.array([t.num_rows], type=pa.int64()),
+            "covered_n": pa.array(
+                [int(pc.sum(eq).as_py() or 0)], type=pa.int64()),
+        })
+
+    folded = with_keys.map_batches(fold, batch_format="pyarrow") \
+        .materialize()
+    truth_pairs = int(folded.sum("truth_n") or 0)
+    covered = int(folded.sum("covered_n") or 0)
+    return pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "total_pairs": pa.array([total_pairs], type=pa.int64()),
+        "cand_pairs": pa.array([cand_pairs], type=pa.int64()),
+        "truth_pairs": pa.array([truth_pairs], type=pa.int64()),
+        "covered_pairs": pa.array([covered], type=pa.int64()),
+        "pair_completeness_micro": pa.array(
+            [_ratio_micro(covered, truth_pairs)], type=pa.int64()),
+        "reduction_ratio_micro": pa.array(
+            [_ratio_micro(total_pairs - cand_pairs, total_pairs)],
+            type=pa.int64()),
+    })
+
+
+BLOCKING_QUALITY_SQL = _SHINGLE_CTE + """
+, keys AS (SELECT doc_id, substr(text, 1, 32) AS key FROM documents),
+cand AS (SELECT CAST(coalesce(sum((n*(n-1))//2), 0) AS BIGINT) AS v
+         FROM (SELECT count(*) AS n FROM keys GROUP BY key)),
+truth AS (SELECT ka.key AS key_a, kb.key AS key_b
+          FROM jac j JOIN keys ka ON j.id_a = ka.doc_id
+                     JOIN keys kb ON j.id_b = kb.doc_id
+          WHERE j.jaccard_micro >= 500000),
+tn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM truth),
+cv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM truth
+       WHERE key_a = key_b),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS v FROM documents),
+tot AS (SELECT CAST((nd.v*(nd.v-1))//2 AS BIGINT) AS v FROM nd)
+SELECT nd.v AS n_docs, tot.v AS total_pairs, cand.v AS cand_pairs,
+       tn.v AS truth_pairs, cv.v AS covered_pairs,
+       CAST(CASE WHEN tn.v = 0 THEN 0
+            ELSE (cv.v*2000000 + tn.v)//(2*tn.v) END AS BIGINT)
+         AS pair_completeness_micro,
+       CAST(CASE WHEN tot.v = 0 THEN 0
+            ELSE ((tot.v - cand.v)*2000000 + tot.v)//(2*tot.v) END
+            AS BIGINT) AS reduction_ratio_micro
+FROM nd, tot, cand, tn, cv
+"""
 
 
 def link_suppliers_to_nations(sf_dir: str):
@@ -3132,6 +3285,8 @@ def build_queries() -> dict:
         "link_suppliers_to_nations": link_suppliers_to_nations,
         "cluster_exact_jaccard": cluster_exact_jaccard,
         "cluster_agreement": cluster_agreement,
+        "bcubed_per_doc": bcubed_per_doc,
+        "blocking_quality": blocking_quality,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -3165,7 +3320,6 @@ def build_queries() -> dict:
         "doc_split_assign": doc_split_assign,
         "shuffled_doc_head": shuffled_doc_head,
         "stratified_docs_sample": stratified_docs_sample,
-        "sample_docs_10pct": sample_docs_10pct,
         "token_heavy_hitters": token_heavy_hitters_q,
         "token_count_deciles": token_count_deciles,
         "lang_id_pred": lang_id_pred,
@@ -3173,11 +3327,9 @@ def build_queries() -> dict:
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
         "clean_corpus_full": clean_corpus_full,
-        "clean_corpus_sql_subset": clean_corpus_sql_subset,
         "normalize_documents": normalize_documents,
         "idf_table": idf_table,
         "filter_must_not": filter_must_not,
-        "unique_langs": unique_langs,
         "ann_topk": ann_topk,
         "label_centroids": label_centroids_q,
         # windows / joins / relational tail
@@ -3202,6 +3354,14 @@ def build_queries() -> dict:
         "top10_orders": top10_orders,
         "topk_per_priority": topk_per_priority,
         "parts_by_brand": parts_by_brand,
+        # weaker variants of rows above (clean_corpus_full covers the
+        # sql_subset stages; lang_distribution covers unique_langs;
+        # stratified_docs_sample covers the plain hash sample) — kept
+        # last so the driver's 50-row prefix spends its budget on the
+        # strongest end-to-end checks
+        "clean_corpus_sql_subset": clean_corpus_sql_subset,
+        "unique_langs": unique_langs,
+        "sample_docs_10pct": sample_docs_10pct,
     }
 
 
@@ -3240,6 +3400,8 @@ def build_oracle_sql() -> dict:
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "cluster_exact_jaccard": CLUSTER_EXACT_JACCARD_SQL,
         "cluster_agreement": CLUSTER_AGREEMENT_SQL,
+        "bcubed_per_doc": BCUBED_PER_DOC_SQL,
+        "blocking_quality": BLOCKING_QUALITY_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,

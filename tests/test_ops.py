@@ -580,3 +580,41 @@ def test_link_band_keys_match_scalar(ray_session):
             idx_w.append(i)
     assert got["band_key"].to_pylist() == keys_w
     assert got["key"].to_pylist() == [ids[i] for i in idx_w]
+
+
+def test_bcubed_per_record_matches_reference(ray_session):
+    """Randomized B-cubed: the two-exchange bucketed stage must equal a
+    per-record python reference (collections.Counter over the full
+    table) on skewed random clusterings, including the micro rounding."""
+    import ray.data as rd
+
+    from merge_machine_ray.stages.er_metrics import bcubed_per_record
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    # skewed cluster sizes on both sides; string truth keys to cover the
+    # string _sort_key path
+    pred = rng.zipf(1.6, n) % 97
+    truth = np.array([f"t{int(v)}" for v in rng.zipf(1.4, n) % 61])
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ids, "cluster_id": pred.astype(np.int64),
+        "rep_id": truth}))
+    got = bcubed_per_record(ds, num_buckets=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    from collections import Counter
+    csize = Counter(pred.tolist())
+    tsize = Counter(truth.tolist())
+    cell = Counter(zip(pred.tolist(), truth.tolist()))
+
+    def micro(a, b):
+        return (a * 2_000_000 + b) // (2 * b)
+
+    for i in range(n):
+        c, t = int(pred[i]), truth[i]
+        assert got["cell_n"][i] == cell[(c, t)]
+        assert got["csize"][i] == csize[c]
+        assert got["tsize"][i] == tsize[t]
+        assert got["b3_prec_micro"][i] == micro(cell[(c, t)], csize[c])
+        assert got["b3_rec_micro"][i] == micro(cell[(c, t)], tsize[t])
