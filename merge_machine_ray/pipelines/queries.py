@@ -1261,6 +1261,65 @@ FROM nd, tot, cand, tn, cv
 """
 
 
+def snm_candidate_pairs(sf_dir: str):
+    """Multi-pass SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo,
+    SIGMOD 1995; Christen TKDE 2012 §5.2) over the documents corpus —
+    the classic windowed complement to the key-equality and LSH
+    blocking schemes this engine already carries. Two passes of window
+    w=4: pass 1 sorts by the 40-char text prefix (catches shared-prefix
+    near-dup families even when the prefix groups split at char 33+),
+    pass 2 by the REVERSED 24-char prefix (the standard trick to
+    recover keys whose fronts diverge). Output: one row per distinct
+    candidate pair with ``n_passes`` (evidence count) and ``min_dist``
+    (closest rank distance).
+
+    Scale shape (``stages/snm.py``): per pass, ranks come from
+    map-side range-bucketing against a bounded deterministic splitter
+    sample + one narrow (rank,id) exchange; pair emission is a second
+    narrow exchange keyed by rank-chunk with a (w-1)-row carry; the
+    cross-pass dedup is one pair-hash-bucketed lexsort fold. The SQL
+    twin replays the exact total order with ROW_NUMBER self-joins
+    (ties broken by doc_id, so the pair set is unique)."""
+    from merge_machine_ray.stages.snm import snm_multi_pass_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "k1": pc.utf8_slice_codeunits(txt, 0, 40),
+            "k2": pc.utf8_reverse(pc.utf8_slice_codeunits(txt, 0, 24)),
+        })
+
+    kds = ds.map_batches(keys, batch_format="pyarrow")
+    return snm_multi_pass_pairs(kds, ["k1", "k2"], window=4) \
+        .select_columns(["id_a", "id_b", "n_passes", "min_dist"])
+
+
+SNM_CANDIDATE_PAIRS_SQL = """
+WITH k1 AS (SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS key
+            FROM documents),
+r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+       FROM k1),
+p1 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, b.rn - a.rn AS dist
+       FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn - a.rn <= 3),
+k2 AS (SELECT doc_id, reverse(substr(coalesce(text, ''), 1, 24)) AS key
+       FROM documents),
+r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+       FROM k2),
+p2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, b.rn - a.rn AS dist
+       FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn <= 3),
+u AS (SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, dist
+      FROM p1
+      UNION ALL
+      SELECT least(ia, ib), greatest(ia, ib), dist FROM p2)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_passes,
+       CAST(min(dist) AS BIGINT) AS min_dist
+FROM u GROUP BY id_a, id_b
+"""
+
+
 def link_suppliers_to_nations(sf_dir: str):
     """Driver-oracle twin for the flagship LINKING pipeline
     (``pipelines.linking.link_datasets``, reference es_match.py:241-417):
@@ -3287,6 +3346,7 @@ def build_queries() -> dict:
         "cluster_agreement": cluster_agreement,
         "bcubed_per_doc": bcubed_per_doc,
         "blocking_quality": blocking_quality,
+        "snm_candidate_pairs": snm_candidate_pairs,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -3402,6 +3462,7 @@ def build_oracle_sql() -> dict:
         "cluster_agreement": CLUSTER_AGREEMENT_SQL,
         "bcubed_per_doc": BCUBED_PER_DOC_SQL,
         "blocking_quality": BLOCKING_QUALITY_SQL,
+        "snm_candidate_pairs": SNM_CANDIDATE_PAIRS_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
