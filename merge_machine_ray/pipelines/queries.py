@@ -1320,6 +1320,122 @@ FROM u GROUP BY id_a, id_b
 """
 
 
+_FS_FIELDS = ["lang", "prefix16", "lenbkt", "tokbkt"]
+
+
+def fellegi_sunter_weights(sf_dir: str):
+    """FELLEGI-SUNTER probabilistic record linkage (JASA 1969):
+    supervised m/u estimation over blocked candidate pairs — per
+    comparison field, m = P(agree | match), u = P(agree | non-match),
+    and the agreement-weight ordering mu_ratio = m/u (monotone in the
+    classic log2(m/u) match weight; kept as an exact integer-micro
+    ratio so the DuckDB twin is bit-exact). Blocks = 8-char text
+    prefix, capped at 64 rows per block by the deterministic Knuth
+    id-hash rank (u needs only a pair SAMPLE — F&S §3.3); truth label =
+    shared 120-char prefix (the corpus's weak-truth relation, as in
+    ``cluster_agreement``). Fields: lang equality, 16-char prefix
+    equality, length bucket (n_chars//128), whitespace-token-count
+    bucket (//8).
+
+    Scale shape (``stages/fellegi.py``): block-capped sampling via the
+    hash-bucketed window machinery, pair emission one lexsort +
+    position-distance sweep per bucket, parameter fold map-side; the γ
+    table is cap²-bounded per block. The companion UNSUPERVISED EM
+    estimator (``fellegi.fs_em``, Winkler 1988) runs over the same γ
+    pattern histogram — pytest-verified against a per-pair reference
+    (EM is not SQL-expressible, so it is not a declared query)."""
+    from merge_machine_ray.stages.fellegi import (
+        comparison_vectors,
+        fs_weights,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        ntok = pc.count_substring_regex(txt, r"\S+")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "blk": pc.utf8_slice_codeunits(txt, 0, 8),
+            "truth": pc.utf8_slice_codeunits(txt, 0, 120),
+            "lang": pc.fill_null(t["lang"], ""),
+            "prefix16": pc.utf8_slice_codeunits(txt, 0, 16),
+            "lenbkt": pc.divide(t["n_chars"], 128),
+            "tokbkt": pc.divide(ntok.cast(pa.int64()), 8),
+        })
+
+    gamma = comparison_vectors(
+        ds.map_batches(prep, batch_format="pyarrow"), "blk", _FS_FIELDS,
+        truth_col="truth", cap=64)
+    return fs_weights(gamma, _FS_FIELDS)
+
+
+def _fs_field_agg_sql(field: str, expr: str) -> str:
+    return f"""
+  SELECT '{field}' AS field,
+         CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match_pairs,
+         CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_unmatch_pairs,
+         CAST(sum(CASE WHEN is_match AND {expr} THEN 1 ELSE 0 END)
+              AS BIGINT) AS agree_match,
+         CAST(sum(CASE WHEN NOT is_match AND {expr} THEN 1 ELSE 0 END)
+              AS BIGINT) AS agree_unmatch
+  FROM p"""
+
+
+FELLEGI_SUNTER_SQL = ("""
+WITH d AS (
+  SELECT doc_id,
+         substr(coalesce(text, ''), 1, 8) AS blk,
+         substr(coalesce(text, ''), 1, 120) AS truth,
+         coalesce(lang, '') AS lang,
+         substr(coalesce(text, ''), 1, 16) AS prefix16,
+         n_chars // 128 AS lenbkt,
+         length(regexp_extract_all(coalesce(text, ''), '\\S+')) // 8
+           AS tokbkt
+  FROM documents),
+s AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY blk
+      ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+               doc_id) AS rk
+  FROM d),
+f AS (SELECT * FROM s WHERE rk <= 64),
+p AS (
+  SELECT a.truth = b.truth AS is_match,
+         a.lang = b.lang AS ag_lang,
+         a.prefix16 = b.prefix16 AS ag_prefix16,
+         a.lenbkt = b.lenbkt AS ag_lenbkt,
+         a.tokbkt = b.tokbkt AS ag_tokbkt
+  FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+agg AS ("""
+                      + " UNION ALL ".join(
+                          _fs_field_agg_sql(f, f"ag_{f}")
+                          for f in _FS_FIELDS) + """)
+SELECT field, n_match_pairs, n_unmatch_pairs, agree_match, agree_unmatch,
+       CAST(CASE WHEN n_match_pairs = 0 THEN 0
+            ELSE (agree_match*2000000 + n_match_pairs)
+                 // (2*n_match_pairs) END AS BIGINT) AS m_micro,
+       CAST(CASE WHEN n_unmatch_pairs = 0 THEN 0
+            ELSE (agree_unmatch*2000000 + n_unmatch_pairs)
+                 // (2*n_unmatch_pairs) END AS BIGINT) AS u_micro,
+       CAST(CASE WHEN (CASE WHEN n_unmatch_pairs = 0 THEN 0
+                       ELSE (agree_unmatch*2000000 + n_unmatch_pairs)
+                            // (2*n_unmatch_pairs) END) = 0 THEN 0
+            ELSE ((CASE WHEN n_match_pairs = 0 THEN 0
+                   ELSE (agree_match*2000000 + n_match_pairs)
+                        // (2*n_match_pairs) END) * 2000000
+                  + (CASE WHEN n_unmatch_pairs = 0 THEN 0
+                     ELSE (agree_unmatch*2000000 + n_unmatch_pairs)
+                          // (2*n_unmatch_pairs) END))
+                 // (2 * (CASE WHEN n_unmatch_pairs = 0 THEN 0
+                          ELSE (agree_unmatch*2000000 + n_unmatch_pairs)
+                               // (2*n_unmatch_pairs) END))
+            END AS BIGINT) AS mu_ratio_micro
+FROM agg
+""")
+
+
 def link_suppliers_to_nations(sf_dir: str):
     """Driver-oracle twin for the flagship LINKING pipeline
     (``pipelines.linking.link_datasets``, reference es_match.py:241-417):
@@ -3347,6 +3463,7 @@ def build_queries() -> dict:
         "bcubed_per_doc": bcubed_per_doc,
         "blocking_quality": blocking_quality,
         "snm_candidate_pairs": snm_candidate_pairs,
+        "fellegi_sunter_weights": fellegi_sunter_weights,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -3463,6 +3580,7 @@ def build_oracle_sql() -> dict:
         "bcubed_per_doc": BCUBED_PER_DOC_SQL,
         "blocking_quality": BLOCKING_QUALITY_SQL,
         "snm_candidate_pairs": SNM_CANDIDATE_PAIRS_SQL,
+        "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
