@@ -862,6 +862,63 @@ SELECT id_a, id_b, jaccard_micro FROM jac WHERE jaccard_micro >= 500000
 """
 
 
+def weighted_jaccard_dups(sf_dir: str):
+    """Inverse-DF WEIGHTED Jaccard near-dup pairs (Chaudhuri et al.
+    SSJoin / Bayardo et al. WWW'07 weighted set similarity): distinct
+    token 3-SHINGLES (the exact-Jaccard feature space — unigrams are
+    df-degenerate on this corpus's 31-token vocabulary) weighted
+    ``(N·1000)//df`` so rare shared phrasing dominates and boilerplate
+    barely counts; candidates = pairs sharing a shingle with df ≤ 16
+    (the rule is part of the operator's exact semantics and mirrored
+    by the twin); WJ value = exact integer micro over the candidates'
+    FULL shingle sets. Scale shape in
+    ``stages/wjaccard.py`` (token-bucketed df-in-run postings, id-
+    bucketed feature lists, block_pairs + size-aware attach, one
+    lexsort-adjacency verify sweep)."""
+    from merge_machine_ray.stages.wjaccard import weighted_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return weighted_jaccard_pairs(ds, df_cap=16, threshold_micro=500_000)
+
+
+WEIGHTED_JACCARD_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),
+                                    '[\p{L}\p{N}]+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+2], ' ')))
+    END AS s
+  FROM t0),
+tok AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+w AS (SELECT t.doc_id, t.tok,
+             CAST(((SELECT count(*) FROM documents) * 1000) // d.df
+                  AS BIGINT) AS w,
+             d.df
+      FROM tok t JOIN df d USING (tok)),
+s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         WHERE a.df <= 16),
+inter AS (SELECT c.id_a, c.id_b, CAST(sum(wa.w) AS BIGINT) AS smin
+          FROM cand c
+          JOIN w wa ON wa.doc_id = c.id_a
+          JOIN w wb ON wb.doc_id = c.id_b AND wb.tok = wa.tok
+          GROUP BY 1, 2),
+j AS (SELECT i.id_a, i.id_b, i.smin, sa.s + sb.s - i.smin AS smax
+      FROM inter i JOIN s sa ON sa.doc_id = i.id_a
+                   JOIN s sb ON sb.doc_id = i.id_b)
+SELECT id_a, id_b,
+       CAST((1000000 * smin) // smax AS BIGINT) AS wjac_micro
+FROM j WHERE (1000000 * smin) // smax >= 500000
+"""
+
+
 def cluster_exact_jaccard(sf_dir: str):
     """North-rule transitive clustering, FULLY driver-checked: exact
     n-gram-Jaccard pairs (the hash-matched postings join) → connected
@@ -1317,6 +1374,81 @@ u AS (SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, dist
 SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_passes,
        CAST(min(dist) AS BIGINT) AS min_dist
 FROM u GROUP BY id_a, id_b
+"""
+
+
+def metablocking_wep(sf_dir: str):
+    """META-BLOCKING with Weighted Edge Pruning (Papadakis et al.,
+    TKDE 2014): three redundant blocking schemes over documents —
+    A = 8-char text prefix, B = 12-char prefix, C = lang + 4-char
+    prefix + length bucket (n_chars//512) — feed a blocking graph
+    whose edge weight is the number of schemes agreeing (CBS);
+    edges below the GLOBAL mean weight are pruned with the
+    integer-exact test ``w·|E| ≥ Σw``. Output = surviving
+    ``(id_a, id_b, w)``. Blocks over 64 members contribute no pairs
+    (hot-block skip, mirrored by the twin's HAVING — an exact rule,
+    unlike a truncation). Ray side hashes key strings to 63 bits
+    (distinct-at-test-scale, same precedent as the shingle twins);
+    scale shape in ``stages/metablocking.py``."""
+    from merge_machine_ray.functions.minhash import (
+        _MASK63,
+        str_elem_hashes,
+    )
+    from merge_machine_ray.stages.metablocking import (
+        cbs_pair_weights,
+        wep_prune,
+    )
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        lang = pc.fill_null(t["lang"], "")
+        lb = pc.cast(pc.divide(pc.fill_null(t["n_chars"], 0), 512),
+                     pa.string())
+        bar = pa.scalar("|")
+        ka = pc.binary_join_element_wise(
+            pa.scalar("A"), pc.utf8_slice_codeunits(txt, 0, 8), bar)
+        kb = pc.binary_join_element_wise(
+            pa.scalar("B"), pc.utf8_slice_codeunits(txt, 0, 12), bar)
+        kc = pc.binary_join_element_wise(
+            pa.scalar("C"), lang, pc.utf8_slice_codeunits(txt, 0, 4),
+            lb, bar)
+        allk = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in (ka, kb, kc)])
+        h = (str_elem_hashes(allk) & _MASK63).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(h),
+                         "id": pa.array(np.tile(ids, 3))})
+
+    nb = auto_buckets(ds.count() * 3)
+    edges = cbs_pair_weights(ds.map_batches(keys, batch_format="pyarrow"),
+                             block_cap=64, num_buckets=nb)
+    return wep_prune(edges)
+
+
+METABLOCKING_WEP_SQL = """
+WITH k AS (
+  SELECT doc_id, 'A|' || substr(coalesce(text, ''), 1, 8) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'B|' || substr(coalesce(text, ''), 1, 12) FROM documents
+  UNION ALL
+  SELECT doc_id, 'C|' || coalesce(lang, '') || '|' ||
+         substr(coalesce(text, ''), 1, 4) || '|' ||
+         CAST(coalesce(n_chars, 0) // 512 AS VARCHAR)
+  FROM documents),
+sized AS (SELECT key FROM k GROUP BY key
+          HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS w
+      FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+      JOIN sized s ON s.key = a.key
+      GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n_edges, sum(w) AS total_w FROM p)
+SELECT id_a, id_b, w FROM p, tot WHERE w * n_edges >= total_w
 """
 
 
@@ -3464,9 +3596,11 @@ def build_queries() -> dict:
         "blocking_quality": blocking_quality,
         "snm_candidate_pairs": snm_candidate_pairs,
         "fellegi_sunter_weights": fellegi_sunter_weights,
+        "metablocking_wep": metablocking_wep,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
+        "weighted_jaccard_dups": weighted_jaccard_dups,
         "simhash_near_dups": simhash_near_dups,
         "embedding_near_dups": embedding_near_dups,
         "ngram_jaccard_dups": ngram_jaccard_dups,
@@ -3574,6 +3708,7 @@ def build_oracle_sql() -> dict:
         "link_suppliers_to_nations": LINK_SUPPLIERS_SQL,
         "lang_id_pred": LANG_ID_SQL,
         "minhash_near_dups": MINHASH_NEAR_DUPS_SQL,
+        "weighted_jaccard_dups": WEIGHTED_JACCARD_SQL,
         "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
         "cluster_exact_jaccard": CLUSTER_EXACT_JACCARD_SQL,
         "cluster_agreement": CLUSTER_AGREEMENT_SQL,
@@ -3581,6 +3716,7 @@ def build_oracle_sql() -> dict:
         "blocking_quality": BLOCKING_QUALITY_SQL,
         "snm_candidate_pairs": SNM_CANDIDATE_PAIRS_SQL,
         "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
+        "metablocking_wep": METABLOCKING_WEP_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
