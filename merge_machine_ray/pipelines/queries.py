@@ -1452,6 +1452,111 @@ SELECT id_a, id_b, w FROM p, tot WHERE w * n_edges >= total_w
 """
 
 
+def er_threshold_sweep(sf_dir: str):
+    """ER evaluation: the PRECISION-RECALL CURVE of pair-level matching
+    over the match-score threshold — the plot every record-linkage
+    paper reports (and the reference's rolling P/R learner traces
+    interactively). Scores = exact n-gram Jaccard micros (the
+    hash-matched postings join, floor 100k); truth = the shared
+    120-char-prefix relation. For each threshold t ∈ {100k..900k}:
+    ``n_pred = #{jac ≥ t}``, ``n_tp = #{jac ≥ t ∧ truth}``, plus
+    half-up precision/recall/pairwise-F1 micros (F1 = 2·TP/(pred+
+    truth), the exact identity — no float chaining).
+
+    Scale shape: prefix keys ride two bucketed hash joins onto the
+    (already small) scored pair list; the sweep itself is an
+    11-bucket histogram partial per batch + one tiny groupby — the
+    pair list is scanned ONCE for all 9 thresholds; truth-pair total
+    is the Σ C(n,2) group-size fold (no pair enumeration)."""
+    from merge_machine_ray.functions.minhash import (
+        _MASK63,
+        str_elem_hashes,
+    )
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pref(t: pa.Table) -> pa.Table:
+        p = pc.utf8_slice_codeunits(pc.fill_null(t["text"], ""), 0, 120)
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        h = (str_elem_hashes(p) & _MASK63).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "pref": pa.array(h)})
+
+    prefs = docs.map_batches(pref, batch_format="pyarrow").materialize()
+    n_truth = _sum_c2(prefs, ["pref"])
+
+    pairs = ngram_jaccard_pairs(docs, threshold_micro=100_000)
+    j1 = bucket_hash_join(pairs, prefs, "id_a", "doc_id",
+                          right_suffix="_a")
+    j2 = bucket_hash_join(j1, prefs, "id_b", "doc_id", right_suffix="_b")
+
+    def hist(t: pa.Table) -> pa.Table:
+        jac = t["jaccard_micro"].to_numpy(zero_copy_only=False)
+        b = np.minimum(jac // 100_000, 10).astype(np.int64)
+        truth = (t["pref_a"].to_numpy(zero_copy_only=False)
+                 == t["pref_b"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "b": pa.array(np.arange(11, dtype=np.int64)),
+            "n": pa.array(np.bincount(b, minlength=11).astype(np.int64)),
+            "tp": pa.array(np.bincount(b[truth],
+                                       minlength=11).astype(np.int64))})
+
+    n_arr = np.zeros(11, np.int64)
+    tp_arr = np.zeros(11, np.int64)
+    for r in (j2.map_batches(hist, batch_format="pyarrow")
+              .groupby("b").sum(["n", "tp"]).take_all()):
+        n_arr[int(r["b"])] = int(r["sum(n)"])
+        tp_arr[int(r["b"])] = int(r["sum(tp)"])
+    cn = np.cumsum(n_arr[::-1])[::-1]
+    ct = np.cumsum(tp_arr[::-1])[::-1]
+    rows = []
+    for i in range(1, 10):
+        n_pred, n_tp = int(cn[i]), int(ct[i])
+        rows.append({
+            "threshold_micro": i * 100_000, "n_pred": n_pred,
+            "n_tp": n_tp, "n_truth": n_truth,
+            "precision_micro": _ratio_micro(n_tp, n_pred),
+            "recall_micro": _ratio_micro(n_tp, n_truth),
+            "f1_micro": _ratio_micro(2 * n_tp, n_pred + n_truth),
+        })
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [(c, pa.int64()) for c in
+         ("threshold_micro", "n_pred", "n_tp", "n_truth",
+          "precision_micro", "recall_micro", "f1_micro")]))
+
+
+ER_THRESHOLD_SWEEP_SQL = _SHINGLE_CTE + """
+, pr AS (SELECT doc_id, substr(coalesce(text, ''), 1, 120) AS p
+         FROM documents),
+tr AS (SELECT CAST(coalesce(sum((n*(n-1))//2), 0) AS BIGINT) AS n_truth
+       FROM (SELECT count(*) AS n FROM pr GROUP BY p)),
+pj AS (SELECT j.jaccard_micro,
+              CASE WHEN pa.p = pb.p THEN 1 ELSE 0 END AS is_truth
+       FROM jac j JOIN pr pa ON pa.doc_id = j.id_a
+                  JOIN pr pb ON pb.doc_id = j.id_b
+       WHERE j.jaccard_micro >= 100000),
+thr AS (SELECT unnest(range(1, 10)) * 100000 AS threshold_micro),
+agg AS (SELECT t.threshold_micro,
+               CAST(count(p.jaccard_micro) AS BIGINT) AS n_pred,
+               CAST(coalesce(sum(p.is_truth), 0) AS BIGINT) AS n_tp
+        FROM thr t LEFT JOIN pj p ON p.jaccard_micro >= t.threshold_micro
+        GROUP BY t.threshold_micro)
+SELECT a.threshold_micro, a.n_pred, a.n_tp, tr.n_truth,
+       CAST(CASE WHEN a.n_pred = 0 THEN 0
+            ELSE (a.n_tp*2000000 + a.n_pred) // (2*a.n_pred) END
+            AS BIGINT) AS precision_micro,
+       CAST(CASE WHEN tr.n_truth = 0 THEN 0
+            ELSE (a.n_tp*2000000 + tr.n_truth) // (2*tr.n_truth) END
+            AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN a.n_pred + tr.n_truth = 0 THEN 0
+            ELSE (2*a.n_tp*2000000 + a.n_pred + tr.n_truth)
+                 // (2*(a.n_pred + tr.n_truth)) END AS BIGINT) AS f1_micro
+FROM agg a, tr
+"""
+
+
 _FS_FIELDS = ["lang", "prefix16", "lenbkt", "tokbkt"]
 
 
@@ -3597,6 +3702,7 @@ def build_queries() -> dict:
         "snm_candidate_pairs": snm_candidate_pairs,
         "fellegi_sunter_weights": fellegi_sunter_weights,
         "metablocking_wep": metablocking_wep,
+        "er_threshold_sweep": er_threshold_sweep,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -3717,6 +3823,7 @@ def build_oracle_sql() -> dict:
         "snm_candidate_pairs": SNM_CANDIDATE_PAIRS_SQL,
         "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
         "metablocking_wep": METABLOCKING_WEP_SQL,
+        "er_threshold_sweep": ER_THRESHOLD_SWEEP_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
