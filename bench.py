@@ -198,6 +198,10 @@ def run_bench() -> dict:
     timed("canonical_url_dedup", Q.canonical_url_dedup)
     timed("repeated_span_docs", Q.repeated_span_docs)
     timed("doc_lm_score", Q.doc_lm_score)
+    timed("weighted_jaccard_dups", Q.weighted_jaccard_dups)
+    timed("metablocking_wep", Q.metablocking_wep)
+    timed("fellegi_sunter_weights", Q.fellegi_sunter_weights)
+    timed("er_threshold_sweep", Q.er_threshold_sweep)
 
     # incremental ER: cluster all but the last shard (untimed), then
     # time folding the last shard in — old-old pairs are pruned before

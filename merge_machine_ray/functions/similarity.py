@@ -194,3 +194,64 @@ def containment(a, b) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / min(len(sa), len(sb))
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute) — scalar
+    reference DP; semantics match DuckDB's ``levenshtein``."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_batch(xs, ys):
+    """Vectorized-ACROSS-PAIRS Levenshtein for SHORT strings (blocking
+    keys, name words): the DP grid loops are over the two max lengths
+    (La·Lb scalar iterations), every cell update is a numpy op over
+    ALL pairs at once — no per-pair python. Rows finish at their own
+    ``len(y)`` via a result snapshot, so ragged pairs are exact.
+    Returns int64 distances."""
+    import numpy as np
+
+    n = len(xs)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.fromiter((len(s) for s in xs), np.int64, n)
+    lb = np.fromiter((len(s) for s in ys), np.int64, n)
+    La, Lb = int(la.max()), int(lb.max())
+    # codepoint matrices padded with two DIFFERENT sentinels so padding
+    # never matches anything
+    A = np.full((n, La), -1, np.int64)
+    B = np.full((n, Lb), -2, np.int64)
+    for i, s in enumerate(xs):
+        if s:
+            A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32).astype(np.int64)
+    for i, s in enumerate(ys):
+        if s:
+            B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32).astype(np.int64)
+    dp = np.broadcast_to(np.arange(La + 1, dtype=np.int64),
+                         (n, La + 1)).copy()
+    res = np.where(lb == 0, la, 0)
+    for j in range(1, Lb + 1):
+        new = np.empty_like(dp)
+        new[:, 0] = j
+        bj = B[:, j - 1]
+        for i in range(1, La + 1):
+            sub = dp[:, i - 1] + (A[:, i - 1] != bj)
+            np.minimum(sub, dp[:, i] + 1, out=sub)
+            np.minimum(sub, new[:, i - 1] + 1, out=sub)
+            new[:, i] = sub
+        dp = new
+        done = lb == j
+        if done.any():
+            res[done] = dp[done, la[done]]
+    return res

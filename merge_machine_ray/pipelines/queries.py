@@ -868,17 +868,19 @@ def weighted_jaccard_dups(sf_dir: str):
     token 3-SHINGLES (the exact-Jaccard feature space — unigrams are
     df-degenerate on this corpus's 31-token vocabulary) weighted
     ``(N·1000)//df`` so rare shared phrasing dominates and boilerplate
-    barely counts; candidates = pairs sharing a shingle with df ≤ 16
-    (the rule is part of the operator's exact semantics and mirrored
-    by the twin); WJ value = exact integer micro over the candidates'
-    FULL shingle sets. Scale shape in
+    barely counts; candidates via the COMPLETE canonical-order prefix
+    filter (rarest-first order, head kept while suffix weight ≥ t·S —
+    no qualifying pair can be missed; proof in the stage docstring),
+    with prefix-token blocks over 256 docs skipped (mirrored by the
+    twin's HAVING); WJ value = exact integer micro over the
+    candidates' FULL shingle sets. Scale shape in
     ``stages/wjaccard.py`` (token-bucketed df-in-run postings, id-
     bucketed feature lists, block_pairs + size-aware attach, one
     lexsort-adjacency verify sweep)."""
     from merge_machine_ray.stages.wjaccard import weighted_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return weighted_jaccard_pairs(ds, df_cap=16, threshold_micro=500_000)
+    return weighted_jaccard_pairs(ds, threshold_micro=500_000)
 
 
 WEIGHTED_JACCARD_SQL = r"""
@@ -902,9 +904,18 @@ w AS (SELECT t.doc_id, t.tok,
              d.df
       FROM tok t JOIN df d USING (tok)),
 s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+pre AS (SELECT doc_id, tok FROM (
+    SELECT doc_id, tok,
+           CAST(coalesce(sum(w) OVER (PARTITION BY doc_id
+               ORDER BY df, tok ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cumprev,
+           CAST(sum(w) OVER (PARTITION BY doc_id) AS BIGINT) AS sw
+    FROM w)
+  WHERE (sw - cumprev) * 1000000 >= 500000 * sw),
+psz AS (SELECT tok FROM pre GROUP BY tok HAVING count(*) <= 256),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         WHERE a.df <= 16),
+         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         JOIN psz p ON p.tok = a.tok),
 inter AS (SELECT c.id_a, c.id_b, CAST(sum(wa.w) AS BIGINT) AS smin
           FROM cand c
           JOIN w wa ON wa.doc_id = c.id_a
@@ -1555,6 +1566,130 @@ SELECT a.threshold_micro, a.n_pred, a.n_tp, tr.n_truth,
                  // (2*(a.n_pred + tr.n_truth)) END AS BIGINT) AS f1_micro
 FROM agg a, tr
 """
+
+
+def prefix_edit_pairs(sf_dir: str):
+    """EDIT-DISTANCE similarity self-join (the approximate-key join of
+    classical record linkage — Gravano et al. VLDB 2001 style): block
+    docs by their 4-char text prefix, compute exact Levenshtein over
+    the 16-char prefixes of every within-block pair, keep distance
+    ≤ 3. Near-dup families share long prefixes, so small edit
+    distances recover them even when a leading typo breaks exact-
+    prefix grouping. Blocks over 256 docs are skipped (exact rule,
+    twinned by HAVING). The distance kernel is the across-pairs
+    vectorized DP (``functions.similarity.levenshtein_batch`` — La·Lb
+    numpy sweeps, no per-pair python), verified against DuckDB's
+    ``levenshtein`` semantics."""
+    from merge_machine_ray.functions.minhash import (
+        _MASK63,
+        str_elem_hashes,
+    )
+    from merge_machine_ray.functions.similarity import levenshtein_batch
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    num_buckets = auto_buckets(ds.count())
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        b4 = pc.utf8_slice_codeunits(txt, 0, 4)
+        if isinstance(b4, pa.ChunkedArray):
+            b4 = b4.combine_chunks()
+        h = (str_elem_hashes(b4) & _MASK63).astype(np.int64)
+        hb = (h % num_buckets).astype(np.int32)
+        return pa.table({"doc_id": t["doc_id"],
+                         "p16": pc.utf8_slice_codeunits(txt, 0, 16),
+                         "blk": pa.array(h), "bkt": pa.array(hb)})
+
+    def emit(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "edit_dist": pa.array([], pa.int64())})
+        blk = g["blk"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, blk))
+        blk, ids = blk[o], ids[o]
+        p16 = g["p16"].take(pa.array(o)).to_pylist()
+        cuts = np.flatnonzero(np.concatenate(([True], blk[1:] != blk[:-1])))
+        sizes = np.diff(np.concatenate((cuts, [blk.size])))
+        ok = (sizes >= 2) & (sizes <= 256)
+        if not ok.any():
+            return empty
+        ia, ib = [], []
+        for s, size in zip(cuts[ok], sizes[ok]):
+            iu, ju = np.triu_indices(int(size), k=1)
+            ia.append(s + iu)
+            ib.append(s + ju)
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        dist = levenshtein_batch([p16[i] for i in ia],
+                                 [p16[j] for j in ib])
+        m = dist <= 3
+        return pa.table({"id_a": pa.array(ids[ia[m]]),
+                         "id_b": pa.array(ids[ib[m]]),
+                         "edit_dist": pa.array(dist[m])})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("bkt").map_groups(emit, batch_format="pyarrow"))
+
+
+PREFIX_EDIT_PAIRS_SQL = """
+WITH d AS (SELECT doc_id,
+                  substr(coalesce(text, ''), 1, 16) AS p16,
+                  substr(coalesce(text, ''), 1, 4) AS b4
+           FROM documents),
+sized AS (SELECT b4 FROM d GROUP BY b4
+          HAVING count(*) BETWEEN 2 AND 256),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.p16, b.p16) AS BIGINT) AS edit_dist
+      FROM d a JOIN d b ON a.b4 = b.b4 AND a.doc_id < b.doc_id
+      JOIN sized s ON s.b4 = a.b4)
+SELECT id_a, id_b, edit_dist FROM p WHERE edit_dist <= 3
+"""
+
+
+def soundex_part_words(sf_dir: str):
+    """PHONETIC blocking keys: simplified SOUNDEX (h/w treated as
+    vowels — semantics pinned in ``functions/phonetic.py``) of every
+    word of every part name — the classic cheap name-blocking key
+    (Christen's "Data Matching" ch. 4; the reference's analyzers play
+    this role for French company names). The kernel is one flat byte
+    scan per batch (LUT digit map, row-tagged collapse, rank-limited
+    scatter — zero per-row python); the twin is a GENERATED
+    translate + bounded replace-chain expression."""
+    from merge_machine_ray.functions.phonetic import soundex_batch
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(t["p_name"], ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(t.num_rows), np.diff(off))
+        flat = words.flatten()
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"p_partkey": pa.array(keys[rep]),
+                         "word": flat,
+                         "soundex": soundex_batch(flat)})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def _soundex_sql() -> str:
+    from merge_machine_ray.functions.phonetic import soundex_sql_expr
+
+    return f"""
+WITH w AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                  unnest(string_split(p_name, ' ')) AS word
+           FROM part)
+SELECT p_partkey, word, {soundex_sql_expr('word')} AS soundex FROM w
+"""
+
+
+SOUNDEX_PART_WORDS_SQL = _soundex_sql()
 
 
 _FS_FIELDS = ["lang", "prefix16", "lenbkt", "tokbkt"]
@@ -3703,6 +3838,8 @@ def build_queries() -> dict:
         "fellegi_sunter_weights": fellegi_sunter_weights,
         "metablocking_wep": metablocking_wep,
         "er_threshold_sweep": er_threshold_sweep,
+        "prefix_edit_pairs": prefix_edit_pairs,
+        "soundex_part_words": soundex_part_words,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -3824,6 +3961,8 @@ def build_oracle_sql() -> dict:
         "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
         "metablocking_wep": METABLOCKING_WEP_SQL,
         "er_threshold_sweep": ER_THRESHOLD_SWEEP_SQL,
+        "prefix_edit_pairs": PREFIX_EDIT_PAIRS_SQL,
+        "soundex_part_words": SOUNDEX_PART_WORDS_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,

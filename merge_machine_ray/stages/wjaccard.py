@@ -12,22 +12,30 @@ count — the standard fix for plain Jaccard's blindness to token
 informativeness. Everything is int64, so the DuckDB twin is
 bit-exact.
 
-Candidate generation is the rare-token postings rule: a pair is a
-candidate iff it shares ≥1 token with global ``df ≤ df_cap`` (the
-cheap end of prefix filtering — at a 0.5 threshold a qualifying pair
-without ANY rare shared token is overwhelmingly unlikely, and the rule
-is exactly mirrored by the twin's ``WHERE df ≤ cap``, so both engines
-compute the identical candidate set; the weighted Jaccard VALUE is
-then exact over the candidates' FULL token sets, not just the rare
-ones). Reference scope note: the reference scores pairs with
-ES/Lucene BM25-style rarity weighting (es_match.py); this is that
-idea as a closed-form exact join.
+Candidate generation is the CANONICAL-ORDER PREFIX FILTER (Bayardo et
+al. WWW'07 / Chaudhuri et al. ICDE'06), which is COMPLETE for the
+threshold: order every doc's tokens by the global rarest-first order
+``(df, tok)`` and index only the PREFIX — the head kept while the
+remaining suffix weight is still ≥ t·S (integer test
+``(S − cumprev)·10⁶ ≥ t_micro·S``). For any pair with WJ ≥ t, the
+FIRST shared token in the global order must sit inside BOTH prefixes:
+if it didn't, every shared token would lie in one side's suffix
+(suffixes are upward-closed in the order), making
+``smin ≤ suffix_weight < t·S ≤ t·smax`` — contradiction. So joining
+prefix postings on the token loses no qualifying pair; the weighted
+Jaccard VALUE is then exact over the candidates' FULL token sets.
+The one documented under-approximation: a token present in more than
+``prefix_block_cap`` prefixes contributes no pairs (hot-block skip,
+mirrored by the twin's HAVING). Reference scope note: the reference
+scores pairs with ES/Lucene BM25-style rarity weighting
+(es_match.py); this is that idea as a closed-form exact join.
 
 Scale shape: postings ride one token-bucketed exchange (all rows of a
 token land in one bucket, so df is a run length — no separate DF
 pass); per-doc weighted feature lists come from one id-bucketed
-exchange; candidates reuse ``pairs.block_pairs`` (df ≤ cap blocks are
-never truncated since block size = df); features re-attach to the
+exchange (prefix selection is one cumulative-sum pass inside the same
+bucket shape); candidate pairs come from prefix-token blocks with a
+skip cap; features re-attach to the
 deduped pair list only (``blocking.attach_features`` size-aware
 broadcast/hash-join); the verify pass is one lexsort-adjacency sweep
 per batch with ``np.add.at`` int64 accumulation — exact, no float."""
@@ -101,8 +109,9 @@ def _doc_tokens(batch: pa.Table, col: str, id_col: str,
 
 def weighted_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
                            shingle_width: int = 3,
-                           weight_scale: int = 1000, df_cap: int = 16,
+                           weight_scale: int = 1000,
                            threshold_micro: int = 500_000,
+                           prefix_block_cap: int = 256,
                            num_buckets: int | None = None):
     """Dataset with (id, text) → ``(id_a, id_b, wjac_micro)`` pairs with
     inverse-DF weighted Jaccard ≥ threshold (``wjac_micro =
@@ -110,7 +119,7 @@ def weighted_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
     import ray.data as rd
 
     from merge_machine_ray.stages.blocking import attach_features
-    from merge_machine_ray.stages.pairs import auto_buckets, block_pairs
+    from merge_machine_ray.stages.pairs import auto_buckets
 
     n_docs = ds.count()
     if n_docs == 0:
@@ -152,35 +161,100 @@ def weighted_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
             (ids % num_buckets).astype(np.int32)))
 
     def doc_feats(g: pa.Table) -> pa.Table:
+        # ONE pass builds both the full weighted feature lists and the
+        # PREFIX-FILTER selection: within-doc canonical order is
+        # (df asc, tok asc) — rarest/heaviest first — and the prefix
+        # keeps the head while the suffix (incl. current) still
+        # carries ≥ t·S weight
         ids = g["id"].to_numpy(zero_copy_only=False)
         tok = g["tok"].to_numpy(zero_copy_only=False)
         w = g["w"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((tok, ids))
+        df = g["df"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((tok, df, ids))
         ids, tok, w = ids[o], tok[o], w[o]
         cuts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
         off = np.concatenate((cuts, [ids.size])).astype(np.int64)
-        s = np.add.reduceat(w, cuts) if cuts.size else np.empty(0, np.int64)
+        if cuts.size:
+            sizes = np.diff(off)
+            s = np.add.reduceat(w, cuts)
+            cum = np.cumsum(w)
+            base = np.repeat(cum[cuts] - w[cuts], sizes)
+            cumprev = cum - w - base
+            s_rep = np.repeat(s, sizes)
+            keep = (s_rep - cumprev) * 1_000_000 >= threshold_micro * s_rep
+            pcnt = np.add.reduceat(keep.astype(np.int64), cuts)
+        else:
+            s = np.empty(0, np.int64)
+            keep = np.zeros(0, bool)
+            pcnt = np.empty(0, np.int64)
         off32 = pa.array(off.astype(np.int32))
+        poff = pa.array(np.concatenate(
+            ([0], np.cumsum(pcnt))).astype(np.int32))
         return pa.table({
             "doc_id": pa.array(ids[cuts]),
             "toks": pa.ListArray.from_arrays(off32, pa.array(tok)),
             "ws": pa.ListArray.from_arrays(off32, pa.array(w)),
             "s": pa.array(s.astype(np.int64)),
+            "ptoks": pa.ListArray.from_arrays(poff, pa.array(tok[keep])),
         })
 
-    feats = (weighted.map_batches(id_bucket, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(doc_feats, batch_format="pyarrow"))
+    feats_full = (weighted.map_batches(id_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(doc_feats,
+                              batch_format="pyarrow")).materialize()
+    feats = feats_full.map_batches(
+        lambda t: t.drop_columns(["ptoks"]), batch_format="pyarrow")
 
-    import pyarrow.compute as pc
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        pt = t["ptoks"]
+        if isinstance(pt, pa.ChunkedArray):
+            pt = pt.combine_chunks()
+        off = pt.offsets.to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(t.num_rows), np.diff(off))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"tok": pt.flatten(), "id": pa.array(ids[rep])})
 
-    bands = weighted.map_batches(
-        lambda t: t.filter(pc.less_equal(t["df"], df_cap))
-        .select(["tok", "id"]).rename_columns(["band_key", "id"]),
-        batch_format="pyarrow")
-    # block size = df ≤ df_cap = block_cap → never truncated, so the
-    # candidate set is exactly "shares a token with df ≤ cap"
-    cand = block_pairs(bands, block_cap=df_cap, num_buckets=num_buckets)
+    prefixes = feats_full.map_batches(explode_prefix,
+                                      batch_format="pyarrow")
+
+    def pre_bucket(t: pa.Table) -> pa.Table:
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (tok % num_buckets).astype(np.int32)))
+
+    def pre_emit(group: pa.Table) -> pa.Table:
+        # all-pairs per prefix-token block, oversized blocks SKIPPED
+        # (not truncated) so the twin's HAVING mirrors it exactly
+        k = group["tok"].to_numpy(zero_copy_only=False)
+        i = group["id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((i, k))
+        k, i = k[o], i[o]
+        cuts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        sizes = np.diff(np.concatenate((cuts, [k.size])))
+        ok = (sizes >= 2) & (sizes <= prefix_block_cap)
+        if not ok.any():
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        keep = np.repeat(ok, sizes)
+        i = i[keep]
+        sizes = sizes[ok]
+        cuts = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+        pos = np.arange(i.size)
+        rep = np.repeat(cuts + sizes, sizes) - pos - 1
+        npairs = int(rep.sum())
+        A = np.repeat(pos, rep)
+        within = (np.arange(npairs)
+                  - np.repeat(np.concatenate(([0], np.cumsum(rep)))[:-1],
+                              rep))
+        return pa.table({"id_a": pa.array(i[A]),
+                         "id_b": pa.array(i[A + 1 + within])})
+
+    from merge_machine_ray.stages.pairs import dedupe_pairs
+
+    cand = dedupe_pairs(
+        prefixes.map_batches(pre_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pre_emit, batch_format="pyarrow"),
+        num_buckets)
     attached = attach_features(cand, feats, num_buckets=num_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:

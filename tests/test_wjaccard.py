@@ -6,8 +6,11 @@ import numpy as np
 import pyarrow as pa
 
 
-def _brute_wj(texts, ids, n_docs, scale=1000, df_cap=16,
-              threshold_micro=500_000):
+def _brute_wj(texts, ids, n_docs, scale=1000, threshold_micro=500_000):
+    """ALL-pairs weighted Jaccard with NO candidate rule — the prefix
+    filter is COMPLETE for the threshold, so the operator must equal
+    this brute force exactly (the fixture stays far below the
+    prefix-block skip cap)."""
     import re
 
     from merge_machine_ray.functions.minhash import token_shingles
@@ -26,13 +29,11 @@ def _brute_wj(texts, ids, n_docs, scale=1000, df_cap=16,
             a, b = ids[ai], ids[bi]
             a, b = min(a, b), max(a, b)
             shared = toksets[a] & toksets[b]
-            if not any(df[t] <= df_cap for t in shared):
+            if not shared:
                 continue
             smin = sum(w[t] for t in shared)
             smax = (sum(w[t] for t in toksets[a])
                     + sum(w[t] for t in toksets[b]) - smin)
-            if smax == 0:
-                continue
             micro = (1_000_000 * smin) // smax
             if micro >= threshold_micro:
                 out[(a, b)] = micro
@@ -84,7 +85,7 @@ def test_weighted_jaccard_matches_brute(ray_session):
                                  "text": pa.array(texts)}))
     got = {(r["id_a"], r["id_b"]): r["wjac_micro"]
            for r in weighted_jaccard_pairs(
-               ds, df_cap=16, threshold_micro=300_000).take_all()}
+               ds, threshold_micro=300_000).take_all()}
     want = _brute_wj(texts, ids, n, threshold_micro=300_000)
     assert got == want
     assert want, "fixture must produce at least one qualifying pair"
