@@ -1568,6 +1568,225 @@ FROM agg a, tr
 """
 
 
+def golden_records(sf_dir: str):
+    """GOLDEN-RECORD construction (MDM survivorship / data fusion —
+    Bleiholder & Naumann's fusion step after dedup): per transitive
+    exact-Jaccard cluster, fuse the members FIELD-WISE rather than
+    picking one row — modal ``lang`` and ``source`` (ties → the
+    lexicographically smallest value, deterministic), max/total
+    ``n_chars``, member count (the cluster label is already the
+    min-id representative). Complements
+    ``cluster_representatives`` (row-level survivorship) with the
+    field-level fusion a curation pipeline publishes.
+
+    Scale shape: the assignment table joins doc features by one
+    bucketed hash join, then clusters ride ONE cluster-bucketed
+    exchange; per-bucket mode/argmax is run-length arithmetic after a
+    lexsort (no per-cluster python)."""
+    from merge_machine_ray.stages.joins import bucket_hash_join
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    assign = cluster_exact_jaccard(sf_dir)
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "lang", "source", "n_chars"]) \
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "lang": pc.fill_null(t["lang"], ""),
+            "source": pc.fill_null(t["source"], ""),
+            "n_chars": t["n_chars"]}), batch_format="pyarrow")
+    j = bucket_hash_join(assign, docs, "doc_id", "doc_id")
+    num_buckets = auto_buckets(j.count())
+
+    def cl_bucket(t: pa.Table) -> pa.Table:
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (cl % num_buckets).astype(np.int32)))
+
+    def golden(g: pa.Table) -> pa.Table:
+        cl = g["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        nch = g["n_chars"].to_numpy(zero_copy_only=False)
+        o = np.argsort(cl, kind="stable")
+        cl_s = cl[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], cl_s[1:] != cl_s[:-1])))
+        sizes = np.diff(np.concatenate((starts, [cl_s.size])))
+
+        def mode_col(name: str) -> np.ndarray:
+            obj = np.asarray(g[name].to_pylist(), dtype="U")
+            vals, inv = np.unique(obj, return_inverse=True)
+            oo = np.lexsort((inv, cl))
+            c2, v2 = cl[oo], inv[oo]
+            rs = np.flatnonzero(np.concatenate(
+                ([True], (c2[1:] != c2[:-1]) | (v2[1:] != v2[:-1]))))
+            rcnt = np.diff(np.concatenate((rs, [c2.size])))
+            rcl, rv = c2[rs], v2[rs]
+            ooo = np.lexsort((rv, -rcnt, rcl))
+            rcl2 = rcl[ooo]
+            first = np.flatnonzero(np.concatenate(
+                ([True], rcl2[1:] != rcl2[:-1])))
+            return vals[rv[ooo][first]]
+
+        return pa.table({
+            "cluster_id": pa.array(cl_s[starts]),
+            "n_members": pa.array(sizes.astype(np.int64)),
+            "max_chars": pa.array(np.maximum.reduceat(nch[o], starts)),
+            "total_chars": pa.array(np.add.reduceat(nch[o], starts)),
+            "lang_mode": pa.array(mode_col("lang")),
+            "source_mode": pa.array(mode_col("source")),
+        })
+
+    return (j.map_batches(cl_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(golden, batch_format="pyarrow"))
+
+
+GOLDEN_RECORDS_SQL_TAIL = """, assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         coalesce(d.lang, '') AS lang, coalesce(d.source, '') AS source,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+lm AS (SELECT cluster_id, lang, count(*) AS cnt FROM assign
+       GROUP BY 1, 2),
+lpick AS (SELECT cluster_id, lang FROM (
+    SELECT cluster_id, lang, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        ORDER BY cnt DESC, lang ASC) AS rn FROM lm) WHERE rn = 1),
+sm AS (SELECT cluster_id, source, count(*) AS cnt FROM assign
+       GROUP BY 1, 2),
+spick AS (SELECT cluster_id, source FROM (
+    SELECT cluster_id, source, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        ORDER BY cnt DESC, source ASC) AS rn FROM sm) WHERE rn = 1),
+agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM assign GROUP BY 1)
+SELECT a.cluster_id, a.n_members, a.max_chars, a.total_chars,
+       l.lang AS lang_mode, s.source AS source_mode
+FROM agg a JOIN lpick l USING (cluster_id)
+           JOIN spick s USING (cluster_id)
+"""
+
+# reuse the recursive-CTE transitive closure; swap the final
+# assignment SELECT for the survivorship tail (cluster_agreement's
+# established pattern)
+GOLDEN_RECORDS_SQL = CLUSTER_EXACT_JACCARD_SQL.replace(
+    """SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""", GOLDEN_RECORDS_SQL_TAIL)
+assert GOLDEN_RECORDS_SQL != CLUSTER_EXACT_JACCARD_SQL
+
+
+def canopy_assign(sf_dir: str):
+    """CANOPY blocking (McCallum, Nigam & Ungar KDD 2000), one-round
+    DETERMINISTIC variant: the cheap distance is exact n-gram Jaccard;
+    a doc is a canopy CENTER iff it has no tight neighbor
+    (jac ≥ 800k) with a smaller id — the parallel replacement for the
+    sequential remove-as-you-go loop (each removed point is dominated
+    by a smaller-id tight neighbor instead of by the visiting order);
+    every doc then joins the canopy of EVERY center within the loose
+    radius (jac ≥ 300k), centers join their own, and a doc with no
+    loose center falls back to itself (full coverage, overlap allowed
+    — exactly what canopies are for). Output ``(doc_id, center_id)``.
+
+    Scale shape: one symmetric pass over the (already small) scored
+    pair list, a bucketed per-doc dominance fold, one hash semi-join
+    against the center set, one anti-join for the orphan fallback."""
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+    from merge_machine_ray.stages.joins import (
+        bucket_anti_join,
+        bucket_hash_join,
+    )
+    from merge_machine_ray.stages.pairs import auto_buckets
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    num_buckets = auto_buckets(docs.count())
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_micro=300_000).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        j = t["jaccard_micro"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.concatenate((a, b))),
+                         "b": pa.array(np.concatenate((b, a))),
+                         "j": pa.array(np.concatenate((j, j)))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def a_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (a % num_buckets).astype(np.int32)))
+
+    def dominance(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        j = g["j"].to_numpy(zero_copy_only=False)
+        f = ((b < a) & (j >= 800_000)).astype(np.int64)
+        o = np.argsort(a, kind="stable")
+        a_s, f_s = a[o], f[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], a_s[1:] != a_s[:-1])))
+        return pa.table({
+            "doc_id": pa.array(a_s[starts]),
+            "dom": pa.array(np.maximum.reduceat(f_s, starts))})
+
+    dom = (edges.map_batches(a_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(dominance,
+                                         batch_format="pyarrow"))
+    centers = bucket_hash_join(docs, dom, "doc_id", "doc_id",
+                               num_buckets=num_buckets, how="left") \
+        .map_batches(lambda t: t.filter(
+            pc.invert(pc.equal(pc.fill_null(t["dom"], 0), 1)))
+            .select(["doc_id"]), batch_format="pyarrow").materialize()
+
+    # loose edges whose partner b is a center → (a, b) assignment
+    to_center = bucket_hash_join(
+        edges.map_batches(lambda t: t.select(["a", "b"]),
+                          batch_format="pyarrow"),
+        centers.map_batches(
+            lambda t: t.append_column(
+                "m", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow"),
+        "b", "doc_id", num_buckets=num_buckets) \
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["a"], "center_id": t["b"]}),
+            batch_format="pyarrow")
+    self_rows = centers.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "center_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    assigned = to_center.union(self_rows).materialize()
+    orphans = bucket_anti_join(
+        docs, assigned, "doc_id", "doc_id",
+        num_buckets=num_buckets).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "center_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    return assigned.union(orphans)
+
+
+CANOPY_ASSIGN_SQL = _SHINGLE_CTE + """
+, p2 AS (SELECT id_a, id_b, jaccard_micro FROM jac
+         WHERE jaccard_micro >= 300000),
+sym AS (SELECT id_a AS a, id_b AS b, jaccard_micro AS j FROM p2
+        UNION ALL
+        SELECT id_b, id_a, jaccard_micro FROM p2),
+ctr AS (SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
+          SELECT 1 FROM sym s
+          WHERE s.a = d.doc_id AND s.b < d.doc_id AND s.j >= 800000)),
+assign AS (
+  SELECT s.a AS doc_id, s.b AS center_id
+  FROM sym s JOIN ctr c ON c.doc_id = s.b
+  UNION ALL
+  SELECT doc_id, doc_id FROM ctr)
+SELECT doc_id, center_id FROM assign
+UNION ALL
+SELECT d.doc_id, d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM assign)
+"""
+
+
 def prefix_edit_pairs(sf_dir: str):
     """EDIT-DISTANCE similarity self-join (the approximate-key join of
     classical record linkage — Gravano et al. VLDB 2001 style): block
@@ -3840,6 +4059,8 @@ def build_queries() -> dict:
         "er_threshold_sweep": er_threshold_sweep,
         "prefix_edit_pairs": prefix_edit_pairs,
         "soundex_part_words": soundex_part_words,
+        "canopy_assign": canopy_assign,
+        "golden_records": golden_records,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -3963,6 +4184,8 @@ def build_oracle_sql() -> dict:
         "er_threshold_sweep": ER_THRESHOLD_SWEEP_SQL,
         "prefix_edit_pairs": PREFIX_EDIT_PAIRS_SQL,
         "soundex_part_words": SOUNDEX_PART_WORDS_SQL,
+        "canopy_assign": CANOPY_ASSIGN_SQL,
+        "golden_records": GOLDEN_RECORDS_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
