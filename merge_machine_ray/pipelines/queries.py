@@ -1935,10 +1935,15 @@ def fellegi_sunter_weights(sf_dir: str):
     estimator (``fellegi.fs_em``, Winkler 1988) runs over the same γ
     pattern histogram — pytest-verified against a per-pair reference
     (EM is not SQL-expressible, so it is not a declared query)."""
-    from merge_machine_ray.stages.fellegi import (
-        comparison_vectors,
-        fs_weights,
-    )
+    from merge_machine_ray.stages.fellegi import fs_weights
+
+    return fs_weights(_fs_gamma(sf_dir), _FS_FIELDS)
+
+
+def _fs_gamma(sf_dir: str):
+    """Shared blocked-sampled γ table for the FS estimation + scoring
+    queries (field prep + ``comparison_vectors``)."""
+    from merge_machine_ray.stages.fellegi import comparison_vectors
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
 
@@ -1955,10 +1960,9 @@ def fellegi_sunter_weights(sf_dir: str):
             "tokbkt": pc.divide(ntok.cast(pa.int64()), 8),
         })
 
-    gamma = comparison_vectors(
+    return comparison_vectors(
         ds.map_batches(prep, batch_format="pyarrow"), "blk", _FS_FIELDS,
         truth_col="truth", cap=64)
-    return fs_weights(gamma, _FS_FIELDS)
 
 
 def _fs_field_agg_sql(field: str, expr: str) -> str:
@@ -1975,7 +1979,9 @@ def _fs_field_agg_sql(field: str, expr: str) -> str:
   FROM p"""
 
 
-FELLEGI_SUNTER_SQL = ("""
+# shared blocked-sampled γ-pair CTE chain (d → s → f → p); p carries
+# the pair ids so the scoring twin can reuse it unchanged
+_FS_BASE_CTE = """
 WITH d AS (
   SELECT doc_id,
          substr(coalesce(text, ''), 1, 8) AS blk,
@@ -1993,12 +1999,15 @@ s AS (
   FROM d),
 f AS (SELECT * FROM s WHERE rk <= 64),
 p AS (
-  SELECT a.truth = b.truth AS is_match,
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.truth = b.truth AS is_match,
          a.lang = b.lang AS ag_lang,
          a.prefix16 = b.prefix16 AS ag_prefix16,
          a.lenbkt = b.lenbkt AS ag_lenbkt,
          a.tokbkt = b.tokbkt AS ag_tokbkt
-  FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+  FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id)"""
+
+FELLEGI_SUNTER_SQL = (_FS_BASE_CTE + """,
 agg AS ("""
                       + " UNION ALL ".join(
                           _fs_field_agg_sql(f, f"ag_{f}")
@@ -2025,6 +2034,92 @@ SELECT field, n_match_pairs, n_unmatch_pairs, agree_match, agree_unmatch,
             END AS BIGINT) AS mu_ratio_micro
 FROM agg
 """)
+
+
+def fs_pair_scores(sf_dir: str):
+    """Apply the LEARNED Fellegi-Sunter weights back to the blocked
+    candidate pairs — the decision step that completes the FS loop
+    (estimate m/u → weight → score → classify). Per pair:
+    ``n_agree`` and ``score_micro`` = Σ over fields of the agreement
+    weight ``w = m/u`` when the field agrees, else the disagreement
+    weight ``v = (1−m)/(1−u)``, both exact half-up integer micros —
+    Christen's summed-weights decision model ("Data Matching" ch. 6)
+    with FS-estimated weights; the Bayesian form sums LOG ratios,
+    which no integer twin can reproduce bit-exactly, so the monotone
+    per-field micro ratios are summed instead (documented semantics,
+    identical on both engines). Same γ pairs, same supervised weights
+    as ``fellegi_sunter_weights``."""
+    from merge_machine_ray.stages.fellegi import (
+        _ratio_micro_int,
+        fs_weights,
+    )
+
+    gamma = _fs_gamma(sf_dir).materialize()
+    wt = fs_weights(gamma, _FS_FIELDS)
+    w: dict[str, int] = {}
+    v: dict[str, int] = {}
+    for row in wt.to_pylist():
+        f = row["field"]
+        w[f] = row["mu_ratio_micro"]
+        v[f] = _ratio_micro_int(1_000_000 - row["m_micro"],
+                                1_000_000 - row["u_micro"])
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sc = np.zeros(n, np.int64)
+        na = np.zeros(n, np.int64)
+        for f in _FS_FIELDS:
+            a = t[f"agree_{f}"].to_numpy(
+                zero_copy_only=False).astype(bool)
+            sc += np.where(a, w[f], v[f])
+            na += a
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "n_agree": pa.array(na),
+                         "score_micro": pa.array(sc)})
+
+    return gamma.map_batches(score, batch_format="pyarrow")
+
+
+def _fs_scores_sql() -> str:
+    piv = ",\n  ".join(
+        f"max(CASE WHEN field = '{f}' THEN w END) AS w_{f},\n  "
+        f"max(CASE WHEN field = '{f}' THEN v END) AS v_{f}"
+        for f in _FS_FIELDS)
+    n_agree = " + ".join(
+        f"(CASE WHEN ag_{f} THEN 1 ELSE 0 END)" for f in _FS_FIELDS)
+    sc = " + ".join(
+        f"(CASE WHEN ag_{f} THEN w_{f} ELSE v_{f} END)"
+        for f in _FS_FIELDS)
+    return (_FS_BASE_CTE + """,
+agg AS ("""
+            + " UNION ALL ".join(_fs_field_agg_sql(f, f"ag_{f}")
+                                 for f in _FS_FIELDS) + """),
+mw AS (SELECT field,
+       CASE WHEN n_match_pairs = 0 THEN 0
+            ELSE (agree_match*2000000 + n_match_pairs)
+                 // (2*n_match_pairs) END AS m_micro,
+       CASE WHEN n_unmatch_pairs = 0 THEN 0
+            ELSE (agree_unmatch*2000000 + n_unmatch_pairs)
+                 // (2*n_unmatch_pairs) END AS u_micro
+       FROM agg),
+wv AS (SELECT field,
+       CASE WHEN u_micro = 0 THEN 0
+            ELSE (m_micro*2000000 + u_micro) // (2*u_micro) END AS w,
+       CASE WHEN 1000000 - u_micro = 0 THEN 0
+            ELSE ((1000000 - m_micro)*2000000 + (1000000 - u_micro))
+                 // (2*(1000000 - u_micro)) END AS v
+       FROM mw),
+piv AS (SELECT
+  """ + piv + """
+  FROM wv)
+SELECT p.id_a, p.id_b,
+       CAST(""" + n_agree + """ AS BIGINT) AS n_agree,
+       CAST(""" + sc + """ AS BIGINT) AS score_micro
+FROM p, piv
+""")
+
+
+FS_PAIR_SCORES_SQL = _fs_scores_sql()
 
 
 def link_suppliers_to_nations(sf_dir: str):
@@ -4055,6 +4150,7 @@ def build_queries() -> dict:
         "blocking_quality": blocking_quality,
         "snm_candidate_pairs": snm_candidate_pairs,
         "fellegi_sunter_weights": fellegi_sunter_weights,
+        "fs_pair_scores": fs_pair_scores,
         "metablocking_wep": metablocking_wep,
         "er_threshold_sweep": er_threshold_sweep,
         "prefix_edit_pairs": prefix_edit_pairs,
@@ -4180,6 +4276,7 @@ def build_oracle_sql() -> dict:
         "blocking_quality": BLOCKING_QUALITY_SQL,
         "snm_candidate_pairs": SNM_CANDIDATE_PAIRS_SQL,
         "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
+        "fs_pair_scores": FS_PAIR_SCORES_SQL,
         "metablocking_wep": METABLOCKING_WEP_SQL,
         "er_threshold_sweep": ER_THRESHOLD_SWEEP_SQL,
         "prefix_edit_pairs": PREFIX_EDIT_PAIRS_SQL,
