@@ -966,6 +966,74 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """)
 
 
+def cluster_density(sf_dir: str):
+    """ER over-merge guard: per multi-member transitive cluster, the
+    EDGE DENSITY ``n_edges / C(n,2)`` of the similarity graph that
+    produced it (exact-Jaccard ≥ 0.5 edges). Transitive closure chains
+    low-density clusters together ("hairballs"); density ≈ 1 means a
+    clique of genuinely-similar docs, low density flags chain merges a
+    curation pass should split — the standard post-clustering audit.
+
+    Scale shape: edges pick up their cluster by ONE bucketed hash join
+    on the left endpoint (both endpoints share a cluster by
+    construction), per-cluster counts are map-side partials + a tiny
+    groupby, and the density join is a second bucketed hash join —
+    nothing cluster-sized on the driver."""
+    from ray.data.aggregate import Count
+
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+    from merge_machine_ray.stages.joins import bucket_hash_join
+
+    assign = cluster_exact_jaccard(sf_dir).materialize()
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_micro=500_000)
+    with_cl = bucket_hash_join(
+        pairs.map_batches(lambda t: t.select(["id_a"]),
+                          batch_format="pyarrow"),
+        assign, "id_a", "doc_id")
+    ec = with_cl.groupby("cluster_id").aggregate(
+        Count(alias_name="n_edges"))
+    sizes = assign.groupby("cluster_id").aggregate(
+        Count(alias_name="n_members")).filter(
+        lambda r: r["n_members"] >= 2)
+    j = bucket_hash_join(sizes, ec, "cluster_id", "cluster_id",
+                         how="left")
+
+    def density(t: pa.Table) -> pa.Table:
+        n = t["n_members"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = pc.fill_null(t["n_edges"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c2 = n * (n - 1) // 2
+        return pa.table({
+            "cluster_id": t["cluster_id"].cast(pa.int64()),
+            "n_members": pa.array(n), "n_edges": pa.array(e),
+            "density_micro": pa.array((1_000_000 * e) // c2)})
+
+    return j.map_batches(density, batch_format="pyarrow")
+
+
+CLUSTER_DENSITY_SQL = CLUSTER_EXACT_JACCARD_SQL.replace(
+    """SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""", """, assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+ec AS (SELECT a.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+       FROM edges e JOIN assign a ON a.doc_id = e.a GROUP BY 1),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       FROM assign GROUP BY 1 HAVING count(*) >= 2)
+SELECT s.cluster_id, s.n_members,
+       CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST((1000000 * coalesce(ec.n_edges, 0))
+            // (s.n_members*(s.n_members-1)//2) AS BIGINT)
+         AS density_micro
+FROM sz s LEFT JOIN ec ON ec.cluster_id = s.cluster_id
+""")
+assert CLUSTER_DENSITY_SQL != CLUSTER_EXACT_JACCARD_SQL
+
+
 def cluster_representatives(sf_dir: str):
     """Near-dup cluster REPRESENTATIVE selection — the keep-decision
     every dedup pass ends with: per transitive cluster (same graph as
@@ -2078,6 +2146,31 @@ def fs_pair_scores(sf_dir: str):
                          "score_micro": pa.array(sc)})
 
     return gamma.map_batches(score, batch_format="pyarrow")
+
+
+def fs_em_params(sf_dir: str):
+    """UNSUPERVISED Fellegi-Sunter parameter estimation over the same
+    blocked γ pairs — Winkler's EM over the agreement-pattern
+    histogram (no truth labels used). Declared rows-only: EM is an
+    iterative float procedure no SQL twin can reproduce bit-exactly;
+    the estimator itself is pytest-verified against an independent
+    per-pair reference (``test_fellegi.py``). Output: per-field
+    m/u/log2(m/u) estimates plus the match-prior row, quantized to
+    micros/millis for a stable schema."""
+    from merge_machine_ray.stages.fellegi import fs_em
+
+    r = fs_em(_fs_gamma(sf_dir), _FS_FIELDS, n_iter=25)
+    rows = [{"field": f,
+             "m_micro": int(round(float(r["m"][i]) * 1_000_000)),
+             "u_micro": int(round(float(r["u"][i]) * 1_000_000)),
+             "weight_milli": int(round(float(r["weights"][i]) * 1000))}
+            for i, f in enumerate(_FS_FIELDS)]
+    rows.append({"field": "__match_prior__",
+                 "m_micro": int(round(float(r["p"]) * 1_000_000)),
+                 "u_micro": 0, "weight_milli": 0})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("field", pa.string()), ("m_micro", pa.int64()),
+         ("u_micro", pa.int64()), ("weight_milli", pa.int64())]))
 
 
 def _fs_scores_sql() -> str:
@@ -4151,12 +4244,14 @@ def build_queries() -> dict:
         "snm_candidate_pairs": snm_candidate_pairs,
         "fellegi_sunter_weights": fellegi_sunter_weights,
         "fs_pair_scores": fs_pair_scores,
+        "fs_em_params": fs_em_params,
         "metablocking_wep": metablocking_wep,
         "er_threshold_sweep": er_threshold_sweep,
         "prefix_edit_pairs": prefix_edit_pairs,
         "soundex_part_words": soundex_part_words,
         "canopy_assign": canopy_assign,
         "golden_records": golden_records,
+        "cluster_density": cluster_density,
         "cluster_size_hist": cluster_size_hist,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
@@ -4283,6 +4378,7 @@ def build_oracle_sql() -> dict:
         "soundex_part_words": SOUNDEX_PART_WORDS_SQL,
         "canopy_assign": CANOPY_ASSIGN_SQL,
         "golden_records": GOLDEN_RECORDS_SQL,
+        "cluster_density": CLUSTER_DENSITY_SQL,
         "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
         "embedding_near_dups": EMBEDDING_NEAR_DUPS_SQL,
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
