@@ -1481,31 +1481,128 @@ def metablocking_wep(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
 
-    def keys(t: pa.Table) -> pa.Table:
-        txt = pc.fill_null(t["text"], "")
-        lang = pc.fill_null(t["lang"], "")
-        lb = pc.cast(pc.divide(pc.fill_null(t["n_chars"], 0), 512),
-                     pa.string())
-        bar = pa.scalar("|")
-        ka = pc.binary_join_element_wise(
-            pa.scalar("A"), pc.utf8_slice_codeunits(txt, 0, 8), bar)
-        kb = pc.binary_join_element_wise(
-            pa.scalar("B"), pc.utf8_slice_codeunits(txt, 0, 12), bar)
-        kc = pc.binary_join_element_wise(
-            pa.scalar("C"), lang, pc.utf8_slice_codeunits(txt, 0, 4),
-            lb, bar)
-        allk = pa.concat_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-             for c in (ka, kb, kc)])
-        h = (str_elem_hashes(allk) & _MASK63).astype(np.int64)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"key": pa.array(h),
-                         "id": pa.array(np.tile(ids, 3))})
+    nb = auto_buckets(ds.count() * 3)
+    edges = cbs_pair_weights(
+        ds.map_batches(lambda t: _mb_scheme_keys(t).select(["key", "id"]),
+                       batch_format="pyarrow"),
+        block_cap=64, num_buckets=nb)
+    return wep_prune(edges)
+
+
+def _mb_scheme_keys(t: pa.Table) -> pa.Table:
+    """The three redundant blocking schemes shared by the
+    meta-blocking query and the blocking-key statistics:
+    A = 8-char text prefix, B = 12-char prefix, C = lang + 4-char
+    prefix + n_chars//512. Returns ``(scheme, key, id)`` rows, key =
+    63-bit hash of the scheme-prefixed key string."""
+    from merge_machine_ray.functions.minhash import (
+        _MASK63,
+        str_elem_hashes,
+    )
+
+    txt = pc.fill_null(t["text"], "")
+    lang = pc.fill_null(t["lang"], "")
+    lb = pc.cast(pc.divide(pc.fill_null(t["n_chars"], 0), 512),
+                 pa.string())
+    bar = pa.scalar("|")
+    ka = pc.binary_join_element_wise(
+        pa.scalar("A"), pc.utf8_slice_codeunits(txt, 0, 8), bar)
+    kb = pc.binary_join_element_wise(
+        pa.scalar("B"), pc.utf8_slice_codeunits(txt, 0, 12), bar)
+    kc = pc.binary_join_element_wise(
+        pa.scalar("C"), lang, pc.utf8_slice_codeunits(txt, 0, 4),
+        lb, bar)
+    allk = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in (ka, kb, kc)])
+    h = (str_elem_hashes(allk) & _MASK63).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    scheme = pa.array(np.repeat(np.array(["A", "B", "C"]), n))
+    return pa.table({"scheme": scheme, "key": pa.array(h),
+                     "id": pa.array(np.tile(ids, 3))})
+
+
+def blocking_key_stats(sf_dir: str):
+    """Blocking-scheme TUNING statistics (the numbers that drive
+    meta-blocking / block-cap choices — Christen ch. 4's blocking
+    evaluation, cost side): per scheme, the block count, singleton
+    count, largest block, and the candidate-pair COST ``Σ C(n,2)`` a
+    naive pairwise pass over that scheme would pay. Skewed schemes
+    show up as a huge max_block / est_pairs before any pairs are ever
+    emitted — this is the query a pipeline runs BEFORE committing to a
+    blocking plan at 100 TB.
+
+    Scale shape: one key-bucketed exchange of 3 rows/doc; per-bucket
+    block sizes are run lengths after one lexsort; per-scheme partials
+    fold through a 3-row groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "n_chars"])
+    from merge_machine_ray.stages.pairs import auto_buckets
 
     nb = auto_buckets(ds.count() * 3)
-    edges = cbs_pair_weights(ds.map_batches(keys, batch_format="pyarrow"),
-                             block_cap=64, num_buckets=nb)
-    return wep_prune(edges)
+    keys = ds.map_batches(_mb_scheme_keys, batch_format="pyarrow")
+
+    def kb_bucket(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(
+            (k % nb).astype(np.int32)))
+
+    def partial(g: pa.Table) -> pa.Table:
+        sch = np.asarray(g["scheme"].to_pylist())
+        k = g["key"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k,))
+        k_s, sch_s = k[o], sch[o]
+        cuts = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        sizes = np.diff(np.concatenate((cuts, [k_s.size]))).astype(np.int64)
+        blk_scheme = sch_s[cuts]  # scheme is constant within a key
+        rows = []
+        for s in ("A", "B", "C"):
+            m = blk_scheme == s
+            sz = sizes[m]
+            rows.append({
+                "scheme": s, "n_blocks": int(m.sum()),
+                "n_singletons": int((sz == 1).sum()),
+                "max_block": int(sz.max()) if sz.size else 0,
+                "est_pairs": int((sz * (sz - 1) // 2).sum()),
+            })
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("scheme", pa.string()), ("n_blocks", pa.int64()),
+             ("n_singletons", pa.int64()), ("max_block", pa.int64()),
+             ("est_pairs", pa.int64())]))
+
+    agg = (keys.map_batches(kb_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(partial, batch_format="pyarrow")
+           .groupby("scheme")
+           .aggregate(Sum("n_blocks", alias_name="n_blocks"),
+                      Sum("n_singletons", alias_name="n_singletons"),
+                      Max("max_block", alias_name="max_block"),
+                      Sum("est_pairs", alias_name="est_pairs")))
+    return agg
+
+
+BLOCKING_KEY_STATS_SQL = """
+WITH k AS (
+  SELECT doc_id, 'A' AS scheme,
+         'A|' || substr(coalesce(text, ''), 1, 8) AS key FROM documents
+  UNION ALL
+  SELECT doc_id, 'B', 'B|' || substr(coalesce(text, ''), 1, 12)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'C', 'C|' || coalesce(lang, '') || '|' ||
+         substr(coalesce(text, ''), 1, 4) || '|' ||
+         CAST(coalesce(n_chars, 0) // 512 AS VARCHAR)
+  FROM documents),
+b AS (SELECT scheme, key, count(*) AS n FROM k GROUP BY 1, 2)
+SELECT scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(max(n) AS BIGINT) AS max_block,
+       CAST(sum(n*(n-1)//2) AS BIGINT) AS est_pairs
+FROM b GROUP BY scheme
+"""
 
 
 METABLOCKING_WEP_SQL = """
@@ -4246,6 +4343,7 @@ def build_queries() -> dict:
         "fs_pair_scores": fs_pair_scores,
         "fs_em_params": fs_em_params,
         "metablocking_wep": metablocking_wep,
+        "blocking_key_stats": blocking_key_stats,
         "er_threshold_sweep": er_threshold_sweep,
         "prefix_edit_pairs": prefix_edit_pairs,
         "soundex_part_words": soundex_part_words,
@@ -4373,6 +4471,7 @@ def build_oracle_sql() -> dict:
         "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
         "fs_pair_scores": FS_PAIR_SCORES_SQL,
         "metablocking_wep": METABLOCKING_WEP_SQL,
+        "blocking_key_stats": BLOCKING_KEY_STATS_SQL,
         "er_threshold_sweep": ER_THRESHOLD_SWEEP_SQL,
         "prefix_edit_pairs": PREFIX_EDIT_PAIRS_SQL,
         "soundex_part_words": SOUNDEX_PART_WORDS_SQL,
