@@ -202,6 +202,8 @@ def run_bench() -> dict:
     timed("metablocking_wep", Q.metablocking_wep)
     timed("fellegi_sunter_weights", Q.fellegi_sunter_weights)
     timed("er_threshold_sweep", Q.er_threshold_sweep)
+    timed("fs_pair_scores", Q.fs_pair_scores)
+    timed("blocking_key_stats", Q.blocking_key_stats)
 
     # incremental ER: cluster all but the last shard (untimed), then
     # time folding the last shard in — old-old pairs are pruned before

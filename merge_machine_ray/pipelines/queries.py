@@ -4350,7 +4350,8 @@ def build_queries() -> dict:
         "canopy_assign": canopy_assign,
         "golden_records": golden_records,
         "cluster_density": cluster_density,
-        "cluster_size_hist": cluster_size_hist,
+        "ann_topk": ann_topk,
+        "lang_id_pred": lang_id_pred,
         # dedup / near-dup family
         "minhash_near_dups": minhash_near_dups,
         "weighted_jaccard_dups": weighted_jaccard_dups,
@@ -4382,11 +4383,9 @@ def build_queries() -> dict:
         "doc_rarity": doc_rarity,
         "doc_fingerprints": doc_fingerprints,
         "doc_split_assign": doc_split_assign,
-        "shuffled_doc_head": shuffled_doc_head,
         "stratified_docs_sample": stratified_docs_sample,
         "token_heavy_hitters": token_heavy_hitters_q,
         "token_count_deciles": token_count_deciles,
-        "lang_id_pred": lang_id_pred,
         "lang_distribution": lang_distribution,
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
@@ -4394,7 +4393,6 @@ def build_queries() -> dict:
         "normalize_documents": normalize_documents,
         "idf_table": idf_table,
         "filter_must_not": filter_must_not,
-        "ann_topk": ann_topk,
         "label_centroids": label_centroids_q,
         # windows / joins / relational tail
         "price_quartiles": price_quartiles,
@@ -4426,6 +4424,8 @@ def build_queries() -> dict:
         "clean_corpus_sql_subset": clean_corpus_sql_subset,
         "unique_langs": unique_langs,
         "sample_docs_10pct": sample_docs_10pct,
+        "cluster_size_hist": cluster_size_hist,
+        "shuffled_doc_head": shuffled_doc_head,
     }
 
 
