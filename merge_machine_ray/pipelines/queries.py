@@ -2270,6 +2270,87 @@ def fs_em_params(sf_dir: str):
          ("u_micro", pa.int64()), ("weight_milli", pa.int64())]))
 
 
+def fs_score_sweep(sf_dir: str):
+    """Fellegi-Sunter DECISION evaluation: precision/recall/F1 of the
+    agreement-count classifier at every cutoff k ∈ 0..4 over the
+    blocked γ sample, against the weak-truth label — the
+    upper/lower-threshold calibration step of the FS model (the
+    reference's rolling P/R learner does the same job on labeller
+    feedback). One histogram pass; n_truth = labeled match pairs in
+    the SAME sample, so the metrics are the classifier's, not the
+    blocker's."""
+    gamma = _fs_gamma(sf_dir)
+    names = [f"agree_{f}" for f in _FS_FIELDS]
+    k = len(names)
+
+    def hist(t: pa.Table) -> pa.Table:
+        na = np.zeros(t.num_rows, np.int64)
+        for nm in names:
+            na += t[nm].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["is_match"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "k": pa.array(np.arange(k + 1, dtype=np.int64)),
+            "n": pa.array(np.bincount(na, minlength=k + 1)
+                          .astype(np.int64)),
+            "tp": pa.array(np.bincount(na[m], minlength=k + 1)
+                           .astype(np.int64))})
+
+    n_arr = np.zeros(k + 1, np.int64)
+    tp_arr = np.zeros(k + 1, np.int64)
+    for r in (gamma.map_batches(hist, batch_format="pyarrow")
+              .groupby("k").sum(["n", "tp"]).take_all()):
+        n_arr[int(r["k"])] = int(r["sum(n)"])
+        tp_arr[int(r["k"])] = int(r["sum(tp)"])
+    cn = np.cumsum(n_arr[::-1])[::-1]
+    ct = np.cumsum(tp_arr[::-1])[::-1]
+    n_truth = int(tp_arr.sum())
+    rows = []
+    for i in range(k + 1):
+        n_pred, n_tp = int(cn[i]), int(ct[i])
+        rows.append({
+            "min_agree": i, "n_pred": n_pred, "n_tp": n_tp,
+            "n_truth": n_truth,
+            "precision_micro": _ratio_micro(n_tp, n_pred),
+            "recall_micro": _ratio_micro(n_tp, n_truth),
+            "f1_micro": _ratio_micro(2 * n_tp, n_pred + n_truth)})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [(c, pa.int64()) for c in
+         ("min_agree", "n_pred", "n_tp", "n_truth", "precision_micro",
+          "recall_micro", "f1_micro")]))
+
+
+def _fs_score_sweep_sql() -> str:
+    na = " + ".join(f"(CASE WHEN ag_{f} THEN 1 ELSE 0 END)"
+                    for f in _FS_FIELDS)
+    k = len(_FS_FIELDS)
+    return (_FS_BASE_CTE + f""",
+g AS (SELECT {na} AS na,
+             CASE WHEN is_match THEN 1 ELSE 0 END AS m FROM p),
+tr AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS n_truth FROM g),
+thr AS (SELECT unnest(range(0, {k + 1})) AS min_agree),
+agg AS (SELECT t.min_agree,
+               CAST(count(g.na) AS BIGINT) AS n_pred,
+               CAST(coalesce(sum(g.m), 0) AS BIGINT) AS n_tp
+        FROM thr t LEFT JOIN g ON g.na >= t.min_agree
+        GROUP BY t.min_agree)
+SELECT a.min_agree, a.n_pred, a.n_tp, tr.n_truth,
+       CAST(CASE WHEN a.n_pred = 0 THEN 0
+            ELSE (a.n_tp*2000000 + a.n_pred) // (2*a.n_pred) END
+            AS BIGINT) AS precision_micro,
+       CAST(CASE WHEN tr.n_truth = 0 THEN 0
+            ELSE (a.n_tp*2000000 + tr.n_truth) // (2*tr.n_truth) END
+            AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN a.n_pred + tr.n_truth = 0 THEN 0
+            ELSE (2*a.n_tp*2000000 + a.n_pred + tr.n_truth)
+                 // (2*(a.n_pred + tr.n_truth)) END AS BIGINT)
+         AS f1_micro
+FROM agg a, tr
+""")
+
+
+FS_SCORE_SWEEP_SQL = _fs_score_sweep_sql()
+
+
 def _fs_scores_sql() -> str:
     piv = ",\n  ".join(
         f"max(CASE WHEN field = '{f}' THEN w END) AS w_{f},\n  "
@@ -4342,6 +4423,7 @@ def build_queries() -> dict:
         "fellegi_sunter_weights": fellegi_sunter_weights,
         "fs_pair_scores": fs_pair_scores,
         "fs_em_params": fs_em_params,
+        "fs_score_sweep": fs_score_sweep,
         "metablocking_wep": metablocking_wep,
         "blocking_key_stats": blocking_key_stats,
         "er_threshold_sweep": er_threshold_sweep,
@@ -4470,6 +4552,7 @@ def build_oracle_sql() -> dict:
         "snm_candidate_pairs": SNM_CANDIDATE_PAIRS_SQL,
         "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
         "fs_pair_scores": FS_PAIR_SCORES_SQL,
+        "fs_score_sweep": FS_SCORE_SWEEP_SQL,
         "metablocking_wep": METABLOCKING_WEP_SQL,
         "blocking_key_stats": BLOCKING_KEY_STATS_SQL,
         "er_threshold_sweep": ER_THRESHOLD_SWEEP_SQL,
