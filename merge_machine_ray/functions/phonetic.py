@@ -68,6 +68,8 @@ def soundex_batch(names) -> pa.Array:
 
     is_letter = (flat >= 97) & (flat <= 122)
     flat, rows = flat[is_letter], rows[is_letter]
+    if flat.size == 0:  # no letters anywhere → every code is ''
+        return pa.array([""] * n, pa.string())
     lut = np.zeros(256, np.uint8)
     lut[97:123] = np.frombuffer(_CODES.encode(), dtype=np.uint8) - 48
     d = lut[flat]

@@ -171,3 +171,27 @@ def test_canonical_url_matches_duckdb_twin_fuzz(urls):
         f"unnest(range(len($1))) AS i) ORDER BY i", [urls]).fetchall()
     want = [r[1] for r in rows]
     assert got == want
+
+
+@given(st.lists(st.text(max_size=20), max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_soundex_batch_matches_scalar_fuzz(names):
+    from merge_machine_ray.functions.phonetic import soundex, soundex_batch
+
+    got = soundex_batch(pa.array(names, pa.string())).to_pylist()
+    assert got == [soundex(n) for n in names]
+
+
+@given(st.lists(st.tuples(st.text(max_size=12), st.text(max_size=12)),
+                max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_levenshtein_batch_matches_scalar_fuzz(pairs):
+    from merge_machine_ray.functions.similarity import (
+        levenshtein,
+        levenshtein_batch,
+    )
+
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    got = levenshtein_batch(xs, ys)
+    assert got.tolist() == [levenshtein(a, b) for a, b in pairs]
