@@ -325,6 +325,19 @@ def country(s: str, keep: frozenset[str] | None = None,
     return out
 
 
+def soundex_tokens(s: str) -> list[str]:
+    """EXTENSION analyzer (not in the reference's registry — its
+    analyzers target French orthography via asciifolding + synonym
+    chains; Soundex is the classic phonetic-key equivalent for name
+    fields): one simplified-Soundex code per ``standard`` token,
+    empty codes dropped. Registered as ``'soundex'`` so linking
+    templates / blocking configs can address it like any stock
+    analyzer (reference field addressing ``col + '.analyzer'``)."""
+    from merge_machine_ray.functions.phonetic import soundex
+
+    return [c for c in (soundex(t) for t in standard(s)) if c]
+
+
 ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "special_keyword": special_keyword,
     "standard": standard,
@@ -336,6 +349,7 @@ ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "english": english,
     "city": city,
     "country": country,
+    "soundex": soundex_tokens,
 }
 
 

@@ -80,3 +80,43 @@ def test_levenshtein_edge_cases():
     assert levenshtein_batch(["", ""], ["", "abc"]).tolist() == [0, 3]
     assert levenshtein_batch(["abc"], [""]).tolist() == [3]
     assert levenshtein_batch(["kitten"], ["sitting"]).tolist() == [3]
+
+
+def test_soundex_analyzer_links_phonetic_misspellings(ray_session):
+    """End-to-end: a linking template over the new 'soundex' analyzer
+    matches phonetically-equal but differently-spelled names that a
+    token-equality analyzer cannot."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from merge_machine_ray.functions.tokenize import ANALYZERS
+    from merge_machine_ray.pipelines.linking import (
+        LinkParams,
+        link_datasets,
+    )
+
+    assert ANALYZERS["soundex"]("Robert Ashcraft") == ["R163", "A226"]
+
+    ref = pa.table({
+        "ref_id": pa.array([0, 1, 2], pa.int64()),
+        "name": pa.array(["robert jones mill", "ashcraft trading house",
+                          "tymczak and sons"]),
+    })
+    src = pa.table({
+        "id_row": pa.array([10, 11, 12], pa.int64()),
+        "name": pa.array(["rupert jones mill", "ashcroft trading house",
+                          "tumshak and sons"]),  # phonetic twins
+    })
+    params = LinkParams.default_for(
+        [{"source": "name", "ref": "name"}],
+        analyzers=("soundex",), threshs=(0.6,))
+    out = link_datasets(rd.from_arrow(src), rd.from_arrow(ref),
+                        [{"source": "name", "ref": "name"}], params,
+                        source_id_col="id_row",
+                        ref_keep_cols=["ref_id"]).to_pandas()
+    matched = out[out["__IS_MATCH"]]
+    # ref keep-cols come back as strings (reference all-string CSV
+    # semantics, S1)
+    got = {int(k): int(v)
+           for k, v in zip(matched["id_row"], matched["ref_id__REF"])}
+    assert got == {10: 0, 11: 1, 12: 2}
