@@ -23,6 +23,25 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _sel(ds, cols: list[str], names: list[str] | None = None):
+    """UDF projection (rename optional) — used instead of
+    ``select_columns``/``rename_columns`` wherever a PAIR pipeline
+    (groupby→map_groups chains, which emit empty schema-less blocks
+    for empty buckets) feeds a schema-capturing consumer
+    (``bucket_hash_join`` caches ``Dataset.schema()`` at build time).
+    The Project OPERATOR's metadata schema was observed (rarely,
+    nondeterministically) to report the PRE-projection columns while
+    the blocks carried the projected ones, crashing the join's tagger;
+    a map_batches projection rebuilds every block so block schema and
+    inferred schema cannot diverge."""
+    out_names = names or cols
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({n: t[c] for c, n in zip(cols, out_names)})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
     i = t.column_names.index(col)
     return t.set_column(i, col, pc.round(t[col], ndigits=nd))
@@ -943,9 +962,8 @@ def cluster_exact_jaccard(sf_dir: str):
     from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    edges = ngram_jaccard_pairs(ds, threshold_micro=500_000) \
-        .select_columns(["id_a", "id_b"]) \
-        .rename_columns({"id_a": "a", "id_b": "b"})
+    edges = _sel(ngram_jaccard_pairs(ds, threshold_micro=500_000),
+                 ["id_a", "id_b"], ["a", "b"])
     assign = connected_components(edges)
     return attach_assignments(ds.select_columns(["doc_id"]), assign)
 
@@ -1048,10 +1066,10 @@ def cluster_representatives(sf_dir: str):
     from merge_machine_ray.stages.webcorpus import latest_snapshot
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    edges = ngram_jaccard_pairs(ds.select_columns(["doc_id", "text"]),
-                                threshold_micro=500_000) \
-        .select_columns(["id_a", "id_b"]) \
-        .rename_columns({"id_a": "a", "id_b": "b"})
+    edges = _sel(
+        ngram_jaccard_pairs(ds.select_columns(["doc_id", "text"]),
+                            threshold_micro=500_000),
+        ["id_a", "id_b"], ["a", "b"])
     assign = connected_components(edges)
     with_c = attach_assignments(
         ds.select_columns(["doc_id", "n_chars"]), assign)
@@ -1340,8 +1358,8 @@ def blocking_quality(sf_dir: str):
     total_pairs = n_docs * (n_docs - 1) // 2
     cand_pairs = _sum_c2(keys, ["key"])
 
-    edges = ngram_jaccard_pairs(ds, threshold_micro=500_000) \
-        .select_columns(["id_a", "id_b"])
+    edges = _sel(ngram_jaccard_pairs(ds, threshold_micro=500_000),
+                 ["id_a", "id_b"])
     with_keys = bucket_hash_join(
         bucket_hash_join(edges, keys, "id_a", "doc_id", right_suffix="_a"),
         keys, "id_b", "doc_id", right_suffix="_b")
