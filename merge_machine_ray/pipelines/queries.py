@@ -3827,6 +3827,30 @@ WHERE cum_tokens - n_tokens < {_MIX_QUOTA}
 """
 
 
+_SEQ_LEN = 64          # packed training-sequence length (tokens)
+
+
+def packed_sequences_q(sf_dir: str):
+    """LLM sequence packing: concatenate the corpus in deterministic
+    multiplicative-hash order and cut the flat token stream every 64
+    tokens ACROSS document boundaries; emit each doc's global token
+    offset and the [first, last] training-sequence ids it occupies.
+    Global prefix sum with two narrow exchanges — the hash's top bits
+    are a pre-sorted range partitioner, so per-bucket totals (≤256
+    rows to the driver) + one bucketed window cumsum reconstruct the
+    exact global offsets (stages/packing.py)."""
+    from merge_machine_ray.stages.packing import packed_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return packed_sequences(ds, _SEQ_LEN)
+
+
+def _packed_sequences_sql() -> str:
+    from merge_machine_ray.stages.packing import packed_sequences_sql
+
+    return packed_sequences_sql("documents", _SEQ_LEN)
+
+
 def incremental_dedup_docs(sf_dir: str):
     """Delta-ingest dedup: odd-id docs play the INCOMING snapshot,
     even-id docs the EXISTING corpus; keep incoming docs whose exact
@@ -4477,6 +4501,7 @@ def build_queries() -> dict:
         # training-data pipeline ops
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
+        "packed_sequences": packed_sequences_q,
         "token_quota_mix": token_quota_mix,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
@@ -4602,6 +4627,7 @@ def build_oracle_sql() -> dict:
         "price_quartiles": PRICE_QUARTILES_SQL,
         "decontaminated_docs": DECONTAMINATED_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
+        "packed_sequences": _packed_sequences_sql(),
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "pages_host_stats": PAGES_HOST_STATS_SQL,

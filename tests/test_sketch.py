@@ -157,3 +157,50 @@ def test_shuffle_by_hash_deterministic_order(ray_session):
     c = [r["doc_id"] for r in
          shuffle_by_hash(_docs_ds(rows), "doc_id", salt=7).take_all()]
     assert c != a
+
+
+def test_packed_sequences_matches_sequential_reference(ray_session):
+    """Global token offsets over hash order equal a single-threaded
+    concatenate-and-cut reference, regardless of partitioning and
+    bucket count (including docs with empty text → 1 '' token)."""
+    from merge_machine_ray.stages.packing import packed_sequences
+
+    rng = np.random.default_rng(42)
+    rows = [{"doc_id": i,
+             "text": " ".join("tok%d" % t for t in
+                              range(int(rng.integers(0, 30))))}
+            for i in range(3_000)]        # ~half short, some empty
+    seq_len = 16
+    got = {r["doc_id"]: r for r in
+           packed_sequences(_docs_ds(rows), seq_len,
+                            n_buckets=32).take_all()}
+    assert len(got) == 3_000
+
+    mod, knuth = 1 << 32, 2654435761
+    order = sorted(range(3_000), key=lambda i: ((i * knuth) % mod, i))
+    off = 0
+    for i in order:
+        n = len(rows[i]["text"].split(" "))   # ''.split(' ') == ['']
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["tok_start"] == off
+        assert r["seq_first"] == off // seq_len
+        assert r["seq_last"] == (off + n - 1) // seq_len
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+        off += n
+
+
+def test_packed_sequences_bucket_count_invariant(ray_session):
+    """Offsets are a pure function of the corpus — bucket granularity
+    must not change a single value."""
+    from merge_machine_ray.stages.packing import packed_sequences
+
+    rows = [{"doc_id": i * 7 + 3, "text": "a b c d"[: 1 + (i % 7)]}
+            for i in range(500)]
+    a = sorted(packed_sequences(_docs_ds(rows), 8,
+                                n_buckets=4).take_all(),
+               key=lambda r: r["doc_id"])
+    b = sorted(packed_sequences(_docs_ds(rows), 8,
+                                n_buckets=256).take_all(),
+               key=lambda r: r["doc_id"])
+    assert a == b
