@@ -3851,6 +3851,28 @@ def _packed_sequences_sql() -> str:
     return packed_sequences_sql("documents", _SEQ_LEN)
 
 
+_KMV_K = 64
+
+
+def distinct_users_kmv(sf_dir: str):
+    """Approximate distinct-count sketch: per event_type, the KMV
+    (k-minimum-values) estimate of distinct user_ids. Deterministic —
+    the k smallest distinct multiplicative hashes per group — so the
+    estimate is a pure function of the data and the DuckDB twin is
+    bit-exact; each batch ships ≤k sketch rows per group
+    (stages/sketch.kmv_distinct)."""
+    from merge_machine_ray.stages.sketch import kmv_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_distinct(ds, "event_type", "user_id", k=_KMV_K)
+
+
+def _distinct_users_kmv_sql() -> str:
+    from merge_machine_ray.stages.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql("events", "event_type", "user_id", k=_KMV_K)
+
+
 def incremental_dedup_docs(sf_dir: str):
     """Delta-ingest dedup: odd-id docs play the INCOMING snapshot,
     even-id docs the EXISTING corpus; keep incoming docs whose exact
@@ -4502,6 +4524,7 @@ def build_queries() -> dict:
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
         "packed_sequences": packed_sequences_q,
+        "distinct_users_kmv": distinct_users_kmv,
         "token_quota_mix": token_quota_mix,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
@@ -4628,6 +4651,7 @@ def build_oracle_sql() -> dict:
         "decontaminated_docs": DECONTAMINATED_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
         "packed_sequences": _packed_sequences_sql(),
+        "distinct_users_kmv": _distinct_users_kmv_sql(),
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "pages_host_stats": PAGES_HOST_STATS_SQL,

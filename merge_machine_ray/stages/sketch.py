@@ -358,3 +358,80 @@ def column_quantiles_refine(ds, value_col: str, quantiles: list[float],
         out_v.append(int(fvals[m][min(sel, int(m.sum()) - 1)]))
     return pa.table({"q_micro": pa.array(out_q, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def kmv_distinct(ds, group_col: str, id_col: str, k: int = 64):
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    classic mergeable cardinality estimator (Bar-Yossef et al. 2002):
+    keep the ``k`` smallest DISTINCT hash values of ``id_col`` per
+    group; if fewer than ``k`` survive the count is exact, else
+    ``est = (k-1)·M // h_k``. Unlike HLL the whole computation is a
+    deterministic pure function of the ids (the multiplicative hash
+    shared by the sampling/split ops), so the estimate is stable
+    across runs and partitionings and the DuckDB twin
+    (:func:`kmv_distinct_sql`) matches bit for bit.
+
+    Scale shape: each batch emits at most ``k`` (group, hash) rows per
+    group present in it — the exchange carries sketch partials, never
+    id-cardinality rows — and the final groupby folds sorted unions.
+    ``k ≥ 2`` required (k distinct hashes make ``h_k ≥ k-1 > 0``)."""
+    assert k >= 2
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * np.uint64(_KNUTH)) % np.uint64(_MOD)).astype(np.int64)
+        enc = pc.dictionary_encode(
+            pc.cast(t[group_col], pa.string())).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((h, codes))
+        cs, hs = codes[o], h[o]
+        keep = np.empty(len(o), bool)
+        keep[:1] = True
+        keep[1:] = (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1])
+        cs, hs = cs[keep], hs[keep]           # distinct (group, hash)
+        seg = np.empty(len(cs), bool)
+        seg[:1] = True
+        seg[1:] = cs[1:] != cs[:-1]
+        idx = np.arange(len(cs), dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(seg, idx, -1))
+        top = (idx - seg_start) < k           # k smallest per group
+        return pa.table({group_col: enc.dictionary.take(
+                             pa.array(cs[top])).cast(pa.string()),
+                         "__kmv_h": pa.array(hs[top])})
+
+    def fold(g: pa.Table) -> pa.Table:
+        hs = np.unique(g["__kmv_h"].to_numpy(zero_copy_only=False))[:k]
+        n = int(hs.size)
+        kth = int(hs[-1])
+        est = n if n < k else ((k - 1) * _MOD) // kth
+        return pa.table({group_col: g[group_col][:1].cast(pa.string()),
+                         "n_hashes": pa.array([n], pa.int64()),
+                         "kth_hash": pa.array([kth], pa.int64()),
+                         "est_distinct": pa.array([est], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(fold, batch_format="pyarrow")
+
+
+def kmv_distinct_sql(table: str, group_col: str, id_col: str,
+                     k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (same hash, same k-min,
+    same integer estimator)."""
+    return f"""
+WITH h AS (SELECT DISTINCT {group_col},
+                  (CAST({id_col} AS HUGEINT) * {_KNUTH}) % {_MOD} AS hh
+           FROM {table}),
+r AS (SELECT {group_col}, hh,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY hh) AS rn
+      FROM h)
+SELECT CAST({group_col} AS VARCHAR) AS {group_col},
+       CAST(count(*) AS BIGINT) AS n_hashes,
+       CAST(max(hh) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN count(*) < {k} THEN count(*)
+            ELSE (({k} - 1) * CAST({_MOD} AS HUGEINT)) // max(hh)
+            END AS BIGINT) AS est_distinct
+FROM r WHERE rn <= {k}
+GROUP BY {group_col}
+"""

@@ -204,3 +204,35 @@ def test_packed_sequences_bucket_count_invariant(ray_session):
                                 n_buckets=256).take_all(),
                key=lambda r: r["doc_id"])
     assert a == b
+
+
+def test_kmv_distinct_matches_reference_and_is_exact_when_small(ray_session):
+    """KMV sketch: exact count below k, deterministic (k-1)*M//h_k
+    estimate above it, within the sketch's expected error band; bit-
+    equal to a sequential reference regardless of partitioning."""
+    from merge_machine_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40_000):                 # 'big' ~8k distinct users
+        rows.append({"event_type": "big",
+                     "user_id": int(rng.integers(0, 8_000))})
+    for u in range(17):                     # 'small' exactly 17 < k
+        rows.append({"event_type": "small", "user_id": 100_000 + u})
+    k, mod, knuth = 64, 1 << 32, 2654435761
+    got = {r["event_type"]: r for r in
+           kmv_distinct(_docs_ds(rows), "event_type", "user_id",
+                        k=k).take_all()}
+
+    def ref(users):
+        hs = sorted({(u * knuth) % mod for u in users})[:k]
+        n, kth = len(hs), hs[-1]
+        return n, kth, (n if n < k else ((k - 1) * mod) // kth)
+
+    big_users = {r["user_id"] for r in rows if r["event_type"] == "big"}
+    n, kth, est = ref(big_users)
+    assert (got["big"]["n_hashes"], got["big"]["kth_hash"],
+            got["big"]["est_distinct"]) == (n, kth, est)
+    assert abs(est - len(big_users)) / len(big_users) < 0.5  # sanity band
+    assert got["small"]["est_distinct"] == 17                # exact
+    assert got["small"]["n_hashes"] == 17
