@@ -140,3 +140,36 @@ def canonical_url_sql_expr(col: str) -> str:
             f"contains(u, '&') THEN regexp_replace(u, '&', '?') "
             f"ELSE u END FROM (SELECT ({expr}) AS u))")
     return _wrap(expr, _CANON_STEPS[_CANON_PRE_AMP:])
+
+
+def extract_hrefs(arr) -> pa.ListArray:
+    """All double-quoted ``href="..."`` link targets per document, as a
+    list<string> column — the link-extraction kernel of web-graph
+    construction. Contract: well-formed UTF-8 html with double-quoted
+    attributes (the crawler-normalized form); single-quoted/unquoted
+    hrefs are out of contract. Fully vectorized: one substring split
+    on ``href="`` (every list element after the first starts with a
+    target), then one bounded split on ``"`` takes the target — no
+    regex backtracking, no per-row Python."""
+    s = _utf8(arr)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    parts = pc.split_pattern(pc.fill_null(s, ""), 'href="')
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offsets = parts.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = parts.values
+    # keep only elements at within-list position > 0
+    import numpy as np
+    n_flat = len(flat)
+    # split_pattern('') == [''], so every list has ≥1 element and the
+    # per-list head positions are distinct
+    starts = offsets[:-1]
+    keep = np.ones(n_flat, dtype=bool)
+    keep[starts] = False                    # drop each list's head
+    urls_flat = pc.list_element(
+        pc.split_pattern(flat, '"', max_splits=1), 0)
+    counts = np.maximum(np.diff(offsets) - 1, 0)
+    new_off = np.concatenate(([0], np.cumsum(counts)))
+    return pa.ListArray.from_arrays(
+        pa.array(new_off, pa.int32()), urls_flat.filter(pa.array(keep)))

@@ -3873,6 +3873,105 @@ def _distinct_users_kmv_sql() -> str:
     return kmv_distinct_sql("events", "event_type", "user_id", k=_KMV_K)
 
 
+# --------------------------------------------------------- link graph
+_LG_MOD = 1000        # planted link-target id space
+
+
+def _docs_to_linked_pages(t: pa.Table) -> pa.Table:
+    """documents rows → pages whose html carries PLANTED deterministic
+    out-links: page for doc ``i`` links to ``(i*31 + 7 + 11*j) % 1000``
+    for ``j in 0..(i % 4)-1`` (out-degree 0–3). The SQL twins replant
+    the same edge enumeration with generate_series, so what's under
+    test end-to-end is the href-extraction kernel + the graph math.
+    (Separate from ``_docs_to_pages`` on purpose — the flagship's
+    extraction-parity contract must not see anchor markup.)"""
+    ids, url, _ = _page_url_warc(t)
+    ids64 = ids.astype(np.int64)
+    anchors = []
+    for j in range(3):
+        dst = (ids64 * 31 + 7 + 11 * j) % _LG_MOD
+        a = pc.binary_join_element_wise(
+            '<a href="https://ex', pa.array(dst % 97).cast(pa.string()),
+            ".example.com/doc/", pa.array(dst).cast(pa.string()),
+            '">x</a>', "")
+        anchors.append(pc.if_else(pa.array(ids64 % 4 > j), a, ""))
+    html = pc.binary_join_element_wise(
+        "<html><body>", *anchors, "</body></html>", "")
+    return pa.table({"url": url, "html": html.cast(pa.binary())})
+
+
+def _linked_pages_edges(sf_dir: str):
+    """pages → integer (src, dst) edge list via the vectorized href
+    extractor (functions/urls.extract_hrefs) + one RE2 id parse per
+    side; list flattening is batch-local offset arithmetic."""
+    from merge_machine_ray.functions.urls import extract_hrefs
+
+    pages = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(_docs_to_linked_pages, batch_format="pyarrow")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = pc.extract_regex(t["url"], r"/doc/(?P<id>\d+)$")
+        src = pc.cast(pc.struct_field(src, "id"), pa.int64())
+        hrefs = _combine(extract_hrefs(t["html"]))
+        off = hrefs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                         np.diff(off))
+        dst = pc.extract_regex(hrefs.values, r"/doc/(?P<id>\d+)$")
+        dst = pc.cast(pc.struct_field(dst, "id"), pa.int64())
+        return pa.table({"src": src.take(pa.array(rows)), "dst": dst})
+
+    return pages.map_batches(to_edges, batch_format="pyarrow")
+
+
+def _combine(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+_LG_EDGES_CTE = f"""
+  SELECT doc_id AS src, (doc_id * 31 + 7 + 11 * j) % {_LG_MOD} AS dst
+  FROM documents, unnest(generate_series(0, doc_id % 4 - 1)) AS t(j)
+  WHERE doc_id % 4 > 0
+"""
+
+
+def link_graph_degrees(sf_dir: str):
+    """Crawl-graph audit: per node the out/in degree of the extracted
+    link graph (stages/linkgraph.degree_table — two narrow groupbys +
+    one full-outer bucketed join)."""
+    from merge_machine_ray.stages.linkgraph import degree_table
+
+    return degree_table(_linked_pages_edges(sf_dir))
+
+
+LINK_GRAPH_DEGREES_SQL = f"""
+WITH edges AS ({_LG_EDGES_CTE}),
+o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+      FROM edges GROUP BY src),
+i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+      FROM edges GROUP BY dst)
+SELECT node, COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg
+FROM o FULL OUTER JOIN i USING (node)
+"""
+
+
+def link_pagerank(sf_dir: str):
+    """Fixed-iteration (5) integer-micro PageRank over the extracted
+    link graph — exact arithmetic end to end, so the unrolled-CTE
+    DuckDB twin matches bit for bit (stages/linkgraph.pagerank: one
+    bucketed join + one groupby-sum + one left join per iteration,
+    rank state lives in the object store)."""
+    from merge_machine_ray.stages.linkgraph import pagerank
+
+    return pagerank(_linked_pages_edges(sf_dir), iters=5)
+
+
+def _link_pagerank_sql() -> str:
+    from merge_machine_ray.stages.linkgraph import pagerank_sql_ctes
+
+    return pagerank_sql_ctes(_LG_EDGES_CTE, iters=5)
+
+
 def incremental_dedup_docs(sf_dir: str):
     """Delta-ingest dedup: odd-id docs play the INCOMING snapshot,
     even-id docs the EXISTING corpus; keep incoming docs whose exact
@@ -4525,6 +4624,8 @@ def build_queries() -> dict:
         "doc_chunks": doc_chunks,
         "packed_sequences": packed_sequences_q,
         "distinct_users_kmv": distinct_users_kmv,
+        "link_graph_degrees": link_graph_degrees,
+        "link_pagerank": link_pagerank,
         "token_quota_mix": token_quota_mix,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
@@ -4652,6 +4753,8 @@ def build_oracle_sql() -> dict:
         "doc_chunks": DOC_CHUNKS_SQL,
         "packed_sequences": _packed_sequences_sql(),
         "distinct_users_kmv": _distinct_users_kmv_sql(),
+        "link_graph_degrees": LINK_GRAPH_DEGREES_SQL,
+        "link_pagerank": _link_pagerank_sql(),
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "pages_host_stats": PAGES_HOST_STATS_SQL,

@@ -1,0 +1,78 @@
+"""Link-graph stage: degrees + integer-micro PageRank vs a sequential
+reference on random graphs, and the href-extraction kernel contract."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+
+def _edges_ds(edges):
+    import ray.data as rd
+
+    t = pa.table({"src": pa.array([s for s, _ in edges], pa.int64()),
+                  "dst": pa.array([d for _, d in edges], pa.int64())})
+    return rd.from_arrow(t).repartition(4)
+
+
+def _ref_pagerank(edges, iters=5, d=85):
+    nodes = sorted({s for s, _ in edges} | {x for _, x in edges})
+    n = len(nodes)
+    outdeg = collections.Counter(s for s, _ in edges)
+    r = {v: 1_000_000 // n for v in nodes}
+    for _ in range(iters):
+        s = collections.defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {v: (100 - d) * 1_000_000 // (100 * n) + d * s[v] // 100
+             for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_random_graph(ray_session):
+    from merge_machine_ray.stages.linkgraph import pagerank
+
+    rng = np.random.default_rng(3)
+    edges = [(int(rng.integers(0, 200)), int(rng.integers(0, 200)))
+             for _ in range(1_500)]
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(_edges_ds(edges), iters=5).take_all()}
+    want = _ref_pagerank(edges, iters=5)
+    assert got == want
+    # mass sanity: total rank stays within [teleport-only, 1] micros
+    assert 0 < sum(got.values()) <= 1_000_000 + len(want)
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(ray_session):
+    """A node every other node links to must out-rank all others."""
+    from merge_machine_ray.stages.linkgraph import pagerank
+
+    edges = [(i, 0) for i in range(1, 30)] + \
+            [(i, (i % 7) + 1) for i in range(1, 30)]
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(_edges_ds(edges), iters=5).take_all()}
+    assert got[0] == max(got.values())
+    assert got == _ref_pagerank(edges, iters=5)
+
+
+def test_degree_table_full_outer_zeros(ray_session):
+    from merge_machine_ray.stages.linkgraph import degree_table
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in degree_table(_edges_ds(edges)).take_all()}
+    assert got == {1: (2, 1), 2: (1, 1), 3: (0, 2), 4: (1, 0)}
+
+
+def test_extract_hrefs_contract():
+    from merge_machine_ray.functions.urls import extract_hrefs
+
+    html = pa.array([
+        '<a href="http://a/1">x</a><p href="u2">',
+        "plain text",
+        "",
+        None,
+        'href="tail',          # unterminated quote → rest of string
+    ])
+    assert extract_hrefs(html).to_pylist() == [
+        ["http://a/1", "u2"], [], [], [], ["tail"]]
