@@ -204,6 +204,9 @@ def run_bench() -> dict:
     timed("er_threshold_sweep", Q.er_threshold_sweep)
     timed("fs_pair_scores", Q.fs_pair_scores)
     timed("blocking_key_stats", Q.blocking_key_stats)
+    timed("packed_sequences", Q.packed_sequences_q)
+    timed("distinct_users_kmv", Q.distinct_users_kmv)
+    timed("link_pagerank", Q.link_pagerank)
 
     # incremental ER: cluster all but the last shard (untimed), then
     # time folding the last shard in — old-old pairs are pruned before

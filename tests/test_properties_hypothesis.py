@@ -195,3 +195,15 @@ def test_levenshtein_batch_matches_scalar_fuzz(pairs):
     ys = [b for _, b in pairs]
     got = levenshtein_batch(xs, ys)
     assert got.tolist() == [levenshtein(a, b) for a, b in pairs]
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(
+    list('abc<>="/ href')), max_size=60), max_size=25))
+@settings(max_examples=120, deadline=None)
+def test_extract_hrefs_matches_split_reference_fuzz(docs):
+    from merge_machine_ray.functions.urls import extract_hrefs
+
+    got = extract_hrefs(pa.array(docs, pa.string())).to_pylist()
+    want = [[p.split('"', 1)[0] for p in d.split('href="')[1:]]
+            for d in docs]
+    assert got == want
