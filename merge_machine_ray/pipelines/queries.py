@@ -2747,6 +2747,40 @@ LEFT JOIN LATERAL (
 """
 
 
+def views_before_purchase(sf_dir: str):
+    """Banded range join (custom operator — the as-of join's
+    pair-emitting sibling): EVERY view by the same user within the
+    hour before each purchase, one output row per (purchase, view)
+    pair. One bucketed shuffle; per bucket the rights sort once and
+    each left row's window is two composite searchsorteds + offset-
+    arithmetic pair emission (stages/asof.range_join)."""
+    from merge_machine_ray.stages.asof import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .drop_columns(["event_type"])
+    views = ev.filter(expr="event_type == 'view'") \
+        .drop_columns(["event_type"])
+    return range_join(purchases, views, key="user_id", ts="ts",
+                      lo_offset=-3_600_000_000, hi_offset=-1,
+                      left_cols=["event_id"],
+                      right_cols=["ts", "event_id"])
+
+
+RANGE_JOIN_SQL = """
+SELECT p.user_id, p.ts, p.event_id, v.ts AS ts_r,
+       v.event_id AS event_id_r
+FROM (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts - INTERVAL 1 MICROSECOND
+"""
+
+
 def clean_corpus_sql_subset(sf_dir: str):
     """SQL-expressible slice of the corpus-cleaning pipeline: quality
     gates (length + token count) then exact dedup keep-min-id."""
@@ -4651,6 +4685,7 @@ def build_queries() -> dict:
         "events_sliding_3h": events_sliding_3h,
         "events_sessions": events_sessions,
         "asof_purchase_last_view": asof_purchase_last_view,
+        "views_before_purchase": views_before_purchase,
         "distinct_types_per_user": distinct_types_per_user,
         "top_orders_per_customer": top_orders_per_customer,
         "orders_lag_delta": orders_lag_delta,
@@ -4691,6 +4726,7 @@ def build_oracle_sql() -> dict:
         "events_sessions": EVENTS_SESSIONS_SQL,
         "parts_by_brand": PARTS_BY_BRAND_SQL,
         "asof_purchase_last_view": ASOF_SQL,
+        "views_before_purchase": RANGE_JOIN_SQL,
         "clean_corpus_sql_subset": CLEAN_SQL,
         "normalize_documents": NORMALIZE_SQL,
         "doc_token_count": TOKEN_COUNT_SQL,

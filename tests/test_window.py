@@ -222,3 +222,44 @@ def test_window_nullable_int_partition(ray_session):
     assert [rn_by_uid[u] for u in (1, 3, 5)] == [1, 2, 3]
     assert [rn_by_uid[u] for u in (0, 4)] == [1, 2]
     assert rn_by_uid[2] == 1
+
+
+def test_range_join_matches_bruteforce_random(ray_session):
+    """Banded range join = brute-force nested loop on random data,
+    including empty windows, duplicate timestamps, negative bands."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from merge_machine_ray.stages.asof import range_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 900
+    lt = pa.table({
+        "user_id": pa.array(rng.integers(0, 25, n_l), pa.int64()),
+        "ts": pa.array(rng.integers(0, 5_000, n_l), pa.int64()),
+        "event_id": pa.array(np.arange(n_l), pa.int64())})
+    rt = pa.table({
+        "user_id": pa.array(rng.integers(0, 25, n_r), pa.int64()),
+        "ts": pa.array(rng.integers(0, 5_000, n_r), pa.int64()),
+        "event_id": pa.array(np.arange(n_r) + 10_000, pa.int64())})
+    lo, hi = -300, -1
+    out = range_join(rd.from_arrow(lt).repartition(3),
+                     rd.from_arrow(rt).repartition(4),
+                     key="user_id", ts="ts", lo_offset=lo, hi_offset=hi,
+                     left_cols=["event_id"],
+                     right_cols=["ts", "event_id"]).take_all()
+    got = sorted((r["event_id"], r["event_id_r"]) for r in out)
+    want = sorted(
+        (int(le), int(re))
+        for lu, lts, le in zip(lt["user_id"].to_pylist(),
+                               lt["ts"].to_pylist(),
+                               lt["event_id"].to_pylist())
+        for ru, rts, re in zip(rt["user_id"].to_pylist(),
+                               rt["ts"].to_pylist(),
+                               rt["event_id"].to_pylist())
+        if lu == ru and lts + lo <= rts <= lts + hi)
+    assert got == want and len(got) > 0
+    # every output row carries consistent left/right payloads
+    for r in out:
+        assert r["ts"] + lo <= r["ts_r"] <= r["ts"] + hi
