@@ -4006,6 +4006,57 @@ def _link_pagerank_sql() -> str:
     return pagerank_sql_ctes(_LG_EDGES_CTE, iters=5)
 
 
+def link_graph_components(sf_dir: str):
+    """Weakly-connected components of the extracted link graph, as a
+    component-size histogram (the web-graph structure audit). Edges
+    drop direction by construction of the CC (a,b) input; components
+    come from the shared large/small-star machinery
+    (stages/clustering.connected_components); nodes with no edges are
+    impossible here (every node is an endpoint), so the histogram is
+    two tiny groupbys over the assignment."""
+    from ray.data.aggregate import Count
+
+    from merge_machine_ray.stages.clustering import connected_components
+
+    def ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["src"], "b": t["dst"]})
+
+    edges = _linked_pages_edges(sf_dir).map_batches(
+        ab, batch_format="pyarrow")
+    assign = connected_components(edges)
+    sizes = assign.groupby("cluster_id").aggregate(Count(alias_name="sz"))
+    return sizes.groupby("sz").aggregate(
+        Count(alias_name="n_components")).map_batches(
+            lambda t: pa.table({
+                "component_size": t["sz"].cast(pa.int64()),
+                "n_components": t["n_components"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
+LINK_GRAPH_COMPONENTS_SQL = f"""
+WITH RECURSIVE edges AS ({_LG_EDGES_CTE}),
+undirected AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+               UNION SELECT dst AS a, src AS b FROM edges
+               WHERE src <> dst),
+reach(node, r) AS (
+  SELECT a AS node, b AS r FROM undirected
+  UNION
+  SELECT reach.node, u.b AS r FROM reach JOIN undirected u
+      ON reach.r = u.a),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+comp AS (
+  SELECT n.node, least(n.node, coalesce(min(r.r), n.node)) AS cluster_id
+  FROM nodes n LEFT JOIN reach r ON n.node = r.node
+  GROUP BY n.node),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM comp
+          GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+"""
+
+
 def incremental_dedup_docs(sf_dir: str):
     """Delta-ingest dedup: odd-id docs play the INCOMING snapshot,
     even-id docs the EXISTING corpus; keep incoming docs whose exact
@@ -4660,6 +4711,7 @@ def build_queries() -> dict:
         "distinct_users_kmv": distinct_users_kmv,
         "link_graph_degrees": link_graph_degrees,
         "link_pagerank": link_pagerank,
+        "link_graph_components": link_graph_components,
         "token_quota_mix": token_quota_mix,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
@@ -4791,6 +4843,7 @@ def build_oracle_sql() -> dict:
         "distinct_users_kmv": _distinct_users_kmv_sql(),
         "link_graph_degrees": LINK_GRAPH_DEGREES_SQL,
         "link_pagerank": _link_pagerank_sql(),
+        "link_graph_components": LINK_GRAPH_COMPONENTS_SQL,
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "pages_host_stats": PAGES_HOST_STATS_SQL,
