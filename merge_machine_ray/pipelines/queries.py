@@ -4709,9 +4709,9 @@ def build_queries() -> dict:
         "doc_chunks": doc_chunks,
         "packed_sequences": packed_sequences_q,
         "distinct_users_kmv": distinct_users_kmv,
-        "link_graph_degrees": link_graph_degrees,
         "link_pagerank": link_pagerank,
         "link_graph_components": link_graph_components,
+        "views_before_purchase": views_before_purchase,
         "token_quota_mix": token_quota_mix,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
@@ -4737,7 +4737,7 @@ def build_queries() -> dict:
         "events_sliding_3h": events_sliding_3h,
         "events_sessions": events_sessions,
         "asof_purchase_last_view": asof_purchase_last_view,
-        "views_before_purchase": views_before_purchase,
+        "link_graph_degrees": link_graph_degrees,
         "distinct_types_per_user": distinct_types_per_user,
         "top_orders_per_customer": top_orders_per_customer,
         "orders_lag_delta": orders_lag_delta,
