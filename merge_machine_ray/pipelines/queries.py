@@ -4057,6 +4057,59 @@ FROM sizes GROUP BY sz
 """
 
 
+def lang_length_outliers(sf_dir: str):
+    """Per-group outlier filter (the 'drop the longest tail per
+    language' curation gate): exact p95 of whitespace-token count per
+    lang via distributed grouped histograms
+    (stages/sketch.grouped_quantiles — batches ship sparse per-group
+    (value, count) rows bounded by the domain, one groupby folds),
+    then docs strictly above their language's cut. The tiny per-lang
+    cut table (one row per lang) broadcasts by closure into the
+    filter pass."""
+    from merge_machine_ray.stages.decontam import _split_tokens
+    from merge_machine_ray.stages.sketch import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        toks = _split_tokens(t["text"])
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_tokens": pa.array(n)})
+
+    nt = ds.map_batches(feats, batch_format="pyarrow")
+    cuts = {r["lang"]: r["value"]
+            for r in grouped_quantiles(nt, "lang", "n_tokens",
+                                       [0.95]).take_all()}
+    langs = pa.array(list(cuts.keys()), pa.string())
+    cutv = np.array(list(cuts.values()), dtype=np.int64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["lang"], value_set=langs) \
+            .to_numpy(zero_copy_only=False)
+        cut = cutv[idx.astype(np.int64)]
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        t = t.append_column("cut", pa.array(cut))
+        return t.filter(pa.array(n > cut))
+
+    return nt.map_batches(keep, batch_format="pyarrow")
+
+
+LANG_LENGTH_OUTLIERS_SQL = """
+WITH d AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT)
+                      AS n_tokens
+           FROM documents),
+cuts AS (SELECT lang,
+                CAST(quantile_disc(n_tokens, 0.95) AS BIGINT) AS cut
+         FROM d GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_tokens, c.cut
+FROM d JOIN cuts c USING (lang)
+WHERE d.n_tokens > c.cut
+"""
+
+
 def incremental_dedup_docs(sf_dir: str):
     """Delta-ingest dedup: odd-id docs play the INCOMING snapshot,
     even-id docs the EXISTING corpus; keep incoming docs whose exact
@@ -4712,6 +4765,7 @@ def build_queries() -> dict:
         "link_pagerank": link_pagerank,
         "link_graph_components": link_graph_components,
         "views_before_purchase": views_before_purchase,
+        "lang_length_outliers": lang_length_outliers,
         "token_quota_mix": token_quota_mix,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
@@ -4779,6 +4833,7 @@ def build_oracle_sql() -> dict:
         "parts_by_brand": PARTS_BY_BRAND_SQL,
         "asof_purchase_last_view": ASOF_SQL,
         "views_before_purchase": RANGE_JOIN_SQL,
+        "lang_length_outliers": LANG_LENGTH_OUTLIERS_SQL,
         "clean_corpus_sql_subset": CLEAN_SQL,
         "normalize_documents": NORMALIZE_SQL,
         "doc_token_count": TOKEN_COUNT_SQL,

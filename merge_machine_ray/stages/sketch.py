@@ -435,3 +435,63 @@ SELECT CAST({group_col} AS VARCHAR) AS {group_col},
 FROM r WHERE rn <= {k}
 GROUP BY {group_col}
 """
+
+
+def grouped_quantiles(ds, group_col: str, value_col: str,
+                      quantiles: list[float], max_domain: int = 1 << 22):
+    """EXACT per-group quantiles of a non-negative bounded integer
+    column, fully distributed (the grouped sibling of
+    :func:`column_quantiles`): each batch emits sparse (group, value,
+    count) histogram rows — bounded by the value domain per group, not
+    by row count — and one groupby folds each group's histogram and
+    reads the ``ceil(q·n)`` ranks (DuckDB ``quantile_disc``
+    semantics). Returns a Dataset of (group, q_micro, value)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.size and (v.min() < 0 or v.max() >= max_domain):
+            raise ValueError(
+                f"grouped_quantiles: {value_col} outside [0, {max_domain})")
+        enc = pc.dictionary_encode(
+            pc.cast(t[group_col], pa.string())).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((v, codes))
+        cs, vs = codes[o], v[o]
+        new = np.empty(len(o), bool)
+        new[:1] = True
+        new[1:] = (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate([starts, [len(o)]]))
+        return pa.table({
+            group_col: enc.dictionary.take(
+                pa.array(cs[starts])).cast(pa.string()),
+            "__qv": pa.array(vs[starts]),
+            "__qc": pa.array(cnt.astype(np.int64))})
+
+    def fold(g: pa.Table) -> pa.Table:
+        v = g["__qv"].to_numpy(zero_copy_only=False)
+        c = g["__qc"].to_numpy(zero_copy_only=False)
+        o = np.argsort(v, kind="stable")
+        v, c = v[o], c[o]
+        new = np.empty(v.size, bool)
+        new[:1] = True
+        new[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(new)
+        vals = v[starts]
+        sums = np.add.reduceat(c, starts)
+        cum = np.cumsum(sums)
+        n = int(cum[-1])
+        qm, qv = [], []
+        for q_micro, rank in _ranks_for(quantiles, n):
+            pos = int(np.searchsorted(cum, rank))
+            qm.append(q_micro)
+            qv.append(int(vals[min(pos, vals.size - 1)]))
+        return pa.table({
+            group_col: g[group_col][:1].cast(pa.string())
+            .take(pa.array(np.zeros(len(qm), dtype=np.int64))),
+            "q_micro": pa.array(qm, pa.int64()),
+            "value": pa.array(qv, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(fold, batch_format="pyarrow")

@@ -236,3 +236,22 @@ def test_kmv_distinct_matches_reference_and_is_exact_when_small(ray_session):
     assert abs(est - len(big_users)) / len(big_users) < 0.5  # sanity band
     assert got["small"]["est_distinct"] == 17                # exact
     assert got["small"]["n_hashes"] == 17
+
+
+def test_grouped_quantiles_matches_numpy_reference(ray_session):
+    from merge_machine_ray.stages.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    rows = [{"g": ["a", "b", "c"][int(rng.integers(0, 3))],
+             "v": int(rng.integers(0, 500))} for _ in range(8_000)]
+    qs = [0.5, 0.9, 0.99]
+    got = {(r["g"], r["q_micro"]): r["value"]
+           for r in grouped_quantiles(_docs_ds(rows), "g", "v",
+                                      qs).take_all()}
+    for g in "abc":
+        vals = np.sort([r["v"] for r in rows if r["g"] == g])
+        n = vals.size
+        for q in qs:
+            qm = int(round(q * 1_000_000))
+            rank = max(1, (qm * n + 999_999) // 1_000_000)
+            assert got[(g, qm)] == int(vals[rank - 1]), (g, q)
