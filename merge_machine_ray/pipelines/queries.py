@@ -4703,6 +4703,89 @@ SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
 """
 
 
+def bpe_pair_counts(sf_dir: str):
+    """Round-0 BPE pair statistics (the counts the first merge is
+    chosen from): character bigrams within [a-z0-9]+ words of the
+    lowercased text plus (last-char, </w>), exact top-30 by count.
+    Block-local partials (`stages/bpe.pair_count_partial`) → pair-keyed
+    groupby sum → local top-k + tiny reduce. The SQL-expressible slice
+    of the tokenizer-training job, so the driver hash-checks the
+    pair-statistics kernel the merge learner runs every round."""
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.bpe import pair_count_partial
+
+    k = 30
+    ds = _read(sf_dir, "documents", ["text"])
+    agg = ds.map_batches(pair_count_partial, batch_format="pyarrow") \
+        .groupby(["left_sym", "right_sym"]) \
+        .aggregate(Sum("pn", alias_name="pair_n"))
+    keys = [("pair_n", "descending"), ("left_sym", "ascending"),
+            ("right_sym", "ascending")]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        n = t["pair_n"].cast(pa.int64())
+        t = t.set_column(t.column_names.index("pair_n"), "pair_n", n)
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k, keys))
+
+    parts = agg.map_batches(local_topk, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        parts.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    tbl = tbl.take(pc.select_k_unstable(tbl, min(k, tbl.num_rows), keys))
+    return tbl.sort_by([("pair_n", "descending"),
+                        ("left_sym", "ascending"),
+                        ("right_sym", "ascending")])
+
+
+BPE_PAIR_COUNTS_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+    AS word
+  FROM documents),
+ww AS (SELECT word FROM w WHERE word <> ''),
+p AS (
+  SELECT substr(word, i, 1) AS left_sym,
+         substr(word, i + 1, 1) AS right_sym
+  FROM (SELECT word,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM ww)
+  UNION ALL
+  SELECT substr(word, length(word), 1), '</w>' FROM ww)
+SELECT left_sym, right_sym, CAST(count(*) AS BIGINT) AS pair_n
+FROM p GROUP BY left_sym, right_sym
+ORDER BY pair_n DESC, left_sym, right_sym LIMIT 30
+"""
+
+
+def bpe_merges_q(sf_dir: str):
+    """BPE tokenizer training (Sennrich et al. 2016): 40 greedy
+    highest-count merges learned from the distributed word-frequency
+    fold (min_count=2 pruned BEFORE collection). Iterative algorithm —
+    no SQL twin by design; the sequential-reference parity tests in
+    tests/test_bpe.py pin every rank, symbol and count, and
+    `bpe_pair_counts` hash-checks the per-round statistics kernel."""
+    from merge_machine_ray.stages.bpe import learn_bpe
+
+    return learn_bpe(_read(sf_dir, "documents", ["text"]),
+                     num_merges=40, min_count=2)
+
+
+def bpe_token_counts_q(sf_dir: str):
+    """Corpus-wide application of the learned merge table: per-doc
+    post-BPE token counts via the broadcast-merges actor stage
+    (`stages/bpe.BpeCounter` — merges ship once via ray.put, each batch
+    tokenizes its DISTINCT words only). Depends on the learned merges,
+    so rows-only like `bpe_merges`; exactness is pinned by the
+    train-state == apply invariant test."""
+    from merge_machine_ray.stages.bpe import bpe_token_counts, learn_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = learn_bpe(ds, num_merges=40, min_count=2)
+    return bpe_token_counts(ds, merges)
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -4758,6 +4841,9 @@ def build_queries() -> dict:
         "doc_lm_score": doc_lm_score,
         "cluster_representatives": cluster_representatives,
         # training-data pipeline ops
+        "bpe_pair_counts": bpe_pair_counts,
+        "bpe_merges": bpe_merges_q,
+        "bpe_token_counts": bpe_token_counts_q,
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
         "packed_sequences": packed_sequences_q,
@@ -4821,6 +4907,7 @@ def build_queries() -> dict:
 
 def build_oracle_sql() -> dict:
     return {
+        "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,
