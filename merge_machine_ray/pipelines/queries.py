@@ -4786,6 +4786,62 @@ def bpe_token_counts_q(sf_dir: str):
     return bpe_token_counts(ds, merges)
 
 
+def nb_doc_classifier(sf_dir: str):
+    """Trained-model document classification (the fastText-quality-
+    classifier shape): fit a multinomial Naive Bayes on the corpus's
+    own (text → lang) pairs via two distributed count folds, broadcast
+    the model once, score every doc — (doc_id, pred_label,
+    score_micro, margin_micro) in exact integer micros so the DuckDB
+    twin matches bit for bit (`stages/classify.py`). Zero-token docs
+    drop (twin: their group vanishes)."""
+    from merge_machine_ray.stages.classify import nb_classify
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return nb_classify(ds)
+
+
+NB_DOC_CLASSIFIER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents),
+tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+lab AS (SELECT doc_id, coalesce(lang, '') AS label FROM documents),
+cnt AS (SELECT l.label, t.tok, count(*) AS c
+        FROM tt t JOIN lab l USING (doc_id) GROUP BY l.label, t.tok),
+tot AS (SELECT label, sum(c) AS n FROM cnt GROUP BY label),
+voc AS (SELECT count(DISTINCT tok) AS v FROM tt),
+pri AS (SELECT label, count(*) AS nd FROM lab GROUP BY label),
+tl AS (SELECT sum(nd) AS td FROM pri),
+lp AS (SELECT label, tok,
+              CAST(round(ln((c + 1.0) / (n + v)) * 1000000) AS BIGINT)
+                AS lpm
+       FROM cnt JOIN tot USING (label), voc),
+dflt AS (SELECT label,
+                CAST(round(ln(1.0 / (n + v)) * 1000000) AS BIGINT) AS um
+         FROM tot, voc),
+prim AS (SELECT label,
+                CAST(round(ln(nd * 1.0 / td) * 1000000) AS BIGINT) AS pm
+         FROM pri, tl),
+sc AS (SELECT t.doc_id, d.label,
+              CAST(sum(coalesce(lp.lpm, d.um)) AS BIGINT) AS body
+       FROM tt t CROSS JOIN dflt d
+       LEFT JOIN lp ON lp.label = d.label AND lp.tok = t.tok
+       GROUP BY t.doc_id, d.label),
+ts AS (SELECT s.doc_id, s.label, s.body + p.pm AS score
+       FROM sc s JOIN prim p USING (label)),
+r AS (SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label ASC) AS rn
+      FROM ts)
+SELECT r1.doc_id, r1.label AS pred_label,
+       CAST(r1.score AS BIGINT) AS score_micro,
+       CAST(r1.score - r2.score AS BIGINT) AS margin_micro
+FROM r r1 JOIN r r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+WHERE r1.rn = 1
+"""
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -4842,6 +4898,7 @@ def build_queries() -> dict:
         "cluster_representatives": cluster_representatives,
         # training-data pipeline ops
         "bpe_pair_counts": bpe_pair_counts,
+        "nb_doc_classifier": nb_doc_classifier,
         "bpe_merges": bpe_merges_q,
         "bpe_token_counts": bpe_token_counts_q,
         "decontaminated_docs": decontaminated_docs,
@@ -4908,6 +4965,7 @@ def build_queries() -> dict:
 def build_oracle_sql() -> dict:
     return {
         "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+        "nb_doc_classifier": NB_DOC_CLASSIFIER_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,
