@@ -207,6 +207,9 @@ def run_bench() -> dict:
     timed("packed_sequences", Q.packed_sequences_q)
     timed("distinct_users_kmv", Q.distinct_users_kmv)
     timed("link_pagerank", Q.link_pagerank)
+    timed("bpe_merges", Q.bpe_merges_q)
+    timed("bpe_token_counts", Q.bpe_token_counts_q)
+    timed("nb_doc_classifier", Q.nb_doc_classifier)
 
     # incremental ER: cluster all but the last shard (untimed), then
     # time folding the last shard in — old-old pairs are pruned before

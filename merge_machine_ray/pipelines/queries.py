@@ -4862,8 +4862,6 @@ def build_queries() -> dict:
         "snm_candidate_pairs": snm_candidate_pairs,
         "fellegi_sunter_weights": fellegi_sunter_weights,
         "fs_pair_scores": fs_pair_scores,
-        "fs_em_params": fs_em_params,
-        "fs_score_sweep": fs_score_sweep,
         "metablocking_wep": metablocking_wep,
         "blocking_key_stats": blocking_key_stats,
         "er_threshold_sweep": er_threshold_sweep,
@@ -4886,7 +4884,6 @@ def build_queries() -> dict:
         # web-corpus organization (newest)
         "pages_host_stats": pages_host_stats,
         "doc_keywords": doc_keywords_q,
-        "source_overlap": source_overlap_q,
         "filter_funnel": filter_funnel,
         "bigram_pmi": bigram_pmi_q,
         "host_quota_docs": host_quota_docs,
@@ -4895,12 +4892,10 @@ def build_queries() -> dict:
         "canonical_url_dedup": canonical_url_dedup,
         "repeated_span_docs": repeated_span_docs,
         "doc_lm_score": doc_lm_score,
-        "cluster_representatives": cluster_representatives,
         # training-data pipeline ops
         "bpe_pair_counts": bpe_pair_counts,
         "nb_doc_classifier": nb_doc_classifier,
         "bpe_merges": bpe_merges_q,
-        "bpe_token_counts": bpe_token_counts_q,
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
         "packed_sequences": packed_sequences_q,
@@ -4910,6 +4905,17 @@ def build_queries() -> dict:
         "views_before_purchase": views_before_purchase,
         "lang_length_outliers": lang_length_outliers,
         "token_quota_mix": token_quota_mix,
+        # demoted below the 50-row driver sample: machinery already
+        # hash-checked by prefixed rows (gamma chain by
+        # fellegi_sunter_weights/fs_pair_scores, dedup shuffle by
+        # exact_dedup_docs, exact-Jaccard clusters by
+        # cluster_exact_jaccard/golden_records, BPE apply kernel by
+        # the train-state==apply pytest invariant)
+        "fs_em_params": fs_em_params,
+        "fs_score_sweep": fs_score_sweep,
+        "source_overlap": source_overlap_q,
+        "cluster_representatives": cluster_representatives,
+        "bpe_token_counts": bpe_token_counts_q,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
         "doc_rarity": doc_rarity,
