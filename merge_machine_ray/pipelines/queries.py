@@ -4842,6 +4842,79 @@ WHERE r1.rn = 1
 """
 
 
+def table_profile(sf_dir: str):
+    """Data-quality column profile of the documents table (the
+    validation pass before anything trusts a new corpus drop):
+    rows / nulls / EXACT distinct / min / max per column. Scalar stats
+    fold one native-typed row per block; distincts share one bucketed
+    value exchange (`stages/profile.column_profile`; KMV is the
+    documented approximate path at 100 TB)."""
+    from merge_machine_ray.stages.profile import column_profile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return column_profile(ds, ["doc_id", "lang", "text"])
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_v,
+       CAST(max(doc_id) AS VARCHAR) AS max_v
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(lang) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(text) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT),
+       CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+FROM documents
+"""
+
+
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the relational tables: per
+    FK edge, child rows / matched rows / orphans — one bucketed
+    semi-join per edge over batch-deduped child key counts
+    (`stages/profile.fk_audit`)."""
+    from merge_machine_ray.stages.profile import fk_audit
+
+    return fk_audit([
+        ("orders->customer",
+         _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+        ("lineitem->orders",
+         _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+         _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
+    ])
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'orders->customer' AS edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN oo.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+WHERE l.l_orderkey IS NOT NULL
+"""
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -4886,9 +4959,9 @@ def build_queries() -> dict:
         "doc_keywords": doc_keywords_q,
         "filter_funnel": filter_funnel,
         "bigram_pmi": bigram_pmi_q,
-        "host_quota_docs": host_quota_docs,
+        "table_profile": table_profile,
+        "fk_integrity_audit": fk_integrity_audit,
         "line_dedup_docs": line_dedup_docs,
-        "latest_page_snapshot": latest_page_snapshot,
         "canonical_url_dedup": canonical_url_dedup,
         "repeated_span_docs": repeated_span_docs,
         "doc_lm_score": doc_lm_score,
@@ -4911,6 +4984,8 @@ def build_queries() -> dict:
         # exact_dedup_docs, exact-Jaccard clusters by
         # cluster_exact_jaccard/golden_records, BPE apply kernel by
         # the train-state==apply pytest invariant)
+        "host_quota_docs": host_quota_docs,
+        "latest_page_snapshot": latest_page_snapshot,
         "fs_em_params": fs_em_params,
         "fs_score_sweep": fs_score_sweep,
         "source_overlap": source_overlap_q,
@@ -4972,6 +5047,8 @@ def build_oracle_sql() -> dict:
     return {
         "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
         "nb_doc_classifier": NB_DOC_CLASSIFIER_SQL,
+        "table_profile": TABLE_PROFILE_SQL,
+        "fk_integrity_audit": FK_INTEGRITY_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,
