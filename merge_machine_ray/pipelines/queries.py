@@ -4915,6 +4915,92 @@ WHERE l.l_orderkey IS NOT NULL
 """
 
 
+def event_rate_anomalies(sf_dir: str):
+    """Time-series anomaly gate (the monitoring op a production
+    ingest runs on every drop): hourly event counts per type flagged
+    when count > mean + 3σ of that type's hourly distribution. The
+    test is EXACT integer arithmetic — (c·n − S)² > 9·(n·SS − S²)
+    with c>mean, no float σ — so the twin matches bit for bit.
+    Shape: one (hour, type) groupby for the counts, one tiny per-type
+    stats fold broadcast back as a dict (types are enum-bounded), one
+    streaming filter pass."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"]})
+
+    hourly = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["hour", "event_type"]) \
+        .aggregate(Count(alias_name="n_events"))
+
+    def to64(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("n_events"), "n_events",
+            t["n_events"].cast(pa.int64()))
+
+    hourly = hourly.map_batches(to64, batch_format="pyarrow") \
+        .materialize()  # consumed twice: stats fold + filter pass
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        c = t["n_events"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "pn": pa.array(np.ones(len(c), np.int64)),
+            "ps": pa.array(c),
+            "pss": pa.array(c * c),
+        })
+
+    st = hourly.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("pn", alias_name="n"),
+                   Sum("ps", alias_name="s"),
+                   Sum("pss", alias_name="ss")).take_all()
+    lut = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+           for r in st}
+
+    def flag(t: pa.Table) -> pa.Table:
+        # int64 products bound the test to d=(c·n−S) < ~3e9 — beyond
+        # that (per-type petabyte-hour counts) both sides, engine and
+        # BIGINT twin, would need a wider type; fine by construction
+        # here and honest about the bound.
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        stats = np.array([lut[x] for x in enc.dictionary.to_pylist()],
+                         np.int64).reshape(-1, 3)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n, s, ss = (stats[codes, 0], stats[codes, 1], stats[codes, 2])
+        c = t["n_events"].to_numpy(zero_copy_only=False)
+        d = c * n - s
+        keep = (d > 0) & (d * d > 9 * (n * ss - s * s))
+        return t.filter(pa.array(keep))
+
+    return hourly.map_batches(flag, batch_format="pyarrow")
+
+
+EVENT_RATE_ANOMALIES_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM h GROUP BY event_type)
+SELECT h.hour, h.event_type, h.n_events
+FROM h JOIN st USING (event_type)
+WHERE (h.n_events * st.n - st.s) > 0
+  AND (h.n_events * st.n - st.s) * (h.n_events * st.n - st.s)
+      > 9 * (st.n * st.ss - st.s * st.s)
+"""
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -4930,7 +5016,6 @@ def build_queries() -> dict:
         "link_suppliers_to_nations": link_suppliers_to_nations,
         "cluster_exact_jaccard": cluster_exact_jaccard,
         "cluster_agreement": cluster_agreement,
-        "bcubed_per_doc": bcubed_per_doc,
         "blocking_quality": blocking_quality,
         "snm_candidate_pairs": snm_candidate_pairs,
         "fellegi_sunter_weights": fellegi_sunter_weights,
@@ -4961,6 +5046,7 @@ def build_queries() -> dict:
         "bigram_pmi": bigram_pmi_q,
         "table_profile": table_profile,
         "fk_integrity_audit": fk_integrity_audit,
+        "event_rate_anomalies": event_rate_anomalies,
         "line_dedup_docs": line_dedup_docs,
         "canonical_url_dedup": canonical_url_dedup,
         "repeated_span_docs": repeated_span_docs,
@@ -4984,6 +5070,7 @@ def build_queries() -> dict:
         # exact_dedup_docs, exact-Jaccard clusters by
         # cluster_exact_jaccard/golden_records, BPE apply kernel by
         # the train-state==apply pytest invariant)
+        "bcubed_per_doc": bcubed_per_doc,
         "host_quota_docs": host_quota_docs,
         "latest_page_snapshot": latest_page_snapshot,
         "fs_em_params": fs_em_params,
@@ -5049,6 +5136,7 @@ def build_oracle_sql() -> dict:
         "nb_doc_classifier": NB_DOC_CLASSIFIER_SQL,
         "table_profile": TABLE_PROFILE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,
+        "event_rate_anomalies": EVENT_RATE_ANOMALIES_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,
