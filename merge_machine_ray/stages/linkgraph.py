@@ -33,6 +33,37 @@ from merge_machine_ray.stages.joins import bucket_hash_join
 
 __all__ = ["degree_table", "pagerank", "pagerank_sql_ctes"]
 
+#: Edge count below which PageRank runs its driver fast path (same
+#: exact integer arithmetic, numpy bincount-style folds per round).
+#: The same bounded-driver contract as the clustering module's driver
+#: CC: a 2M-edge int64 edge list is ~32 MB of driver heap; above it
+#: the distributed loop (one bucketed join + groupby-sum + left join
+#: per round) takes over.
+DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _snapshot(ds, max_blocks: int | None = None):
+    """Execute and CUT LINEAGE: rebuild the dataset from its
+    materialized object-store blocks (zero-copy refs). Plain
+    ``materialize()`` is not enough for iterative loops here —
+    ``Dataset.union`` (inside bucket_hash_join) re-splices the full
+    upstream LOGICAL plan instead of reusing the snapshot, so each
+    round's plan would embed every previous round and wall time grows
+    superlinearly (measured 2× per iteration before this cut).
+
+    ``max_blocks`` bounds the snapshot's block count: each join/
+    groupby round otherwise ADDS ~bucket-count blocks to the iteration
+    state (measured 128→224→320 across three rounds on a 4k-node
+    graph), and per-block fixed costs then dominate. Iterative state
+    must keep a CONSTANT block budget — sized to the cluster, not to
+    the round number."""
+    import ray.data
+
+    mat = ds.materialize()
+    if max_blocks is not None and mat.num_blocks() > max_blocks:
+        mat = mat.repartition(max_blocks).materialize()
+    return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
 
 def _nodes(edges_ds):
     """Distinct node ids of src ∪ dst (one groupby over narrow rows)."""
@@ -78,10 +109,56 @@ def degree_table(edges_ds):
     return both.map_batches(fill, batch_format="pyarrow")
 
 
-def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85):
+def _pagerank_driver(edges_ds, iters: int, damping_pct: int):
+    """Bounded driver fast path: identical integer arithmetic over
+    numpy arrays (edge list ≤ DRIVER_EDGE_LIMIT). One np.add.at fold
+    per round replaces three distributed exchanges."""
+    import ray.data
+
+    src_parts, dst_parts = [], []
+    for b in edges_ds.iter_batches(batch_size=1 << 16,
+                                   batch_format="pyarrow"):
+        src_parts.append(b["src"].to_numpy(zero_copy_only=False))
+        dst_parts.append(b["dst"].to_numpy(zero_copy_only=False))
+    src = (np.concatenate(src_parts) if src_parts
+           else np.empty(0, np.int64)).astype(np.int64)
+    dst = (np.concatenate(dst_parts) if dst_parts
+           else np.empty(0, np.int64)).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = nodes.size
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "rank_micro": pa.array([], pa.int64())})
+    if n == 0:
+        return ray.data.from_arrow(empty)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    deg_per_edge = outdeg[si]
+    d = damping_pct
+    teleport = (100 - d) * 1_000_000 // (100 * n)
+    r = np.full(n, 1_000_000 // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = r[si] // deg_per_edge
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, di, contrib)
+        r = teleport + (d * s) // 100
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "rank_micro": pa.array(r)}))
+
+
+def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85,
+             driver_edge_limit: int | None = None):
     """Fixed-iteration integer-micro PageRank (see module docstring).
-    Returns a Dataset of (node, rank_micro)."""
-    nodes = _nodes(edges_ds).materialize()
+    Returns a Dataset of (node, rank_micro). Below
+    ``driver_edge_limit`` (default DRIVER_EDGE_LIMIT) the exact same
+    arithmetic runs on the driver; above it, distributed, with a hard
+    lineage cut per round (see :func:`_snapshot`)."""
+    limit = DRIVER_EDGE_LIMIT if driver_edge_limit is None \
+        else driver_edge_limit
+    edges_ds = _snapshot(edges_ds)
+    if edges_ds.count() <= limit:
+        return _pagerank_driver(edges_ds, iters, damping_pct)
+    nodes = _snapshot(_nodes(edges_ds))
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -101,14 +178,17 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85):
     # static per-edge outdeg attach — one join, reused every iteration
     edges_deg = bucket_hash_join(
         edges_ds, odeg.map_batches(deg_named, batch_format="pyarrow"),
-        "src", "src").materialize()
+        "src", "src")
+    edges_deg = _snapshot(edges_deg)
 
     def init(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"],
                          "rank_micro": pa.array(
                              np.full(t.num_rows, r0, dtype=np.int64))})
 
-    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    state_blocks = max(edges_deg.num_blocks(), 1)
+    ranks = _snapshot(nodes.map_batches(init, batch_format="pyarrow"),
+                      max_blocks=state_blocks)
 
     for _ in range(iters):
         with_r = bucket_hash_join(edges_deg, ranks, "src", "node")
@@ -138,8 +218,9 @@ def pagerank(edges_ds, iters: int = 5, damping_pct: int = 85):
             return pa.table({"node": t["node"],
                              "rank_micro": pa.array(r)})
 
-        ranks = joined.map_batches(update,
-                                   batch_format="pyarrow").materialize()
+        ranks = _snapshot(joined.map_batches(update,
+                                            batch_format="pyarrow"),
+                          max_blocks=state_blocks)
 
     return ranks
 

@@ -43,6 +43,23 @@ def test_pagerank_matches_reference_random_graph(ray_session):
     assert 0 < sum(got.values()) <= 1_000_000 + len(want)
 
 
+def test_pagerank_driver_and_distributed_paths_identical(ray_session):
+    """The bounded driver fast path and the distributed loop (forced
+    via driver_edge_limit=0) are the same pure function of the edge
+    list — and both match the sequential reference."""
+    from merge_machine_ray.stages.linkgraph import pagerank
+
+    rng = np.random.default_rng(17)
+    edges = [(int(rng.integers(0, 80)), int(rng.integers(0, 80)))
+             for _ in range(400)]
+    fast = {r["node"]: r["rank_micro"]
+            for r in pagerank(_edges_ds(edges), iters=3).take_all()}
+    slow = {r["node"]: r["rank_micro"]
+            for r in pagerank(_edges_ds(edges), iters=3,
+                              driver_edge_limit=0).take_all()}
+    assert fast == slow == _ref_pagerank(edges, iters=3)
+
+
 def test_pagerank_sink_heavy_node_ranks_highest(ray_session):
     """A node every other node links to must out-rank all others."""
     from merge_machine_ray.stages.linkgraph import pagerank
