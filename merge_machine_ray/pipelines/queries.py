@@ -5001,6 +5001,55 @@ WHERE (h.n_events * st.n - st.s) > 0
 """
 
 
+_BM25_QUERY = ["column", "join", "merge", "order", "scan"]
+
+
+def bm25_search(sf_dir: str):
+    """BM25 ranked retrieval over the documents table against a fixed
+    query (the scoring the reference delegates to Elasticsearch,
+    `es_match.py` msearch): top-20 docs by Okapi BM25 (k1=1.2,
+    b=0.75) in two folds — global stats partial pass, then broadcast
+    stats + streaming scoring + local-topk reduce
+    (`stages/webcorpus.bm25_topk`). idf and the saturation factor are
+    micro-quantized separately with twin-identical float text, then
+    combined in int64, so the DuckDB twin matches bit for bit."""
+    from merge_machine_ray.stages.webcorpus import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERY, k=20)
+
+
+BM25_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents),
+tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM tt GROUP BY doc_id),
+gstats AS (SELECT (SELECT count(*) FROM documents) AS nn,
+                  (SELECT count(*) FROM tt) AS tt_total),
+q(tok) AS (VALUES ('column'), ('join'), ('merge'), ('order'), ('scan')),
+df AS (SELECT q.tok, count(DISTINCT t.doc_id) AS df
+       FROM q LEFT JOIN tt t USING (tok) GROUP BY q.tok),
+tf AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tt t JOIN q USING (tok) GROUP BY t.doc_id, t.tok),
+sc AS (SELECT tf.doc_id,
+              CAST(round(ln((nn - df + 0.5) / (df + 0.5) + 1.0)
+                         * 1000000) AS BIGINT)
+              * CAST(round((tf * 2.2)
+                           / (tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl * nn / tt_total))
+                           * 1000000) AS BIGINT)
+              // 1000000 AS c
+       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+            CROSS JOIN gstats)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro
+FROM sc GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
+"""
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -5047,10 +5096,10 @@ def build_queries() -> dict:
         "table_profile": table_profile,
         "fk_integrity_audit": fk_integrity_audit,
         "event_rate_anomalies": event_rate_anomalies,
-        "line_dedup_docs": line_dedup_docs,
         "canonical_url_dedup": canonical_url_dedup,
         "repeated_span_docs": repeated_span_docs,
         "doc_lm_score": doc_lm_score,
+        "bm25_search": bm25_search,
         # training-data pipeline ops
         "bpe_pair_counts": bpe_pair_counts,
         "nb_doc_classifier": nb_doc_classifier,
@@ -5070,6 +5119,7 @@ def build_queries() -> dict:
         # exact_dedup_docs, exact-Jaccard clusters by
         # cluster_exact_jaccard/golden_records, BPE apply kernel by
         # the train-state==apply pytest invariant)
+        "line_dedup_docs": line_dedup_docs,
         "bcubed_per_doc": bcubed_per_doc,
         "host_quota_docs": host_quota_docs,
         "latest_page_snapshot": latest_page_snapshot,
@@ -5137,6 +5187,7 @@ def build_oracle_sql() -> dict:
         "table_profile": TABLE_PROFILE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,
         "event_rate_anomalies": EVENT_RATE_ANOMALIES_SQL,
+        "bm25_search": BM25_SEARCH_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,

@@ -742,3 +742,123 @@ def unigram_lm_scores(ds, col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- BM25 retrieval
+def bm25_topk(ds, query_tokens: list[str], id_col: str = "doc_id",
+              col: str = "text", k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 ranked retrieval against a fixed query — the scoring the
+    reference delegates to Elasticsearch (`es_match.py` msearch), here
+    as two Ray folds: (1) one batch-partial pass for the global stats
+    (N docs, T total tokens, per-query-term document frequency — each
+    doc lives in exactly one batch, so partial sums are exact), then
+    (2) one streaming scoring pass with the ≤|q|-row stats broadcast in
+    the closure, local top-k per block + one tiny reduce.
+
+    Exactness contract: idf and the per-(doc,term) saturation factor
+    are micro-quantized SEPARATELY with float expressions written in
+    the same evaluation order as the DuckDB twin, then combined in
+    int64 (idf_micro · term_micro // 1e6) — the same two-factor
+    quantization pattern as the NB classifier. Tokens: [a-z0-9]+ runs
+    of the lowercased text. Docs containing no query term drop out.
+    Tie-break (score desc, id asc) pins the k-boundary on both sides.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    q = sorted(set(query_tokens))
+    q_arr = pa.array(q, pa.string())
+
+    def _doc_tokens(t: pa.Table):
+        txt = t[col].cast(pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(txt, "")), _TOKEN_SEP)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                         np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+            if len(flat) else np.empty(0, bool)
+        return flat.filter(pa.array(keep)) if len(flat) else flat, \
+            rows[keep] if len(flat) else rows[:0]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, rows = _doc_tokens(t)
+        pos = pc.index_in(flat, value_set=q_arr)
+        valid = pc.is_valid(pos).to_numpy(zero_copy_only=False) \
+            if len(flat) else np.empty(0, bool)
+        dfs = np.zeros(len(q), np.int64)
+        if valid.any():
+            pn = pos.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+            key = rows[valid] * len(q) + pn
+            dfs = np.bincount(np.unique(key) % len(q),
+                              minlength=len(q)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(["__N__", "__T__"] + q),
+            "v": pa.array(np.concatenate((
+                [t.num_rows, rows.size], dfs)).astype(np.int64)),
+        })
+
+    stats = {r["key"]: int(r["v"]) for r in
+             ds.map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("key").aggregate(Sum("v", alias_name="v"))
+             .take_all()}
+    n_docs, t_total = stats["__N__"], stats["__T__"]
+    if n_docs == 0 or t_total == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "bm25_micro": pa.array([], pa.int64())}))
+    df = np.array([stats[tok] for tok in q], dtype=np.int64)
+    # same float text as the twin: ln((N - df + 0.5)/(df + 0.5) + 1.0)
+    idf_micro = np.round(np.log(
+        (n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6).astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, rows = _doc_tokens(t)
+        n = t.num_rows
+        dl = np.bincount(rows, minlength=n).astype(np.int64)
+        pos = pc.index_in(flat, value_set=q_arr)
+        valid = pc.is_valid(pos).to_numpy(zero_copy_only=False) \
+            if len(flat) else np.empty(0, bool)
+        out = np.zeros(n, np.int64)
+        if valid.any():
+            pn = pos.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+            key = rows[valid] * len(q) + pn
+            tf_flat = np.bincount(key, minlength=n * len(q))
+            hit = np.flatnonzero(tf_flat)
+            tf = tf_flat[hit].astype(np.float64)
+            rid = hit // len(q)
+            qid = hit % len(q)
+            dl_f = dl[rid].astype(np.float64)
+            # same float text as the twin:
+            # (tf*(k1+1)) / (tf + k1*(1 - b + b*dl*N/T))
+            term = (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl_f * n_docs / t_total))
+            term_micro = np.round(term * 1e6).astype(np.int64)
+            contrib = idf_micro[qid] * term_micro // 1_000_000
+            np.add.at(out, rid, contrib)
+        hits = np.flatnonzero(out > 0)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids.take(pa.array(hits)),
+                         "bm25_micro": pa.array(out[hits])})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    keys = [("bm25_micro", "descending"), (id_col, "ascending")]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k, keys))
+
+    parts = scored.map_batches(local_topk, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        parts.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    tbl = tbl.take(pc.select_k_unstable(tbl, min(k, tbl.num_rows), keys))
+    return tbl.sort_by([("bm25_micro", "descending"),
+                        (id_col, "ascending")])
