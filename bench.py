@@ -210,6 +210,9 @@ def run_bench() -> dict:
     timed("bpe_merges", Q.bpe_merges_q)
     timed("bpe_token_counts", Q.bpe_token_counts_q)
     timed("nb_doc_classifier", Q.nb_doc_classifier)
+    timed("bm25_search", Q.bm25_search)
+    timed("table_profile", Q.table_profile)
+    timed("event_rate_anomalies", Q.event_rate_anomalies)
 
     # incremental ER: cluster all but the last shard (untimed), then
     # time folding the last shard in — old-old pairs are pruned before
