@@ -299,8 +299,13 @@ class BpeCounter:
                          "n_tok_bpe": pa.array(out)})
 
 
-def bpe_token_counts(ds, merges_tbl: pa.Table, concurrency: int = 4):
-    """Apply a learned merge table corpus-wide → (doc_id, n_tok_bpe)."""
+def bpe_token_counts(ds, merges_tbl: pa.Table, concurrency=(1, 4)):
+    """Apply a learned merge table corpus-wide → (doc_id, n_tok_bpe).
+
+    ``concurrency`` defaults to AUTOSCALING (1, 4): a fixed actor pool
+    sized at the session's CPU count starves the upstream read forever
+    on small sessions (no error, just a hang — hit by the 4-CPU test
+    session; the autoscaling pool releases slots instead)."""
     import ray
 
     ref = ray.put(merges_tbl)
