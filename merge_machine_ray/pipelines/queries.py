@@ -5050,6 +5050,73 @@ ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
 """
 
 
+_MSEARCH_QUERIES = [
+    (1, "join merge"), (2, "scan column order"), (3, "hash row batch"),
+    (4, "filter small"), (5, "customer order"), (6, "sort window"),
+    (7, "merge join hash"), (8, "slow scan"),
+]
+
+
+def bm25_msearch_q(sf_dir: str):
+    """Bulk BM25 retrieval — the reference's msearch/labelling-search
+    shape (top-3 docs per query, `es_labeller.py NUM_SEARCH_RESULTS`):
+    one stats fold over the union of query terms, one streaming pass
+    scoring every query per batch, local per-query top-k + tiny
+    reduce (`stages/webcorpus.bm25_msearch`). Bit-exact DuckDB twin
+    via the shared two-factor micro quantization."""
+    from merge_machine_ray.stages.webcorpus import bm25_msearch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_msearch(ds, _MSEARCH_QUERIES, k=3)
+
+
+def _bm25_msearch_sql() -> str:
+    import re
+    pairs = []
+    for qid, text in _MSEARCH_QUERIES:
+        for tok in sorted({w for w in re.split("[^a-z0-9]+",
+                                               text.lower()) if w}):
+            pairs.append(f"({qid}, '{tok}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents),
+tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM tt GROUP BY doc_id),
+gstats AS (SELECT (SELECT count(*) FROM documents) AS nn,
+                  (SELECT count(*) FROM tt) AS tt_total),
+q(qid, tok) AS (VALUES {values}),
+df AS (SELECT qq.tok, count(DISTINCT t.doc_id) AS df
+       FROM (SELECT DISTINCT tok FROM q) qq
+       LEFT JOIN tt t USING (tok) GROUP BY qq.tok),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tt WHERE tok IN (SELECT tok FROM q)
+       GROUP BY doc_id, tok),
+sc AS (SELECT tf.doc_id, tf.tok,
+              CAST(round(ln((nn - df + 0.5) / (df + 0.5) + 1.0)
+                         * 1000000) AS BIGINT)
+              * CAST(round((tf * 2.2)
+                           / (tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl * nn / tt_total))
+                           * 1000000) AS BIGINT)
+              // 1000000 AS c
+       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+            CROSS JOIN gstats),
+qs AS (SELECT q.qid, sc.doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro
+       FROM q JOIN sc USING (tok) GROUP BY q.qid, sc.doc_id),
+r AS (SELECT qid, doc_id, bm25_micro,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25_micro DESC, doc_id ASC)
+               AS rn
+      FROM qs WHERE bm25_micro > 0)
+SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25_micro
+FROM r WHERE rn <= 3
+"""
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -5090,7 +5157,6 @@ def build_queries() -> dict:
         "incremental_dedup": incremental_dedup_docs,
         # web-corpus organization (newest)
         "pages_host_stats": pages_host_stats,
-        "doc_keywords": doc_keywords_q,
         "filter_funnel": filter_funnel,
         "bigram_pmi": bigram_pmi_q,
         "table_profile": table_profile,
@@ -5100,6 +5166,7 @@ def build_queries() -> dict:
         "repeated_span_docs": repeated_span_docs,
         "doc_lm_score": doc_lm_score,
         "bm25_search": bm25_search,
+        "bm25_msearch": bm25_msearch_q,
         # training-data pipeline ops
         "bpe_pair_counts": bpe_pair_counts,
         "nb_doc_classifier": nb_doc_classifier,
@@ -5119,6 +5186,8 @@ def build_queries() -> dict:
         # exact_dedup_docs, exact-Jaccard clusters by
         # cluster_exact_jaccard/golden_records, BPE apply kernel by
         # the train-state==apply pytest invariant)
+        "doc_keywords": doc_keywords_q,
+        "doc_fingerprints": doc_fingerprints,
         "line_dedup_docs": line_dedup_docs,
         "bcubed_per_doc": bcubed_per_doc,
         "host_quota_docs": host_quota_docs,
@@ -5131,7 +5200,6 @@ def build_queries() -> dict:
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
         "doc_rarity": doc_rarity,
-        "doc_fingerprints": doc_fingerprints,
         "doc_split_assign": doc_split_assign,
         "stratified_docs_sample": stratified_docs_sample,
         "token_heavy_hitters": token_heavy_hitters_q,
@@ -5188,6 +5256,7 @@ def build_oracle_sql() -> dict:
         "fk_integrity_audit": FK_INTEGRITY_SQL,
         "event_rate_anomalies": EVENT_RATE_ANOMALIES_SQL,
         "bm25_search": BM25_SEARCH_SQL,
+        "bm25_msearch": _bm25_msearch_sql(),
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,

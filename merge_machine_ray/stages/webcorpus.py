@@ -862,3 +862,151 @@ def bm25_topk(ds, query_tokens: list[str], id_col: str = "doc_id",
     tbl = tbl.take(pc.select_k_unstable(tbl, min(k, tbl.num_rows), keys))
     return tbl.sort_by([("bm25_micro", "descending"),
                         (id_col, "ascending")])
+
+
+def bm25_msearch(ds, queries: list[tuple[int, str]],
+                 id_col: str = "doc_id", col: str = "text", k: int = 3,
+                 k1: float = 1.2, b: float = 0.75):
+    """BULK BM25 retrieval — the reference's msearch shape
+    (`helpers.py:_gen_bulk`, 1000 queries per request; labelling
+    fetches top-3 per query, `es_labeller.py:NUM_SEARCH_RESULTS`).
+    ``queries`` = [(qid, text), ...]; returns the top-``k`` docs per
+    query as (qid, doc_id, bm25_micro), ties broken doc-id-ascending,
+    zero-score docs dropped.
+
+    One stats fold over the UNION of query terms (bounded by the
+    request batch, broadcast in the closure), one streaming scoring
+    pass computing every query's score per doc batch (per-batch cost:
+    one index_in + |Q| sparse folds), local per-query top-k per block,
+    one tiny per-query reduce. Same two-factor micro quantization as
+    :func:`bm25_topk`, so the DuckDB twin matches bit for bit."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    # per-query DISTINCT term lists over the shared sorted vocab
+    def _qtoks(s):
+        import re
+        return sorted({w for w in re.split("[^a-z0-9]+", s.lower()) if w})
+
+    qids = [qid for qid, _ in queries]
+    qterms = [_qtoks(text) for _, text in queries]
+    vocab = sorted({t for ts in qterms for t in ts})
+    v_arr = pa.array(vocab, pa.string())
+    vpos = {t: i for i, t in enumerate(vocab)}
+    term_ids = [np.array([vpos[t] for t in ts], np.int64)
+                for ts in qterms]
+    V, Q = len(vocab), len(queries)
+
+    def _flat(t: pa.Table):
+        txt = t[col].cast(pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(txt, "")), _TOKEN_SEP)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                         np.diff(offsets))
+        if not len(flat):
+            return flat, rows[:0]
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(keep)), rows[keep]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, rows = _flat(t)
+        pos = pc.index_in(flat, value_set=v_arr)
+        valid = pc.is_valid(pos).to_numpy(zero_copy_only=False) \
+            if len(flat) else np.empty(0, bool)
+        dfs = np.zeros(V, np.int64)
+        if valid.any():
+            pn = pos.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+            key = rows[valid] * V + pn
+            dfs = np.bincount(np.unique(key) % V,
+                              minlength=V).astype(np.int64)
+        return pa.table({
+            "key": pa.array(["__N__", "__T__"] + vocab),
+            "v": pa.array(np.concatenate((
+                [t.num_rows, rows.size], dfs)).astype(np.int64)),
+        })
+
+    stats = {r["key"]: int(r["v"]) for r in
+             ds.map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("key").aggregate(Sum("v", alias_name="v"))
+             .take_all()}
+    n_docs, t_total = stats["__N__"], stats["__T__"]
+    import ray.data
+    empty = pa.table({"qid": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "bm25_micro": pa.array([], pa.int64())})
+    if n_docs == 0 or t_total == 0 or V == 0:
+        return ray.data.from_arrow(empty)
+    df = np.array([stats[t] for t in vocab], dtype=np.int64)
+    idf_micro = np.round(np.log(
+        (n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6).astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, rows = _flat(t)
+        n = t.num_rows
+        dl = np.bincount(rows, minlength=n).astype(np.int64)
+        pos = pc.index_in(flat, value_set=v_arr)
+        valid = pc.is_valid(pos).to_numpy(zero_copy_only=False) \
+            if len(flat) else np.empty(0, bool)
+        if not valid.any():
+            return empty
+        pn = pos.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        key = rows[valid] * V + pn
+        tf_flat = np.bincount(key, minlength=n * V)
+        hit = np.flatnonzero(tf_flat)
+        tf = tf_flat[hit].astype(np.float64)
+        rid = hit // V
+        tid = hit % V
+        dl_f = dl[rid].astype(np.float64)
+        term = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl_f * n_docs / t_total))
+        contrib = idf_micro[tid] * np.round(term * 1e6).astype(np.int64) \
+            // 1_000_000
+        out_q, out_r, out_s = [], [], []
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        for qi in range(Q):                  # Q is request-bounded
+            sel = np.isin(tid, term_ids[qi])
+            if not sel.any():
+                continue
+            s = np.zeros(n, np.int64)
+            np.add.at(s, rid[sel], contrib[sel])
+            nz = np.flatnonzero(s > 0)
+            if not nz.size:
+                continue
+            # local per-query top-k (score desc, doc_id asc)
+            docs = ids.take(pa.array(nz)).to_numpy(zero_copy_only=False)
+            sc = s[nz]
+            o = np.lexsort((docs, -sc))[:k]
+            out_q.append(np.full(o.size, qids[qi], np.int64))
+            out_r.append(docs[o])
+            out_s.append(sc[o])
+        if not out_q:
+            return empty
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_r)),
+                         "bm25_micro": pa.array(np.concatenate(out_s))})
+
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        parts.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    if not tbl.num_rows:
+        return empty
+    # final per-query reduce over the (blocks × Q × k)-bounded parts
+    q_np = tbl["qid"].to_numpy(zero_copy_only=False)
+    d_np = tbl[id_col].to_numpy(zero_copy_only=False)
+    s_np = tbl["bm25_micro"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((d_np, -s_np, q_np))
+    q_np, d_np, s_np = q_np[o], d_np[o], s_np[o]
+    starts = np.flatnonzero(np.concatenate(([True],
+                                            q_np[1:] != q_np[:-1])))
+    ends = np.concatenate((starts[1:], [q_np.size]))
+    keep = np.concatenate([np.arange(s0, min(s0 + k, e0))
+                           for s0, e0 in zip(starts, ends)])
+    return pa.table({"qid": pa.array(q_np[keep]),
+                     id_col: pa.array(d_np[keep]),
+                     "bm25_micro": pa.array(s_np[keep])})
