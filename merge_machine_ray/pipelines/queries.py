@@ -5117,6 +5117,52 @@ FROM r WHERE rn <= 3
 """
 
 
+def snapshot_diff_docs(sf_dir: str):
+    """Corpus-drop diff (the ingest regression gate): the 'previous
+    snapshot' is derived deterministically from the documents table —
+    every 17th doc missing (→ added in the new drop), every 13th doc
+    text-perturbed (→ changed) — and the key-level diff counts
+    added/removed/changed/unchanged rows in ONE bucketed exchange
+    (`stages/profile.snapshot_diff`; contents ride the exchange so the
+    compare is collision-exact). Complements content-level
+    incremental dedup, which is keyed by hash, not id."""
+    from merge_machine_ray.stages.profile import snapshot_diff
+
+    new_ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 17 != 0
+        txt = pc.fill_null(t["text"].cast(pa.string()), "")
+        perturbed = pc.binary_join_element_wise(txt, "v1", " ")
+        txt = pc.if_else(pa.array(ids % 13 == 0), perturbed, txt)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": txt}).filter(pa.array(keep))
+
+    old_ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(to_old, batch_format="pyarrow")
+    return snapshot_diff(old_ds, new_ds)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN coalesce(text, '') || ' v1'
+              ELSE coalesce(text, '') END AS text
+  FROM documents WHERE doc_id % 17 <> 0),
+new AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+st AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM st GROUP BY status
+"""
+
+
 def build_queries() -> dict:
     # ORDER MATTERS: the driver samples a prefix when it caps the run,
     # so the flagship pipeline + the strongest / newest end-to-end
@@ -5162,7 +5208,7 @@ def build_queries() -> dict:
         "table_profile": table_profile,
         "fk_integrity_audit": fk_integrity_audit,
         "event_rate_anomalies": event_rate_anomalies,
-        "canonical_url_dedup": canonical_url_dedup,
+        "snapshot_diff_docs": snapshot_diff_docs,
         "repeated_span_docs": repeated_span_docs,
         "doc_lm_score": doc_lm_score,
         "bm25_search": bm25_search,
@@ -5186,6 +5232,7 @@ def build_queries() -> dict:
         # exact_dedup_docs, exact-Jaccard clusters by
         # cluster_exact_jaccard/golden_records, BPE apply kernel by
         # the train-state==apply pytest invariant)
+        "canonical_url_dedup": canonical_url_dedup,
         "doc_keywords": doc_keywords_q,
         "doc_fingerprints": doc_fingerprints,
         "line_dedup_docs": line_dedup_docs,
@@ -5255,6 +5302,7 @@ def build_oracle_sql() -> dict:
         "table_profile": TABLE_PROFILE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,
         "event_rate_anomalies": EVENT_RATE_ANOMALIES_SQL,
+        "snapshot_diff_docs": SNAPSHOT_DIFF_SQL,
         "bm25_search": BM25_SEARCH_SQL,
         "bm25_msearch": _bm25_msearch_sql(),
         "q1_pricing_summary": Q1_SQL,

@@ -217,3 +217,75 @@ def fk_audit(edges, num_buckets: int = 64) -> pa.Table:
         "n_matched": pa.array(nm),
         "n_orphans": pa.array(nc - nm),
     })
+
+
+def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
+                  content_col: str = "text", num_buckets: int = 64):
+    """Key-level diff between two corpus drops → one row per status:
+    ``(status ∈ added/removed/changed/unchanged, n_docs)``. The ingest
+    regression gate a production pipeline runs on every new snapshot
+    (complements content-level incremental dedup: this is keyed by id,
+    not by content hash).
+
+    ONE bucketed exchange: both sides tagged and bucketed by id hash;
+    within a bucket ids are unique per side, so a lexsort by (id,
+    side) yields runs of length 1 (one-sided → added/removed) or 2
+    (both → exact content compare → changed/unchanged), and each
+    bucket emits ≤4 partial count rows. Contents ride the exchange so
+    the compare is COLLISION-EXACT (the exact-dedup contract); at
+    100 TB ship a content hash + a verify pass instead."""
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.functions.minhash import str_elem_hashes
+
+    def tag(side):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            h = str_elem_hashes(pc.cast(ids, pa.string()))
+            return pa.table({
+                "__id": ids,
+                "__c": pc.fill_null(t[content_col].cast(pa.string()), ""),
+                "__side": pa.array(
+                    np.full(t.num_rows, side, dtype=np.int8)),
+                "__bkt": pa.array((h % num_buckets).astype(np.int32)),
+            })
+        return f
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow") \
+        .union(new_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def classify(g: pa.Table) -> pa.Table:
+        ids = _np(g["__id"])
+        side = _np(g["__side"])
+        c = _np(g["__c"]).astype(object)
+        o = np.lexsort((side, ids))
+        ids, side, c = ids[o], side[o], c[o]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1])))
+        lens = np.diff(np.concatenate((starts, [ids.size])))
+        one = starts[lens == 1]
+        n_add = int((side[one] == 1).sum())
+        n_rem = int((side[one] == 0).sum())
+        two = starts[lens == 2]
+        same = c[two] == c[two + 1]
+        return pa.table({
+            "status": pa.array(["added", "removed", "changed",
+                                "unchanged"]),
+            "pn": pa.array(np.array(
+                [n_add, n_rem, int((~same).sum()), int(same.sum())],
+                dtype=np.int64)),
+        })
+
+    agg = both.groupby("__bkt").map_groups(classify,
+                                           batch_format="pyarrow") \
+        .groupby("status").aggregate(Sum("pn", alias_name="n_docs"))
+
+    def tidy(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["n_docs"].cast(pa.int64()), 0)
+        return pa.table({
+            "status": t["status"],
+            "n_docs": t["n_docs"].cast(pa.int64())}).filter(keep)
+
+    return agg.map_batches(tidy, batch_format="pyarrow")

@@ -66,3 +66,30 @@ def test_fk_audit_planted_orphans(ray_session):
     assert out.n_child[0] == 6
     assert out.n_matched[0] == 4
     assert out.n_orphans[0] == 2
+
+
+def test_snapshot_diff_all_statuses(ray_session):
+    from merge_machine_ray.stages.profile import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["a", "b", "c", "d"])})
+    new = pa.table({"doc_id": pa.array([2, 3, 5], pa.int64()),
+                    "text": pa.array(["b", "C!", "e"])})
+    out = {r["status"]: r["n_docs"]
+           for r in snapshot_diff(_mk(old), _mk(new),
+                                  num_buckets=8).take_all()}
+    assert out == {"added": 1, "removed": 2,
+                   "changed": 1, "unchanged": 1}
+
+
+def test_snapshot_diff_empty_sides(ray_session):
+    from merge_machine_ray.stages.profile import snapshot_diff
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    new = pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "text": pa.array(["x"])})
+    out = {r["status"]: r["n_docs"]
+           for r in snapshot_diff(_mk(empty), _mk(new),
+                                  num_buckets=4).take_all()}
+    assert out == {"added": 1}
