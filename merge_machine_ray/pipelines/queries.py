@@ -4057,6 +4057,62 @@ FROM sizes GROUP BY sz
 """
 
 
+# planted TRIANGLE graph: 101-node residue space, five multiplicative
+# edge families with doc_id%5-gated fan-out (degrees 8-10, ~110
+# triangles at every sf — distinct from the _LG graph, which is
+# triangle-free by construction). Edge j fires when j == 0 or
+# doc_id % 5 >= j.
+_TRI_MOD = 101
+_TRI_KC = ((31, 7), (17, 3), (13, 11), (7, 23), (11, 5))
+
+
+def _tri_planted_edges(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src, dst = [], []
+        for j, (k, c) in enumerate(_TRI_KC):
+            sel = ids[ids % 5 > j - 1]
+            src.append(sel % _TRI_MOD)
+            dst.append((sel * k + c) % _TRI_MOD)
+        return pa.table({"src": pa.array(np.concatenate(src)),
+                         "dst": pa.array(np.concatenate(dst))})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+_TRI_EDGES_CTE = f"""
+  SELECT doc_id % {_TRI_MOD} AS src,
+         (doc_id * k + c) % {_TRI_MOD} AS dst
+  FROM documents,
+       (VALUES {", ".join(f"({j}, {k}, {c})"
+                          for j, (k, c) in enumerate(_TRI_KC))})
+         AS p(j, k, c)
+  WHERE j = 0 OR doc_id % 5 >= j
+"""
+
+
+def link_triangles(sf_dir: str):
+    """Per-node triangle count + local clustering coefficient of a
+    planted web-graph edge list — the compact-forward degree-oriented
+    wedge-check (each edge oriented low→high by (deg, node), wedges
+    emitted per low node, closed against the oriented edge set in one
+    bucketed exchange; the orientation bounds wedge fan-out by O(√m)
+    so hub pages never emit quadratic candidates). Exact integer
+    clustering micros (stages/linkgraph.triangle_stats)."""
+    from merge_machine_ray.stages.linkgraph import triangle_stats
+
+    return triangle_stats(_tri_planted_edges(sf_dir), num_buckets=32)
+
+
+def _link_triangles_sql() -> str:
+    from merge_machine_ray.stages.linkgraph import triangle_sql_ctes
+
+    return triangle_sql_ctes(_TRI_EDGES_CTE)
+
+
 def lang_length_outliers(sf_dir: str):
     """Per-group outlier filter (the 'drop the longest tail per
     language' curation gate): exact p95 of whitespace-token count per
@@ -5223,6 +5279,7 @@ def build_queries() -> dict:
         "distinct_users_kmv": distinct_users_kmv,
         "link_pagerank": link_pagerank,
         "link_graph_components": link_graph_components,
+        "link_triangles": link_triangles,
         "views_before_purchase": views_before_purchase,
         "lang_length_outliers": lang_length_outliers,
         "token_quota_mix": token_quota_mix,
@@ -5383,6 +5440,7 @@ def build_oracle_sql() -> dict:
         "link_graph_degrees": LINK_GRAPH_DEGREES_SQL,
         "link_pagerank": _link_pagerank_sql(),
         "link_graph_components": LINK_GRAPH_COMPONENTS_SQL,
+        "link_triangles": _link_triangles_sql(),
         "token_quota_mix": _token_quota_sql(),
         "incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "pages_host_stats": PAGES_HOST_STATS_SQL,

@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from merge_machine_ray.stages.joins import bucket_hash_join
 
-__all__ = ["degree_table", "pagerank", "pagerank_sql_ctes"]
+__all__ = ["degree_table", "pagerank", "pagerank_sql_ctes",
+           "triangle_stats", "triangle_sql_ctes"]
 
 #: Edge count below which PageRank runs its driver fast path (same
 #: exact integer arithmetic, numpy bincount-style folds per round).
@@ -256,3 +257,312 @@ r{i} AS (SELECT nd.node,
     parts.append(f"""
 SELECT node, r AS rank_micro FROM r{iters}""")
     return "".join(parts)
+
+
+# ------------------------------------------------------------ triangles
+def _canon_edges(edges_ds, num_buckets: int):
+    """(src, dst) → distinct canonical undirected edges ``(a < b)``.
+    Self-loops drop; the cross-batch dedup is the pair machinery's
+    bucketed lexsort (one exchange)."""
+    from merge_machine_ray.stages.pairs import dedupe_pairs
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"id_a": pa.array(np.minimum(s, d)),
+                         "id_b": pa.array(np.maximum(s, d))})
+
+    return dedupe_pairs(edges_ds.map_batches(canon,
+                                             batch_format="pyarrow"),
+                        num_buckets)
+
+
+def _und_degrees(und_ds):
+    """Distinct-edge list → (node, deg) — per-batch ``np.unique``
+    partial counts, then one narrow groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        un, c = np.unique(np.concatenate((a, b)), return_counts=True)
+        return pa.table({"node": pa.array(un),
+                         "c": pa.array(c.astype(np.int64))})
+
+    return und_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("c", alias_name="deg"))
+
+
+_TRI_NODES_SCHEMA = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+_WEDGE_SCHEMA = pa.schema([("x", pa.int64()), ("y", pa.int64()),
+                           ("w", pa.int64())])
+
+
+def _triangle_driver(edges_ds):
+    """Bounded driver fast path (edge list ≤ DRIVER_EDGE_LIMIT): the
+    identical degree-oriented wedge-check on compressed numpy ids —
+    one lexsort + one repeat/arange wedge expansion + one sorted-key
+    membership probe replaces nine distributed exchanges. Arithmetic
+    is bit-identical to the distributed path (pure integer)."""
+    import ray.data
+
+    src_parts, dst_parts = [], []
+    for t in edges_ds.iter_batches(batch_size=1 << 16,
+                                   batch_format="pyarrow"):
+        src_parts.append(t["src"].to_numpy(zero_copy_only=False))
+        dst_parts.append(t["dst"].to_numpy(zero_copy_only=False))
+    src = (np.concatenate(src_parts) if src_parts
+           else np.empty(0, np.int64)).astype(np.int64)
+    dst = (np.concatenate(dst_parts) if dst_parts
+           else np.empty(0, np.int64)).astype(np.int64)
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64()),
+                      "clustering_micro": pa.array([], pa.int64())})
+    if not a.size:
+        return ray.data.from_arrow(empty)
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    a, b = a[keep], b[keep]
+    nodes = np.unique(np.concatenate((a, b)))
+    n = nodes.size
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    deg = (np.bincount(ai, minlength=n)
+           + np.bincount(bi, minlength=n)).astype(np.int64)
+    # compressed ids preserve node order, so (deg, compressed-id)
+    # ordering == the distributed path's (deg, node) ordering
+    a_low = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+    u = np.where(a_low, ai, bi)
+    v = np.where(a_low, bi, ai)
+    dv = deg[v]
+    o = np.lexsort((v, dv, u))
+    u, v = u[o], v[o]
+    cuts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+    sizes = np.diff(np.concatenate((cuts, [u.size])))
+    pos = np.arange(u.size)
+    rep = np.repeat(cuts + sizes, sizes) - pos - 1
+    npairs = int(rep.sum())
+    tri = np.zeros(n, dtype=np.int64)
+    if npairs:
+        A = np.repeat(pos, rep)
+        within = (np.arange(npairs) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)))[:-1], rep))
+        wx, wy, ww = v[A], v[A + 1 + within], u[A]
+        ekeys = np.sort(u.astype(np.int64) * n + v)
+        wkeys = wx.astype(np.int64) * n + wy
+        p = np.searchsorted(ekeys, wkeys)
+        hit = np.zeros(wkeys.size, dtype=bool)
+        inb = p < ekeys.size
+        hit[inb] = ekeys[p[inb]] == wkeys[inb]
+        tri = (np.bincount(wx[hit], minlength=n)
+               + np.bincount(wy[hit], minlength=n)
+               + np.bincount(ww[hit], minlength=n)).astype(np.int64)
+    denom = deg * (deg - 1)
+    cc = np.where(denom >= 2, (2_000_000 * tri)
+                  // np.maximum(denom, 1), 0)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "deg": pa.array(deg),
+        "n_triangles": pa.array(tri), "clustering_micro": pa.array(cc)}))
+
+
+def triangle_stats(edges_ds, num_buckets: int = 64,
+                   driver_edge_limit: int | None = None):
+    """Exact per-node triangle counts + local clustering coefficient
+    over a (src, dst) edge list — the compact-forward / MapReduce
+    degree-orientation algorithm (Latapy 2008; Cohen, "Graph Twiddling
+    in a MapReduce World", 2009):
+
+    1. canonical distinct undirected edges (one bucketed dedup);
+    2. degrees (one narrow groupby-sum);
+    3. orient every edge from its lower endpoint under the total order
+       ``(deg, node)`` (two bucketed joins attach endpoint degrees) —
+       out-degree under this orientation is O(√m) even on power-law
+       graphs, which is what bounds the wedge blowup at scale;
+    4. per low endpoint, emit all out-neighbor pairs as wedges ordered
+       by the same ``(deg, node)`` key (one bucketed exchange, the
+       block-pairs repeat/arange expansion — zero per-node python);
+    5. match wedges against oriented edges in one bucketed exchange on
+       the closing pair (in-bucket rank compression keeps keys exact
+       at any id width — no packed-int64 assumption), each hit = one
+       triangle, folded immediately into per-node partial counts;
+    6. left-join counts back onto the degree table.
+
+    ``clustering_micro = (2_000_000 · t) // (deg · (deg − 1))`` — exact
+    integer arithmetic end to end (int64-safe through deg ≲ 3·10⁶;
+    beyond that the quotient needs a 128-bit fold), so the DuckDB twin
+    (:func:`triangle_sql_ctes`) matches bit for bit.  Per-triangle the
+    exchanges carry two/three int64 columns only; nothing
+    corpus-sized ever lands on the driver.
+    """
+    limit = DRIVER_EDGE_LIMIT if driver_edge_limit is None \
+        else driver_edge_limit
+    edges_ds = _snapshot(edges_ds)
+    if edges_ds.count() <= limit:
+        return _triangle_driver(edges_ds)
+    # und feeds three branches and deg two; oriented feeds two. Snapshot
+    # each (object-store blocks, lineage CUT — union inside
+    # bucket_hash_join re-splices logical plans, so a plain
+    # materialize() would still re-run the edge extraction per branch:
+    # observed 7× upstream re-execution without these).
+    und = _snapshot(_canon_edges(edges_ds, num_buckets))
+    deg = _snapshot(_und_degrees(und))
+
+    with_da = bucket_hash_join(und, deg, "a", "node",
+                               num_buckets=num_buckets,
+                               right_suffix="_a")
+    with_db = bucket_hash_join(with_da, deg, "b", "node",
+                               num_buckets=num_buckets,
+                               right_suffix="_b")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a_low = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_low, a, b)
+        v = np.where(a_low, b, a)
+        dv = np.where(a_low, db, da)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "dv": pa.array(dv.astype(np.int64)),
+                         "bucket": pa.array(
+                             (u % num_buckets).astype(np.int32))})
+
+    oriented = _snapshot(with_db.map_batches(orient,
+                                             batch_format="pyarrow"))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        dv = g["dv"].to_numpy(zero_copy_only=False)
+        # neighbor runs per u, neighbors ascending by (deg, node) so an
+        # emitted pair (x, y) carries the CLOSING edge's orientation
+        o = np.lexsort((v, dv, u))
+        u, v = u[o], v[o]
+        cuts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        sizes = np.diff(np.concatenate((cuts, [u.size])))
+        pos = np.arange(u.size)
+        rep = np.repeat(cuts + sizes, sizes) - pos - 1
+        npairs = int(rep.sum())
+        if not npairs:
+            return _WEDGE_SCHEMA.empty_table()
+        A = np.repeat(pos, rep)
+        within = (np.arange(npairs) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)))[:-1], rep))
+        return pa.table({"x": pa.array(v[A]),
+                         "y": pa.array(v[A + 1 + within]),
+                         "w": pa.array(u[A])})
+
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pyarrow")
+
+    # closing-edge match: wedges and oriented edges share one bucketed
+    # exchange on the (x, y) pair; w = -1 tags the edge side (node ids
+    # are non-negative by contract)
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": t["x"], "y": t["y"], "w": t["w"],
+                         "mbkt": pa.array(
+                             ((x * 1000003 + y) % num_buckets)
+                             .astype(np.int32))})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        x = t["u"].to_numpy(zero_copy_only=False)
+        y = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": t["u"], "y": t["v"],
+                         "w": pa.array(np.full(t.num_rows, -1,
+                                               dtype=np.int64)),
+                         "mbkt": pa.array(
+                             ((x * 1000003 + y) % num_buckets)
+                             .astype(np.int32))})
+
+    tagged = wedge_ds.map_batches(tag_wedge, batch_format="pyarrow") \
+        .union(oriented.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def match(g: pa.Table) -> pa.Table:
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        is_edge = w < 0
+        # exact in-bucket composite keys by rank compression
+        ux = np.unique(x)
+        uy = np.unique(y)
+        key = (np.searchsorted(ux, x).astype(np.int64) * uy.size
+               + np.searchsorted(uy, y))
+        ek = np.sort(key[is_edge])          # unique: simple graph
+        wk = key[~is_edge]
+        pos = np.searchsorted(ek, wk)
+        hit = np.zeros(wk.size, dtype=bool)
+        inb = pos < ek.size
+        hit[inb] = ek[pos[inb]] == wk[inb]
+        nodes = np.concatenate((x[~is_edge][hit], y[~is_edge][hit],
+                                w[~is_edge][hit]))
+        if not nodes.size:
+            return _TRI_NODES_SCHEMA.empty_table()
+        un, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(un),
+                         "c": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    tri = tagged.groupby("mbkt").map_groups(
+        match, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("c", alias_name="n_triangles"))
+
+    out = bucket_hash_join(deg, tri, "node", "node",
+                           num_buckets=num_buckets, how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = pc.fill_null(t["n_triangles"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        denom = d * (d - 1)
+        cc = np.where(denom >= 2, (2_000_000 * tr)
+                      // np.maximum(denom, 1), 0)
+        return pa.table({"node": t["node"],
+                         "deg": pa.array(d),
+                         "n_triangles": pa.array(tr),
+                         "clustering_micro": pa.array(cc)})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def triangle_sql_ctes(edges_cte: str) -> str:
+    """DuckDB twin of :func:`triangle_stats`: canonical distinct
+    undirected edges, the one-per-triangle three-way join over the
+    ``a < b`` order, per-node unnested counts, integer-division
+    clustering coefficient."""
+    return f"""
+WITH edges AS ({edges_cte}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+         (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+       GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (CAST(2000000 AS BIGINT)
+                       * COALESCE(tn.n_triangles, 0))
+                      // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_micro
+FROM deg d LEFT JOIN tn USING (node)
+"""

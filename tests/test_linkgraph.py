@@ -93,3 +93,64 @@ def test_extract_hrefs_contract():
     ])
     assert extract_hrefs(html).to_pylist() == [
         ["http://a/1", "u2"], [], [], [], ["tail"]]
+
+
+def _ref_triangles(edges):
+    """Brute-force per-node triangle counts on the simple undirected
+    graph (set-intersection over neighbor sets)."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    rows = {}
+    for node in sorted(adj):
+        nb = adj[node]
+        t = sum(len(adj[x] & nb) for x in nb) // 2
+        d = len(nb)
+        cc = (2_000_000 * t) // (d * (d - 1)) if d >= 2 else 0
+        rows[node] = (d, t, cc)
+    return rows
+
+
+def test_triangle_stats_matches_brute_force_random_graphs(ray_session):
+    from merge_machine_ray.stages.linkgraph import triangle_stats
+
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        edges = [(int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+                 for _ in range(160)]
+        got = {r["node"]: (r["deg"], r["n_triangles"],
+                           r["clustering_micro"])
+               for r in triangle_stats(_edges_ds(edges)).take_all()}
+        assert got == _ref_triangles(edges)
+
+
+def test_triangle_driver_and_distributed_paths_identical(ray_session):
+    from merge_machine_ray.stages.linkgraph import triangle_stats
+
+    rng = np.random.default_rng(13)
+    edges = [(int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+             for _ in range(300)]
+    drv = sorted(map(tuple, (r.values() for r in
+                             triangle_stats(_edges_ds(edges)).take_all())))
+    dist = sorted(map(tuple, (r.values() for r in triangle_stats(
+        _edges_ds(edges), num_buckets=8,
+        driver_edge_limit=0).take_all())))
+    assert drv == dist
+
+
+def test_triangle_stats_planted_clique_and_path(ray_session):
+    from merge_machine_ray.stages.linkgraph import triangle_stats
+
+    # K4 on {0..3} (every node: deg 3, 3 triangles, clustering 1.0)
+    # plus a dangling 2-path 4-5-6 (zero triangles; middle deg 2)
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(4, 5), (5, 6), (5, 4)]          # duplicate edge too
+    got = {r["node"]: (r["deg"], r["n_triangles"],
+                       r["clustering_micro"])
+           for r in triangle_stats(_edges_ds(edges)).take_all()}
+    for v in range(4):
+        assert got[v] == (3, 3, 1_000_000)
+    assert got[5] == (2, 0, 0)
+    assert got[4] == (1, 0, 0) and got[6] == (1, 0, 0)
