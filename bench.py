@@ -213,6 +213,8 @@ def run_bench() -> dict:
     timed("bm25_search", Q.bm25_search)
     timed("table_profile", Q.table_profile)
     timed("event_rate_anomalies", Q.event_rate_anomalies)
+    timed("mirror_hosts", Q.mirror_hosts_q)
+    timed("doc_novelty", Q.doc_novelty)
 
     # incremental ER: cluster all but the last shard (untimed), then
     # time folding the last shard in — old-old pairs are pruned before

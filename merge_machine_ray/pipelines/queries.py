@@ -4292,6 +4292,117 @@ FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
 GROUP BY a.source, b.source
 """
 
+
+_MIRROR_PLANTS = ((5, 13), (15, 31))   # (doc_id modulus, host offset)
+_MIRROR_CAP = 64
+
+
+def mirror_hosts_q(sf_dir: str):
+    """Mirror-site detection over the pages shape with PLANTED mirrors
+    (the corpus's texts are all distinct, so every 5th doc is re-served
+    verbatim from host (doc_id+13)%97 and every 15th also from
+    (doc_id+31)%97 — deterministic, twin-replayable): for each host
+    pair, how many DISTINCT texts both serve. The host is parsed back
+    out of the url by the vectorized ``url_host`` kernel on the engine
+    side and regexp_extract in the twin, so the kernel is under test
+    too."""
+    from merge_machine_ray.stages.webcorpus import mirror_hosts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids, url, _ = _page_url_warc(t)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text.cast(pa.string()), "")
+        parts = [pa.table({"url": url, "text": text})]
+        for mod, off in _MIRROR_PLANTS:
+            m = ids % mod == 0
+            sel = ids[m]
+            if not sel.size:
+                continue
+            murl = pc.binary_join_element_wise(
+                "https://ex",
+                pa.array((sel + off) % 97).cast(pa.string()),
+                ".example.com/doc/",
+                pa.array(sel).cast(pa.string()), "")
+            parts.append(pa.table({"url": murl,
+                                   "text": text.filter(pa.array(m))}))
+        return pa.concat_tables(parts)
+
+    return mirror_hosts(ds.map_batches(plant, batch_format="pyarrow"),
+                        max_hosts_per_text=_MIRROR_CAP)
+
+
+MIRROR_HOSTS_SQL = f"""
+WITH pages AS (
+  SELECT 'https://ex' || CAST(doc_id % 97 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         coalesce(text, '') AS text
+  FROM documents
+  UNION ALL
+  SELECT 'https://ex' || CAST((doc_id + 13) % 97 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR),
+         coalesce(text, '')
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'https://ex' || CAST((doc_id + 31) % 97 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR),
+         coalesce(text, '')
+  FROM documents WHERE doc_id % 15 = 0),
+d AS (SELECT DISTINCT coalesce(text, '') AS text,
+             lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)) AS host
+      FROM pages),
+capped AS (
+  SELECT text, host FROM (
+    SELECT text, host,
+           row_number() OVER (PARTITION BY text ORDER BY host) AS rn
+    FROM d) WHERE rn <= {_MIRROR_CAP})
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.text = b.text AND a.host < b.host
+GROUP BY a.host, b.host
+"""
+
+
+_NOVELTY_N = 5
+
+
+def doc_novelty(sf_dir: str):
+    """Per-document n-gram novelty: of each doc's distinct whitespace
+    5-grams, how many occur in NO smaller-id document — the marginal-
+    value / curriculum-ordering signal (first-occurrence attribution,
+    the per-doc dual of repeated-span dedup). Two narrow exchanges:
+    gram-hash buckets (one lexsort each, min-id owner per gram run,
+    collision-exact on the real strings), then a per-doc partial sum
+    (stages/webcorpus.gram_novelty)."""
+    from merge_machine_ray.stages.webcorpus import gram_novelty
+
+    return gram_novelty(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        n=_NOVELTY_N)
+
+
+DOC_NOVELTY_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+w AS (SELECT doc_id, ts,
+             unnest(generate_series(1, len(ts) - {_NOVELTY_N - 1})) AS i
+      FROM toks),
+grams AS (SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(ts, i, i + {_NOVELTY_N - 1}),
+                                 ' ') AS gram
+          FROM w),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (f.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+       CAST((count(*) FILTER (f.first_doc = g.doc_id) * 1000000)
+            // count(*) AS BIGINT) AS novelty_micro
+FROM grams g JOIN firsts f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 _HOST_QUOTA = 3
 
 
@@ -5267,12 +5378,12 @@ def build_queries() -> dict:
         "snapshot_diff_docs": snapshot_diff_docs,
         "repeated_span_docs": repeated_span_docs,
         "doc_lm_score": doc_lm_score,
-        "bm25_search": bm25_search,
+        "mirror_hosts": mirror_hosts_q,
+        "doc_novelty": doc_novelty,
         "bm25_msearch": bm25_msearch_q,
         # training-data pipeline ops
         "bpe_pair_counts": bpe_pair_counts,
         "nb_doc_classifier": nb_doc_classifier,
-        "bpe_merges": bpe_merges_q,
         "decontaminated_docs": decontaminated_docs,
         "doc_chunks": doc_chunks,
         "packed_sequences": packed_sequences_q,
@@ -5288,7 +5399,11 @@ def build_queries() -> dict:
         # fellegi_sunter_weights/fs_pair_scores, dedup shuffle by
         # exact_dedup_docs, exact-Jaccard clusters by
         # cluster_exact_jaccard/golden_records, BPE apply kernel by
-        # the train-state==apply pytest invariant)
+        # the train-state==apply pytest invariant, BM25 single-query
+        # scoring by bm25_msearch, BPE merge loop by bpe_pair_counts +
+        # the same pytest invariant)
+        "bm25_search": bm25_search,
+        "bpe_merges": bpe_merges_q,
         "canonical_url_dedup": canonical_url_dedup,
         "doc_keywords": doc_keywords_q,
         "doc_fingerprints": doc_fingerprints,
@@ -5362,6 +5477,8 @@ def build_oracle_sql() -> dict:
         "snapshot_diff_docs": SNAPSHOT_DIFF_SQL,
         "bm25_search": BM25_SEARCH_SQL,
         "bm25_msearch": _bm25_msearch_sql(),
+        "mirror_hosts": MIRROR_HOSTS_SQL,
+        "doc_novelty": DOC_NOVELTY_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,

@@ -305,11 +305,18 @@ def bigram_pmi(ds, k: int = 25, text_col: str = "text",
 
 # ---------------------------------------------------------- source overlap
 def source_overlap(ds, text_col: str = "text", src_col: str = "source",
-                   id_col: str = "doc_id", num_buckets: int = 64):
+                   id_col: str = "doc_id", num_buckets: int = 64,
+                   max_group: int | None = None):
     """Distinct-content overlap between source shards: for every source
     pair (src_a < src_b), the number of DISTINCT texts present in both.
     Exact on text equality (the bucket key is a hash, membership is
-    resolved on the real strings within each bucket)."""
+    resolved on the real strings within each bucket).
+
+    ``max_group`` caps how many sources a single text may pair across
+    (skew guard — a text carried by H sources otherwise emits H²/2
+    pair rows): the first ``max_group`` sources in LEXICOGRAPHIC order
+    survive, a deterministic rule a SQL twin replays exactly with
+    ``row_number() OVER (PARTITION BY text ORDER BY src) <= cap``."""
     from ray.data.aggregate import Sum
 
     from merge_machine_ray.stages.dedup import _hash_bucket_batch
@@ -335,6 +342,15 @@ def source_overlap(ds, text_col: str = "text", src_col: str = "source",
         dup = np.concatenate(
             ([False], (tc[1:] == tc[:-1]) & (sc[1:] == sc[:-1])))
         tc, sc = tc[~dup], sc[~dup]
+        if max_group is not None and tc.size:
+            # rank within each text run (rows are (text, src)-sorted and
+            # distinct, so rank order == lexicographic source order)
+            starts = np.flatnonzero(
+                np.concatenate(([True], tc[1:] != tc[:-1])))
+            run_sz = np.diff(np.concatenate((starts, [tc.size])))
+            within = np.arange(tc.size) - np.repeat(starts, run_sz)
+            keep = within < max_group
+            tc, sc = tc[keep], sc[keep]
         cuts = np.flatnonzero(np.concatenate(([True], tc[1:] != tc[:-1])))
         sizes = np.diff(np.concatenate((cuts, [tc.size])))
         pos = np.arange(tc.size)
@@ -362,6 +378,130 @@ def source_overlap(ds, text_col: str = "text", src_col: str = "source",
                          "n_shared": t["n_shared"].cast(pa.int64())})
 
     return agg.map_batches(tidy, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ mirror hosts
+def mirror_hosts(pages_ds, text_col: str = "text", url_col: str = "url",
+                 min_shared: int = 1, max_hosts_per_text: int = 64,
+                 num_buckets: int = 64):
+    """Mirror-site detection over the input-hint pages shape: for every
+    host pair (host_a < host_b), the number of DISTINCT page texts both
+    hosts serve — the standard crawl-hygiene report behind mirror / CDN
+    blocklists (a far cheaper cut than near-dup when whole sites are
+    byte-identical copies).
+
+    Shape: the host is parsed from the url by the vectorized
+    ``url_host`` kernel, then the exact-dedup shuffle of
+    :func:`source_overlap` does the rest — content-hash buckets carry
+    each text ONCE per host (collision-exact in-bucket), the pair emit
+    is the vectorized segment expansion, and the final groupby runs
+    over host pairs (bounded by hosts², not pages). A text mirrored on
+    H > ``max_hosts_per_text`` hosts pairs only its first cap hosts in
+    lexicographic order (deterministic; at that point it is boilerplate
+    for :func:`common_lines`, not a mirror signal).
+    """
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            text_col: pc.fill_null(t[text_col].cast(pa.string()), ""),
+            "host": url_host(t[url_col]),
+        })
+
+    pairs = source_overlap(pages_ds.map_batches(project,
+                                                batch_format="pyarrow"),
+                           text_col=text_col, src_col="host",
+                           num_buckets=num_buckets,
+                           max_group=max_hosts_per_text)
+
+    def tidy(t: pa.Table) -> pa.Table:
+        out = pa.table({"host_a": t["src_a"], "host_b": t["src_b"],
+                        "n_shared": t["n_shared"]})
+        if min_shared > 1:
+            out = out.filter(pc.greater_equal(out["n_shared"],
+                                              pa.scalar(min_shared)))
+        return out
+
+    return pairs.map_batches(tidy, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- n-gram novelty
+def gram_novelty(ds, n: int = 5, col: str = "text",
+                 id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-document n-gram novelty: of each document's DISTINCT
+    whitespace ``n``-grams, how many appear here FIRST (no document
+    with a smaller id contains them) — the curriculum / marginal-value
+    signal behind "what does this shard add that the corpus doesn't
+    already have" ordering (the per-doc dual of Lee et al. substring
+    dedup: instead of removing repeats, attribute each gram to its
+    first occurrence).
+
+    Output per doc (docs with < ``n`` tokens vanish, as in the SQL
+    twin): ``n_grams`` (distinct grams), ``n_novel`` (first-occurrence
+    grams), ``novelty_micro`` = n_novel·10⁶ // n_grams.
+
+    Scale shape: stage 1 emits one (doc_id, gram) row per DISTINCT
+    gram per doc (docs never span batches) bucketed by gram hash; a
+    gram's rows all land in one bucket, where ONE lexsort finds the
+    min-id owner of each gram run (collision-exact — ranking is on the
+    real strings); each bucket then ships ≤ one partial row per doc,
+    and a narrow groupby-sum folds buckets. Gram STRINGS ride the one
+    exchange because that is what the DuckDB twin can replay exactly;
+    at 100 TB swap the carrier for a 16-byte fingerprint (semantics
+    identical modulo 2⁻¹²⁸ collisions).
+    """
+    from ray.data.aggregate import Sum
+
+    from merge_machine_ray.stages.decontam import ngram_table
+    from merge_machine_ray.stages.dedup import _hash_bucket_batch
+
+    def stage1(t: pa.Table) -> pa.Table:
+        g = ngram_table(t, n, col=col, id_col=id_col)
+        gc, gdic = _sorted_rank_codes(g["gram"])
+        ids = _np(g[id_col]).astype(np.int64)
+        o = np.lexsort((ids, gc))
+        gc, ids = gc[o], ids[o]
+        dup = np.concatenate(
+            ([False], (gc[1:] == gc[:-1]) & (ids[1:] == ids[:-1])))
+        gc, ids = gc[~dup], ids[~dup]
+        out = pa.table({id_col: pa.array(ids, pa.int64()),
+                        "gram": gdic.take(pa.array(gc))})
+        return _hash_bucket_batch(out, "gram", num_buckets)
+
+    def emit(group: pa.Table) -> pa.Table:
+        gc, _ = _sorted_rank_codes(group["gram"])
+        ids = _np(group[id_col]).astype(np.int64)
+        o = np.lexsort((ids, gc))
+        gc, ids = gc[o], ids[o]
+        # rows are distinct (gram, doc); run start == min doc id owner
+        novel = np.concatenate(([True], gc[1:] != gc[:-1])) \
+            if gc.size else np.empty(0, bool)
+        u, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(u, pa.int64()),
+            "gp": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64)),
+            "nv": pa.array(np.bincount(inv[novel], minlength=len(u))
+                           .astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(stage1, batch_format="pyarrow")
+             .groupby("__bkt").map_groups(emit, batch_format="pyarrow")
+             .groupby(id_col)
+             .aggregate(Sum("gp", alias_name="n_grams"),
+                        Sum("nv", alias_name="n_novel")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = _np(t["n_grams"]).astype(np.int64)
+        v = _np(t["n_novel"]).astype(np.int64)
+        micro = np.zeros(len(g), np.int64)
+        nz = g > 0
+        micro[nz] = (v[nz] * 1_000_000) // g[nz]
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "n_grams": pa.array(g),
+                         "n_novel": pa.array(v),
+                         "novelty_micro": pa.array(micro)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # -------------------------------------------- line-level boilerplate dedup

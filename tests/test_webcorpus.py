@@ -227,3 +227,90 @@ def test_unigram_lm_scores_semantics(ray_session):
     assert out["avg_lp_micro"].tolist() == [s1 // 3, s2 // 2]
     # repeat docs score higher (less negative) than rare-token docs
     assert out["avg_lp_micro"][0] > out["avg_lp_micro"][1]
+
+
+def test_mirror_hosts_counts_and_cap(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import mirror_hosts
+
+    # text "m" mirrored on h1,h2,h3; "n" on h1,h2 (twice on h1 — the
+    # duplicate page must not double-count); "u" unique to h9
+    rows = [("m", "h1"), ("m", "h2"), ("m", "h3"),
+            ("n", "h1"), ("n", "h1"), ("n", "h2"), ("u", "h9")]
+    t = pa.table({
+        "url": pa.array([f"https://{h}.ex.com/p{i}"
+                         for i, (_, h) in enumerate(rows)]),
+        "text": pa.array([txt for txt, _ in rows]),
+    })
+    out = mirror_hosts(rd.from_arrow(t)).to_pandas()
+    got = {(r.host_a, r.host_b): r.n_shared for r in out.itertuples()}
+    assert got == {("h1.ex.com", "h2.ex.com"): 2,
+                   ("h1.ex.com", "h3.ex.com"): 1,
+                   ("h2.ex.com", "h3.ex.com"): 1}
+
+    # cap=2: "m" pairs only its first two hosts lexicographically
+    out = mirror_hosts(rd.from_arrow(t), max_hosts_per_text=2).to_pandas()
+    got = {(r.host_a, r.host_b): r.n_shared for r in out.itertuples()}
+    assert got == {("h1.ex.com", "h2.ex.com"): 2}
+
+    # min_shared filters pairs below the threshold
+    out = mirror_hosts(rd.from_arrow(t), min_shared=2).to_pandas()
+    got = {(r.host_a, r.host_b): r.n_shared for r in out.itertuples()}
+    assert got == {("h1.ex.com", "h2.ex.com"): 2}
+
+
+def test_gram_novelty_first_occurrence_attribution(ray_session):
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import gram_novelty
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d",        # grams: "a b","b c","c d" — all novel
+            "a b c e a b c e a b",  # "a b","b c" seen in doc 1;
+                                    # in-doc repeats count ONCE
+            "x",              # < n tokens → no grams → row vanishes
+            "c d z",          # "c d" seen in doc 1, "d z" novel
+        ]),
+    })
+    out = gram_novelty(rd.from_arrow(docs), n=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    # doc2 distinct 2-grams: a b, b c, c e, e a — novel: c e, e a
+    assert out["n_grams"].tolist() == [3, 4, 2]
+    assert out["n_novel"].tolist() == [3, 2, 1]
+    assert out["novelty_micro"].tolist() == [1_000_000, 500_000, 500_000]
+
+
+def test_gram_novelty_bucket_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 20)))
+             for _ in range(60)]
+    docs = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                     "text": pa.array(texts)})
+
+    from merge_machine_ray.stages.webcorpus import gram_novelty
+
+    a = gram_novelty(rd.from_arrow(docs), n=3, num_buckets=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = gram_novelty(rd.from_arrow(docs).repartition(8), n=3,
+                     num_buckets=17) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # sequential reference: first-occurrence by ascending doc_id
+    seen: set = set()
+    for row in a.itertuples():
+        toks = texts[row.doc_id].split(" ")
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        novel = {g for g in grams if g not in seen}
+        seen |= grams
+        assert row.n_grams == len(grams)
+        assert row.n_novel == len(novel)
+        assert row.novelty_micro == len(novel) * 1_000_000 // len(grams)
