@@ -625,24 +625,57 @@ _SIMHASH_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                                   ("hamming", pa.int64())])
 
 
-def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
+def hamming_near_dup_pairs(feats_ds, hash_col: str, id_col: str = "id",
                            bands: int = 4, max_hamming: int = 3,
-                           block_cap: int = 256, analyzer: str = "standard",
+                           block_cap: int = 256,
                            num_buckets: int | None = None):
-    """SimHash near-dup pairs: segment-collision blocking + exact
-    hamming verification, light-shuffle shape (``stages/pairs.py``) —
-    (band_key, id) rows through the exchange, bucketed pair emission +
-    dedup, signatures re-attached to the deduped pairs, one vectorized
-    XOR+popcount pass per batch (round 1 verified per pair in python
-    inside a per-band-key groupby). Returns (id_a, id_b, hamming)."""
+    """Banded Hamming self-join over ANY 64-bit hash column (text
+    SimHash, image pHash, any future fingerprint): rows within hamming
+    distance ``max_hamming`` collide on ≥1 of ``bands`` equal-width
+    segments whenever ``bands > max_hamming`` (pigeonhole), so the
+    shuffle carries 16-byte (band_key, id) rows — the light-shuffle
+    shape of ``stages/pairs.py`` — then hashes re-attach to the
+    deduped candidate pairs only and one vectorized XOR+popcount pass
+    verifies. Returns (id_a, id_b, hamming). ``bands`` ≤ 8 (the band
+    index rides the key's top 4 bits; 8 × 8-bit segments already
+    covers max_hamming 7). ``max_hamming`` ≥ ``bands`` is allowed as
+    best-effort blocking (recall of far pairs approximate, candidates
+    still verified exactly) — the simhash queries use it."""
     import ray.data as rd
 
     from merge_machine_ray.stages.blocking import attach_features
     from merge_machine_ray.stages.pairs import auto_buckets, block_pairs
 
-    feats = ds.map_batches(
-        SimHashFeatures(col, id_col, bands, analyzer),
-        batch_format="pyarrow").materialize()
+    if not 1 <= bands <= 8:
+        raise ValueError(f"bands must be in 1..8, got {bands}")
+    # bands > max_hamming gives the pigeonhole recall GUARANTEE;
+    # bands <= max_hamming is allowed as best-effort blocking (the
+    # simhash queries use it deliberately — candidates are still
+    # verified exactly, only recall of far-ish pairs is approximate)
+
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        sh = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands_mat = np.empty((n, bands), np.int64)
+        for b in range(bands):
+            bands_mat[:, b] = (
+                (np.uint64(b) << np.uint64(60))
+                | ((sh >> np.uint64(b * width)) & mask)).astype(np.int64)
+        return pa.table({
+            "id": t[id_col].cast(pa.int64()),
+            "hash64": pa.array(sh.astype(np.int64)),
+            "band_keys": pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * bands,
+                         pa.int32()),
+                pa.array(bands_mat.ravel())),
+        })
+
+    feats = feats_ds.map_batches(featurize,
+                                 batch_format="pyarrow").materialize()
     n_docs = feats.count()
     if n_docs == 0:
         return rd.from_arrow(_SIMHASH_PAIR_SCHEMA.empty_table())
@@ -653,15 +686,15 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                                   batch_format="pyarrow")
     uniq = block_pairs(band_rows, block_cap, num_buckets)
     feats_kv = feats.map_batches(
-        lambda t: pa.table({"doc_id": t["id"], "simhash": t["simhash"]}),
+        lambda t: pa.table({"doc_id": t["id"], "hash64": t["hash64"]}),
         batch_format="pyarrow")
     attached = attach_features(uniq, feats_kv, num_buckets=num_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _SIMHASH_PAIR_SCHEMA.empty_table()
-        ha = batch["simhash_a"].to_numpy(zero_copy_only=False)
-        hb = batch["simhash_b"].to_numpy(zero_copy_only=False)
+        ha = batch["hash64_a"].to_numpy(zero_copy_only=False)
+        hb = batch["hash64_b"].to_numpy(zero_copy_only=False)
         d = _popcount64(ha.astype(np.uint64) ^ hb.astype(np.uint64))
         m = d <= max_hamming
         return pa.table({
@@ -678,6 +711,26 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                          for f in _SIMHASH_PAIR_SCHEMA})
 
     return out.map_batches(stable, batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                           bands: int = 4, max_hamming: int = 3,
+                           block_cap: int = 256, analyzer: str = "standard",
+                           num_buckets: int | None = None):
+    """SimHash near-dup pairs: SimHash featurization + the generic
+    banded-Hamming self-join (:func:`hamming_near_dup_pairs` — same
+    band-key arithmetic `SimHashFeatures` emits, same verify).
+    Returns (id_a, id_b, hamming)."""
+    feats = ds.map_batches(
+        SimHashFeatures(col, id_col, bands, analyzer),
+        batch_format="pyarrow")
+    sig = feats.map_batches(
+        lambda t: pa.table({"id": t["id"], "simhash": t["simhash"]}),
+        batch_format="pyarrow")
+    return hamming_near_dup_pairs(sig, hash_col="simhash", id_col="id",
+                                  bands=bands, max_hamming=max_hamming,
+                                  block_cap=block_cap,
+                                  num_buckets=num_buckets)
 
 
 # ------------------------------------------------- embedding near-dup (cosine)

@@ -221,6 +221,57 @@ def image_pipeline(ds, concurrency=(1, 4), batch_size: int = 64,
                           batch_size=batch_size, concurrency=concurrency)
 
 
+class ImagePHash:
+    """Actor-pool stage: image binary → 64-bit DCT perceptual hash
+    (``functions/phash.py``) — the visual near-dup fingerprint.
+    Decodable payloads hash real pixels; the stub tier hashes the
+    payload BYTES (crc64) so compressed corpora still exercise the
+    plumbing (exact-duplicate detection only, honestly weaker)."""
+
+    def __init__(self, decoder: str = "ppm"):
+        if decoder == "pillow":
+            _require(decoder, "PIL")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from merge_machine_ray.functions.phash import phash64_i64
+
+        hashes = []
+        for payload in batch["payload"].to_pylist():
+            if self.decoder == "ppm":
+                h = phash64_i64(decode_ppm(payload))
+            else:  # stub tier: byte-exact fingerprint only
+                u = crc_hash64(payload or b"")
+                h = u - (1 << 64) if u >= (1 << 63) else u
+            hashes.append(h)
+        return pa.table({"media_id": batch["media_id"].cast(pa.int64()),
+                         "phash": pa.array(hashes, pa.int64())})
+
+
+def image_near_dup_pairs(ds, decoder: str = "ppm", max_hamming: int = 6,
+                         bands: int = 8, block_cap: int = 256,
+                         batch_size: int = 64, concurrency=(1, 4),
+                         num_buckets: int | None = None):
+    """Visual near-duplicate pairs over an image table (MEDIA_SCHEMA):
+    pHash per image in an actor pool (small batches — binary payloads),
+    then the generic banded-Hamming self-join of
+    ``stages/dedup.hamming_near_dup_pairs`` (8 × 8-bit segments; images
+    within ``max_hamming`` ≤ 7 bits collide on ≥1 segment). The image
+    payload never rides the pair shuffle — only 16-byte (band_key, id)
+    rows and the 8-byte hashes do. Returns (id_a, id_b, hamming)."""
+    from merge_machine_ray.stages.dedup import hamming_near_dup_pairs
+
+    sigs = ds.map_batches(ImagePHash,
+                          fn_constructor_kwargs={"decoder": decoder},
+                          batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+    return hamming_near_dup_pairs(sigs, hash_col="phash",
+                                  id_col="media_id", bands=bands,
+                                  max_hamming=max_hamming,
+                                  block_cap=block_cap,
+                                  num_buckets=num_buckets)
+
+
 def synth_media_table(n: int, kind: str = "image", seed: int = 42,
                       real: bool = True) -> pa.Table:
     """Deterministic media corpus for tests. ``real=True`` generates

@@ -618,3 +618,91 @@ def test_bcubed_per_record_matches_reference(ray_session):
         assert got["tsize"][i] == tsize[t]
         assert got["b3_prec_micro"][i] == micro(cell[(c, t)], csize[c])
         assert got["b3_rec_micro"][i] == micro(cell[(c, t)], tsize[t])
+
+
+def test_phash_invariances_and_separation():
+    import numpy as np
+
+    from merge_machine_ray.functions.phash import phash64
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    # smooth it so it has low-frequency structure (pHash's domain)
+    k = np.ones((5, 5)) / 25.0
+    sm = np.stack([np.real(np.fft.ifft2(
+        np.fft.fft2(img[..., c].astype(float)) *
+        np.fft.fft2(k, s=img.shape[:2]))) for c in range(3)], axis=-1)
+    sm = np.clip(sm, 0, 255)
+
+    h = phash64(sm)
+    assert 0 <= h < (1 << 64)
+    # deterministic
+    assert phash64(sm) == h
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # brightness shift and mild noise: few bits move
+    assert ham(h, phash64(np.clip(sm * 1.15 + 10, 0, 255))) <= 6
+    noisy = np.clip(sm + rng.normal(0, 4, sm.shape), 0, 255)
+    assert ham(h, phash64(noisy)) <= 6
+    # nearest-neighbor rescale of the same image: still close
+    from merge_machine_ray.functions.codecs import resize_nearest
+
+    assert ham(h, phash64(resize_nearest(sm.astype(np.uint8), 96, 72))) <= 10
+    # an unrelated smoothed image: far
+    img2 = rng.integers(0, 256, size=(48, 64, 3)).astype(float)
+    sm2 = np.stack([np.real(np.fft.ifft2(
+        np.fft.fft2(img2[..., c]) *
+        np.fft.fft2(k, s=img2.shape[:2]))) for c in range(3)], axis=-1)
+    assert ham(h, phash64(np.clip(sm2, 0, 255))) >= 16
+
+
+def test_image_near_dup_pairs_plants(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from merge_machine_ray.functions.codecs import encode_ppm
+    from merge_machine_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        image_near_dup_pairs,
+    )
+
+    # textured corpus (smoothed random) — pure gradients are pHash's
+    # degenerate input (near-zero AC coefficients), real photos aren't
+    rng = np.random.default_rng(11)
+    k = np.ones((5, 5)) / 25.0
+
+    def textured():
+        raw = rng.integers(0, 256, size=(48, 64, 3)).astype(float)
+        sm = np.stack([np.real(np.fft.ifft2(
+            np.fft.fft2(raw[..., c]) *
+            np.fft.fft2(k, s=raw.shape[:2]))) for c in range(3)], axis=-1)
+        return np.clip(sm, 0, 255).astype(np.uint8)
+
+    imgs = {i: textured() for i in range(12)}
+    # plant visual twins of images 0 and 1: brightness-shifted
+    # re-encodes under new ids 100/101
+    for src, nid in ((0, 100), (1, 101)):
+        imgs[nid] = np.clip(imgs[src].astype(float) * 1.1 + 6,
+                            0, 245).astype(np.uint8)
+
+    rows = {f.name: [] for f in MEDIA_SCHEMA}
+    for mid, img in imgs.items():
+        rows["media_id"].append(mid)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_ppm(img))
+        rows["mime"].append("image/x-portable-pixmap")
+        rows["width"].append(img.shape[1])
+        rows["height"].append(img.shape[0])
+        rows["duration_ms"].append(-1)
+    t = pa.table({f.name: pa.array(rows[f.name], f.type)
+                  for f in MEDIA_SCHEMA})
+
+    out = image_near_dup_pairs(rd.from_arrow(t), max_hamming=6) \
+        .to_pandas()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+           for r in out.itertuples()}
+    # planted twins found; nothing else merged
+    assert got == {(0, 100), (1, 101)}
+    assert (out["hamming"] <= 6).all()
