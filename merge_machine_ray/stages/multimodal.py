@@ -248,6 +248,53 @@ class ImagePHash:
                          "phash": pa.array(hashes, pa.int64())})
 
 
+class AudioFPrint:
+    """Actor-pool stage: audio binary → 64-bit perceptual fingerprint
+    (``functions/audiofp.py``, Haitsma–Kalker sign-delta majority).
+    Decodable WAV hashes real samples; the stub tier hashes payload
+    bytes (crc64) — exact-duplicate detection only."""
+
+    def __init__(self, decoder: str = "wav"):
+        if decoder == "librosa":
+            _require(decoder, "librosa")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from merge_machine_ray.functions.audiofp import audio_fp64_i64
+
+        hashes = []
+        for payload in batch["payload"].to_pylist():
+            if self.decoder == "wav":
+                samples, rate = decode_wav(payload)
+                hashes.append(audio_fp64_i64(samples, rate))
+            else:
+                u = crc_hash64(payload or b"")
+                hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
+        return pa.table({"media_id": batch["media_id"].cast(pa.int64()),
+                         "afp": pa.array(hashes, pa.int64())})
+
+
+def audio_near_dup_pairs(ds, decoder: str = "wav", max_hamming: int = 6,
+                         bands: int = 8, block_cap: int = 256,
+                         batch_size: int = 64, concurrency=(1, 4),
+                         num_buckets: int | None = None):
+    """Audio near-duplicate pairs over MEDIA_SCHEMA rows: fingerprint
+    per clip in an actor pool, then the generic banded-Hamming
+    self-join (``stages/dedup.hamming_near_dup_pairs``). Payloads never
+    ride the pair shuffle. Returns (id_a, id_b, hamming)."""
+    from merge_machine_ray.stages.dedup import hamming_near_dup_pairs
+
+    sigs = ds.map_batches(AudioFPrint,
+                          fn_constructor_kwargs={"decoder": decoder},
+                          batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+    return hamming_near_dup_pairs(sigs, hash_col="afp",
+                                  id_col="media_id", bands=bands,
+                                  max_hamming=max_hamming,
+                                  block_cap=block_cap,
+                                  num_buckets=num_buckets)
+
+
 def image_near_dup_pairs(ds, decoder: str = "ppm", max_hamming: int = 6,
                          bands: int = 8, block_cap: int = 256,
                          batch_size: int = 64, concurrency=(1, 4),

@@ -706,3 +706,86 @@ def test_image_near_dup_pairs_plants(ray_session):
     # planted twins found; nothing else merged
     assert got == {(0, 100), (1, 101)}
     assert (out["hamming"] <= 6).all()
+
+
+def _broadband_clip(seed: int, rate: int = 8000, secs: float = 0.5):
+    import numpy as np
+
+    r = np.random.default_rng(seed)
+    w = r.standard_normal(int(rate * secs))
+    spec = np.fft.rfft(w)
+    f = np.fft.rfftfreq(w.size, 1.0 / rate)
+    spec *= 1.0 / np.maximum(f, 30)         # pink-ish envelope
+    return np.fft.irfft(spec, n=w.size)
+
+
+def test_audio_fp_invariances_and_separation():
+    import numpy as np
+
+    from merge_machine_ray.functions.audiofp import audio_fp64
+
+    rate = 8000
+    rng = np.random.default_rng(9)
+    a = _broadband_clip(1)
+    h = audio_fp64(a, rate)
+    assert 0 <= h < (1 << 64)
+    assert audio_fp64(a, rate) == h          # deterministic
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    # EXACT gain invariance (log + double-centering)
+    assert ham(h, audio_fp64(a * 2.5, rate)) == 0
+    assert ham(h, audio_fp64(a * 0.1, rate)) == 0
+    # additive noise: few bits
+    scale = float(np.sqrt((a ** 2).mean()))
+    for pct in (0.02, 0.05, 0.1):
+        noisy = a + pct * scale * rng.standard_normal(a.size)
+        assert ham(h, audio_fp64(noisy, rate)) <= 6
+    # unrelated clips: far
+    for s in range(2, 10):
+        assert ham(h, audio_fp64(_broadband_clip(s), rate)) >= 16
+    # degenerate inputs
+    assert audio_fp64(np.zeros(10), rate) == 0
+    assert audio_fp64(np.array([]), rate) == 0
+
+
+def test_audio_near_dup_pairs_plants(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from merge_machine_ray.functions.codecs import encode_wav
+    from merge_machine_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        audio_near_dup_pairs,
+    )
+
+    rate = 8000
+    rng = np.random.default_rng(4)
+    clips = {i: _broadband_clip(i) for i in range(10)}
+    # plant twins: re-gained + lightly noised copies of clips 0 and 1
+    for src, nid in ((0, 100), (1, 101)):
+        a = clips[src]
+        scale = float(np.sqrt((a ** 2).mean()))
+        clips[nid] = 1.7 * (a + 0.03 * scale
+                            * rng.standard_normal(a.size))
+
+    rows = {f.name: [] for f in MEDIA_SCHEMA}
+    for mid, s in clips.items():
+        peak = float(np.abs(s).max()) or 1.0
+        rows["media_id"].append(mid)
+        rows["kind"].append("audio")
+        rows["payload"].append(encode_wav(0.8 * s / peak, rate))
+        rows["mime"].append("audio/wav")
+        rows["width"].append(-1)
+        rows["height"].append(-1)
+        rows["duration_ms"].append(500)
+    t = pa.table({f.name: pa.array(rows[f.name], f.type)
+                  for f in MEDIA_SCHEMA})
+
+    out = audio_near_dup_pairs(rd.from_arrow(t), max_hamming=6) \
+        .to_pandas()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+           for r in out.itertuples()}
+    assert got == {(0, 100), (1, 101)}
+    assert (out["hamming"] <= 6).all()
