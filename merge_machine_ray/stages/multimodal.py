@@ -248,6 +248,74 @@ class ImagePHash:
                          "phash": pa.array(hashes, pa.int64())})
 
 
+class VideoPHash:
+    """Actor-pool stage: video binary → 64-bit clip hash = per-bit
+    MAJORITY of the pHashes of K evenly-spread random-access-decoded
+    frames (strict >half; deterministic). Majority pooling keeps the
+    clip hash stable when a few frames differ (re-encodes, inserted
+    titles) while temporally-different clips diverge. Stub tier
+    hashes payload bytes."""
+
+    def __init__(self, decoder: str = "rawvideo",
+                 frames_per_video: int = 4):
+        if decoder == "ffmpeg":
+            _require(decoder, "ffmpeg")
+        self.decoder = decoder
+        self.k = frames_per_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from merge_machine_ray.functions.phash import phash64
+
+        hashes = []
+        for payload in batch["payload"].to_pylist():
+            if self.decoder == "rawvideo":
+                n, _w, _h = rawvideo_info(payload)
+                counts = np.zeros(64, np.int64)
+                k = min(self.k, max(1, n))
+                for i in range(k):
+                    fi = min(n - 1, (n * (2 * i + 1)) // (2 * k))
+                    fh = np.uint64(phash64(
+                        decode_rawvideo_frame(payload, fi)))
+                    counts += ((fh >> np.arange(64, dtype=np.uint64))
+                               & np.uint64(1)).astype(np.int64)
+                maj = counts * 2 > k
+                u = np.uint64(0)
+                for b in np.flatnonzero(maj):
+                    u |= np.uint64(1) << np.uint64(int(b))
+                h = int(u)
+                h = h - (1 << 64) if h >= (1 << 63) else h
+            else:
+                u = crc_hash64(payload or b"")
+                h = u - (1 << 64) if u >= (1 << 63) else u
+            hashes.append(h)
+        return pa.table({"media_id": batch["media_id"].cast(pa.int64()),
+                         "vphash": pa.array(hashes, pa.int64())})
+
+
+def video_near_dup_pairs(ds, decoder: str = "rawvideo",
+                         max_hamming: int = 6, bands: int = 8,
+                         frames_per_video: int = 4, block_cap: int = 256,
+                         batch_size: int = 16, concurrency=(1, 4),
+                         num_buckets: int | None = None):
+    """Video near-duplicate pairs over MEDIA_SCHEMA rows: frame-majority
+    pHash per clip in an actor pool (small batches — video payloads are
+    the largest), then the generic banded-Hamming self-join. Payloads
+    never ride the pair shuffle. Returns (id_a, id_b, hamming)."""
+    from merge_machine_ray.stages.dedup import hamming_near_dup_pairs
+
+    sigs = ds.map_batches(VideoPHash,
+                          fn_constructor_kwargs={
+                              "decoder": decoder,
+                              "frames_per_video": frames_per_video},
+                          batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+    return hamming_near_dup_pairs(sigs, hash_col="vphash",
+                                  id_col="media_id", bands=bands,
+                                  max_hamming=max_hamming,
+                                  block_cap=block_cap,
+                                  num_buckets=num_buckets)
+
+
 class AudioFPrint:
     """Actor-pool stage: audio binary → 64-bit perceptual fingerprint
     (``functions/audiofp.py``, Haitsma–Kalker sign-delta majority).

@@ -789,3 +789,77 @@ def test_audio_near_dup_pairs_plants(ray_session):
            for r in out.itertuples()}
     assert got == {(0, 100), (1, 101)}
     assert (out["hamming"] <= 6).all()
+
+
+def test_video_near_dup_pairs_plants(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from merge_machine_ray.functions.codecs import encode_rawvideo
+    from merge_machine_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    k = np.ones((5, 5)) / 25.0
+
+    def textured_frame(r):
+        raw = r.integers(0, 256, size=(48, 64, 3)).astype(float)
+        sm = np.stack([np.real(np.fft.ifft2(
+            np.fft.fft2(raw[..., c]) *
+            np.fft.fft2(k, s=raw.shape[:2]))) for c in range(3)], axis=-1)
+        return np.clip(sm, 0, 255).astype(np.uint8)
+
+    def clip(seed, n_frames=6):
+        r = np.random.default_rng(seed)
+        return np.stack([textured_frame(r) for _ in range(n_frames)])
+
+    # function-level: ONE replaced frame moves the majority hash a
+    # little (boundary votes flip) but far less than unrelated clips
+    from merge_machine_ray.functions.codecs import (
+        encode_rawvideo as _enc,
+    )
+    from merge_machine_ray.stages.multimodal import VideoPHash
+
+    def vhash(frames):
+        t = pa.table({
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([_enc(frames)], pa.binary())})
+        return VideoPHash(frames_per_video=6)(t)["vphash"][0].as_py()
+
+    def ham(a, b):
+        return bin((a & (1 << 64) - 1) ^ (b & (1 << 64) - 1)).count("1")
+
+    probe = clip(50)
+    swapped = probe.copy()
+    swapped[2] = textured_frame(np.random.default_rng(999))
+    d_swap = ham(vhash(probe), vhash(swapped))
+    d_other = ham(vhash(probe), vhash(clip(51)))
+    assert d_swap <= 12 < d_other
+
+    clips = {i: clip(i) for i in range(8)}
+    # twins: brightness-shifted re-encode of clip 0; byte-different
+    # re-render of clip 1 (same pixels, fresh container)
+    clips[100] = np.clip(clips[0].astype(float) * 1.1 + 5,
+                         0, 245).astype(np.uint8)
+    clips[101] = clips[1].copy()
+
+    rows = {f.name: [] for f in MEDIA_SCHEMA}
+    for mid, frames in clips.items():
+        rows["media_id"].append(mid)
+        rows["kind"].append("video")
+        rows["payload"].append(encode_rawvideo(frames))
+        rows["mime"].append("video/x-raw")
+        rows["width"].append(frames.shape[2])
+        rows["height"].append(frames.shape[1])
+        rows["duration_ms"].append(40 * frames.shape[0])
+    t = pa.table({f.name: pa.array(rows[f.name], f.type)
+                  for f in MEDIA_SCHEMA})
+
+    out = video_near_dup_pairs(rd.from_arrow(t), max_hamming=6) \
+        .to_pandas()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+           for r in out.itertuples()}
+    assert got == {(0, 100), (1, 101)}
+    assert (out["hamming"] <= 6).all()
