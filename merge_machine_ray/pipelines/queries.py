@@ -5353,7 +5353,6 @@ def build_queries() -> dict:
         "blocking_key_stats": blocking_key_stats,
         "er_threshold_sweep": er_threshold_sweep,
         "prefix_edit_pairs": prefix_edit_pairs,
-        "soundex_part_words": soundex_part_words,
         "canopy_assign": canopy_assign,
         "golden_records": golden_records,
         "cluster_density": cluster_density,
@@ -5385,7 +5384,11 @@ def build_queries() -> dict:
         "bpe_pair_counts": bpe_pair_counts,
         "nb_doc_classifier": nb_doc_classifier,
         "decontaminated_docs": decontaminated_docs,
-        "doc_chunks": doc_chunks,
+        # r3's one red row (oracle HUGEINT bug, CAST-fixed this round)
+        # and the latent int32 twin fix: keep both in the driver's
+        # 50-row sample until a CORRECTNESS run records them green
+        "customer_running_spend": customer_running_spend,
+        "price_quartiles": price_quartiles,
         "packed_sequences": packed_sequences_q,
         "distinct_users_kmv": distinct_users_kmv,
         "link_pagerank": link_pagerank,
@@ -5432,8 +5435,8 @@ def build_queries() -> dict:
         "filter_must_not": filter_must_not,
         "label_centroids": label_centroids_q,
         # windows / joins / relational tail
-        "price_quartiles": price_quartiles,
-        "customer_running_spend": customer_running_spend,
+        "soundex_part_words": soundex_part_words,
+        "doc_chunks": doc_chunks,
         "customer_360_merge": customer_360_merge,
         "events_hourly": events_hourly,
         "events_sliding_3h": events_sliding_3h,
