@@ -4366,6 +4366,127 @@ GROUP BY a.host, b.host
 """
 
 
+_MEDIA_TWIN_BASE = 1_000_000
+_MEDIA_PLANT_MOD = 7
+
+
+def _doc_image(doc_id: int) -> np.ndarray:
+    """Deterministic textured 48×64 RGB image for a doc_id (smoothed
+    seeded noise — pHash's natural domain; pure gradients are its
+    degenerate input)."""
+    r = np.random.default_rng(100003 + doc_id)
+    raw = r.integers(0, 256, size=(48, 64, 3)).astype(float)
+    sm = np.stack([np.real(np.fft.ifft2(
+        np.fft.fft2(raw[..., c])
+        * np.fft.fft2(np.full((5, 5), 1 / 25.0), s=raw.shape[:2])))
+        for c in range(3)], axis=-1)
+    return np.clip(sm, 0, 255).astype(np.uint8)
+
+
+def _doc_clip(doc_id: int, rate: int = 8000, secs: float = 0.5
+              ) -> np.ndarray:
+    """Deterministic broadband (pink-ish) audio clip for a doc_id."""
+    r = np.random.default_rng(200003 + doc_id)
+    w = r.standard_normal(int(rate * secs))
+    spec = np.fft.rfft(w)
+    f = np.fft.rfftfreq(w.size, 1.0 / rate)
+    spec *= 1.0 / np.maximum(f, 30)
+    return np.fft.irfft(spec, n=w.size)
+
+
+def image_near_dups_planted(sf_dir: str):
+    """Visual near-dup detection driven end-to-end with a PROVABLE
+    planted relation (the er_pages_planted oracle style, extended to
+    the multimodal axis): every doc_id gets a deterministic textured
+    image; every 7th doc is re-served brightness-shifted (×1.08 + 4)
+    under id doc_id+10⁶. The pHash → banded-Hamming pipeline must
+    recover EXACTLY the planted twin pairs — measured margins at 5k
+    docs: twins ≤ 4 bits, closest non-planted pair 12 (threshold 6,
+    inside the 8-band pigeonhole guarantee), so the no-over-merge
+    property is part of the check. Payload synthesis is the fixture
+    generator (per-row seeded numpy), the measured pipeline is the
+    actor-pool decode+hash and the pair machinery."""
+    from merge_machine_ray.functions.codecs import encode_ppm
+    from merge_machine_ray.stages.multimodal import image_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        mids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            img = _doc_image(d)
+            mids.append(d)
+            payloads.append(encode_ppm(img))
+            if d % _MEDIA_PLANT_MOD == 0:
+                twin = np.clip(img.astype(float) * 1.08 + 4,
+                               0, 249).astype(np.uint8)
+                mids.append(_MEDIA_TWIN_BASE + d)
+                payloads.append(encode_ppm(twin))
+        return pa.table({"media_id": pa.array(mids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    pairs = image_near_dup_pairs(
+        ds.map_batches(synth, batch_format="pyarrow"), max_hamming=6)
+
+    def tidy(t: pa.Table) -> pa.Table:
+        # hamming's exact value is hash-dependent; the planted ORACLE
+        # relation is the pair SET
+        return pa.table({"id_a": t["id_a"].cast(pa.int64()),
+                         "id_b": t["id_b"].cast(pa.int64())})
+
+    return pairs.map_batches(tidy, batch_format="pyarrow")
+
+
+IMAGE_NEAR_DUPS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS id_a,
+       CAST(doc_id + {_MEDIA_TWIN_BASE} AS BIGINT) AS id_b
+FROM documents WHERE doc_id % {_MEDIA_PLANT_MOD} = 0
+"""
+
+
+def audio_near_dups_planted(sf_dir: str):
+    """Audio near-dup detection with the same provable planted
+    relation: every doc_id gets a deterministic broadband clip; every
+    7th doc is re-served re-gained (×1.6) with 1 % seeded additive
+    noise under id doc_id+10⁶. Measured margins at 5k docs: twins ≤ 5
+    bits, closest non-planted pair 9 (threshold 6, inside the 8-band
+    guarantee)."""
+    from merge_machine_ray.functions.codecs import encode_wav
+    from merge_machine_ray.stages.multimodal import audio_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        mids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            a = _doc_clip(d)
+            peak = float(np.abs(a).max()) or 1.0
+            mids.append(d)
+            payloads.append(encode_wav(0.8 * a / peak, 8000))
+            if d % _MEDIA_PLANT_MOD == 0:
+                r = np.random.default_rng(300007 + d)
+                scale = float(np.sqrt((a ** 2).mean()))
+                tw = 1.6 * (a + 0.01 * scale
+                            * r.standard_normal(a.size))
+                tpeak = float(np.abs(tw).max()) or 1.0
+                mids.append(_MEDIA_TWIN_BASE + d)
+                payloads.append(encode_wav(0.8 * tw / tpeak, 8000))
+        return pa.table({"media_id": pa.array(mids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    pairs = audio_near_dup_pairs(
+        ds.map_batches(synth, batch_format="pyarrow"), max_hamming=6)
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t["id_a"].cast(pa.int64()),
+                         "id_b": t["id_b"].cast(pa.int64())})
+
+    return pairs.map_batches(tidy, batch_format="pyarrow")
+
+
+AUDIO_NEAR_DUPS_SQL = IMAGE_NEAR_DUPS_SQL
+
+
 _NOVELTY_N = 5
 
 
@@ -5368,8 +5489,8 @@ def build_queries() -> dict:
         "dedup_reinflate": dedup_reinflate,
         "incremental_dedup": incremental_dedup_docs,
         # web-corpus organization (newest)
-        "pages_host_stats": pages_host_stats,
-        "filter_funnel": filter_funnel,
+        "image_near_dups_planted": image_near_dups_planted,
+        "audio_near_dups_planted": audio_near_dups_planted,
         "bigram_pmi": bigram_pmi_q,
         "table_profile": table_profile,
         "fk_integrity_audit": fk_integrity_audit,
@@ -5404,9 +5525,12 @@ def build_queries() -> dict:
         # cluster_exact_jaccard/golden_records, BPE apply kernel by
         # the train-state==apply pytest invariant, BM25 single-query
         # scoring by bm25_msearch, BPE merge loop by bpe_pair_counts +
-        # the same pytest invariant)
+        # the same pytest invariant, url-host kernel by mirror_hosts,
+        # the funnel's individual gates by their own rows)
         "bm25_search": bm25_search,
         "bpe_merges": bpe_merges_q,
+        "pages_host_stats": pages_host_stats,
+        "filter_funnel": filter_funnel,
         "canonical_url_dedup": canonical_url_dedup,
         "doc_keywords": doc_keywords_q,
         "doc_fingerprints": doc_fingerprints,
@@ -5482,6 +5606,8 @@ def build_oracle_sql() -> dict:
         "bm25_msearch": _bm25_msearch_sql(),
         "mirror_hosts": MIRROR_HOSTS_SQL,
         "doc_novelty": DOC_NOVELTY_SQL,
+        "image_near_dups_planted": IMAGE_NEAR_DUPS_SQL,
+        "audio_near_dups_planted": AUDIO_NEAR_DUPS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,
