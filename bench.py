@@ -217,6 +217,7 @@ def run_bench() -> dict:
     timed("doc_novelty", Q.doc_novelty)
     timed("image_near_dups", Q.image_near_dups_planted)
     timed("audio_near_dups", Q.audio_near_dups_planted)
+    timed("video_near_dups", Q.video_near_dups_planted)
 
     # incremental ER: cluster all but the last shard (untimed), then
     # time folding the last shard in — old-old pairs are pruned before

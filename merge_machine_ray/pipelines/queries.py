@@ -4487,6 +4487,57 @@ def audio_near_dups_planted(sf_dir: str):
 AUDIO_NEAR_DUPS_SQL = IMAGE_NEAR_DUPS_SQL
 
 
+def video_near_dups_planted(sf_dir: str):
+    """Video near-dup detection with the same provable planted
+    relation: every doc_id gets a deterministic 6-frame textured
+    rawvideo clip; every 7th doc is re-served brightness-shifted under
+    id doc_id+10⁶. Frame-majority pHash → banded Hamming. Measured
+    margins at 5k docs: twins ≤ 3 bits, closest non-planted pair 7
+    (threshold 4, inside the 8-band guarantee)."""
+    from merge_machine_ray.functions.codecs import encode_rawvideo
+    from merge_machine_ray.stages.multimodal import video_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _frames(doc_id: int) -> np.ndarray:
+        r = np.random.default_rng(400009 + doc_id)
+        K = np.fft.fft2(np.full((5, 5), 1 / 25.0), s=(48, 64))
+        out = []
+        for _ in range(6):
+            raw = r.integers(0, 256, size=(48, 64, 3)).astype(float)
+            sm = np.stack([np.real(np.fft.ifft2(
+                np.fft.fft2(raw[..., c]) * K)) for c in range(3)],
+                axis=-1)
+            out.append(np.clip(sm, 0, 255).astype(np.uint8))
+        return np.stack(out)
+
+    def synth(t: pa.Table) -> pa.Table:
+        mids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            fr = _frames(d)
+            mids.append(d)
+            payloads.append(encode_rawvideo(fr))
+            if d % _MEDIA_PLANT_MOD == 0:
+                tw = np.clip(fr.astype(float) * 1.08 + 4,
+                             0, 249).astype(np.uint8)
+                mids.append(_MEDIA_TWIN_BASE + d)
+                payloads.append(encode_rawvideo(tw))
+        return pa.table({"media_id": pa.array(mids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    pairs = video_near_dup_pairs(
+        ds.map_batches(synth, batch_format="pyarrow"), max_hamming=4)
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t["id_a"].cast(pa.int64()),
+                         "id_b": t["id_b"].cast(pa.int64())})
+
+    return pairs.map_batches(tidy, batch_format="pyarrow")
+
+
+VIDEO_NEAR_DUPS_SQL = IMAGE_NEAR_DUPS_SQL
+
+
 _NOVELTY_N = 5
 
 
@@ -5491,7 +5542,7 @@ def build_queries() -> dict:
         # web-corpus organization (newest)
         "image_near_dups_planted": image_near_dups_planted,
         "audio_near_dups_planted": audio_near_dups_planted,
-        "bigram_pmi": bigram_pmi_q,
+        "video_near_dups_planted": video_near_dups_planted,
         "table_profile": table_profile,
         "fk_integrity_audit": fk_integrity_audit,
         "event_rate_anomalies": event_rate_anomalies,
@@ -5531,6 +5582,7 @@ def build_queries() -> dict:
         "bpe_merges": bpe_merges_q,
         "pages_host_stats": pages_host_stats,
         "filter_funnel": filter_funnel,
+        "bigram_pmi": bigram_pmi_q,
         "canonical_url_dedup": canonical_url_dedup,
         "doc_keywords": doc_keywords_q,
         "doc_fingerprints": doc_fingerprints,
@@ -5608,6 +5660,7 @@ def build_oracle_sql() -> dict:
         "doc_novelty": DOC_NOVELTY_SQL,
         "image_near_dups_planted": IMAGE_NEAR_DUPS_SQL,
         "audio_near_dups_planted": AUDIO_NEAR_DUPS_SQL,
+        "video_near_dups_planted": VIDEO_NEAR_DUPS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "revenue_by_segment": REVENUE_BY_SEGMENT_SQL,
         "nation_region_counts": NATION_REGION_SQL,
