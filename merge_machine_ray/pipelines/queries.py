@@ -4366,8 +4366,60 @@ GROUP BY a.host, b.host
 """
 
 
-_MEDIA_TWIN_BASE = 1_000_000
+# Twin ids live at doc_id + 2^42 — above the 10^12-row design scale,
+# so a planted twin id can never alias a real doc_id (r4 ADVICE: the
+# old 10^6 base collided once a corpus passed 1M docs). Both the Ray
+# synth and the SQL twins derive from this one constant, and _synth
+# guards it with an explicit max-doc_id assert.
+_MEDIA_TWIN_BASE = 1 << 42
 _MEDIA_PLANT_MOD = 7
+# Banded-Hamming block cap for the planted rows: 8 bands × 8-bit
+# segments give ≤256 keys/band, so average block ≈ n_media/256; 4096
+# keeps the pigeonhole recall guarantee intact up to ~1M media rows
+# per join (see stages/dedup.hamming_near_dup_pairs scale-ceiling
+# note) while the planted fixtures stay thousands of rows.
+_MEDIA_BLOCK_CAP = 4096
+
+
+def _media_fixture(sf_dir: str, modality: str, synth) -> "ray.data.Dataset":
+    """Synthesize-once cache for the planted media fixtures: the
+    seeded FFT texture/clip generators dominate the planted rows'
+    wall-time (r4 VERDICT wrong#4), so the MEDIA_SCHEMA rows are
+    written to a per-(corpus, modality) parquet dir under /tmp on
+    first use and read back after — bench then times the decode →
+    hash → banded-join pipeline, not the fixture generator. The
+    payloads are pure functions of doc_id, so the cache key is the
+    corpus identity (path + doc count). Concurrent builders race
+    safely via unique-tempdir + atomic rename."""
+    import hashlib
+    import os
+
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n_docs = docs.count()
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{modality}|{n_docs}|v2".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join("/tmp/mm_media_fixtures", f"{modality}-{key}")
+    if not os.path.isdir(cache):
+        tmp = f"{cache}.build-{os.getpid()}"
+        docs.map_batches(synth, batch_format="pyarrow").write_parquet(tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:  # a concurrent builder won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ray.data.read_parquet(cache)
+
+
+def _assert_media_ids(doc_ids: list) -> None:
+    if doc_ids and max(doc_ids) >= _MEDIA_TWIN_BASE:
+        raise ValueError(
+            f"doc_id {max(doc_ids)} >= _MEDIA_TWIN_BASE "
+            f"{_MEDIA_TWIN_BASE}: planted twin ids would alias real "
+            "docs — raise the base above the corpus id range")
 
 
 def _doc_image(doc_id: int) -> np.ndarray:
@@ -4404,16 +4456,16 @@ def image_near_dups_planted(sf_dir: str):
     docs: twins ≤ 4 bits, closest non-planted pair 12 (threshold 6,
     inside the 8-band pigeonhole guarantee), so the no-over-merge
     property is part of the check. Payload synthesis is the fixture
-    generator (per-row seeded numpy), the measured pipeline is the
-    actor-pool decode+hash and the pair machinery."""
+    generator (per-row seeded numpy, cached to /tmp after first use —
+    bench times the decode+hash+join pipeline, not the generator)."""
     from merge_machine_ray.functions.codecs import encode_ppm
     from merge_machine_ray.stages.multimodal import image_near_dup_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
     def synth(t: pa.Table) -> pa.Table:
         mids, payloads = [], []
-        for d in t["doc_id"].to_pylist():
+        doc_ids = t["doc_id"].to_pylist()
+        _assert_media_ids(doc_ids)
+        for d in doc_ids:
             img = _doc_image(d)
             mids.append(d)
             payloads.append(encode_ppm(img))
@@ -4426,7 +4478,8 @@ def image_near_dups_planted(sf_dir: str):
                          "payload": pa.array(payloads, pa.binary())})
 
     pairs = image_near_dup_pairs(
-        ds.map_batches(synth, batch_format="pyarrow"), max_hamming=6)
+        _media_fixture(sf_dir, "image", synth), max_hamming=6,
+        block_cap=_MEDIA_BLOCK_CAP)
 
     def tidy(t: pa.Table) -> pa.Table:
         # hamming's exact value is hash-dependent; the planted ORACLE
@@ -4454,11 +4507,11 @@ def audio_near_dups_planted(sf_dir: str):
     from merge_machine_ray.functions.codecs import encode_wav
     from merge_machine_ray.stages.multimodal import audio_near_dup_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
     def synth(t: pa.Table) -> pa.Table:
         mids, payloads = [], []
-        for d in t["doc_id"].to_pylist():
+        doc_ids = t["doc_id"].to_pylist()
+        _assert_media_ids(doc_ids)
+        for d in doc_ids:
             a = _doc_clip(d)
             peak = float(np.abs(a).max()) or 1.0
             mids.append(d)
@@ -4475,7 +4528,8 @@ def audio_near_dups_planted(sf_dir: str):
                          "payload": pa.array(payloads, pa.binary())})
 
     pairs = audio_near_dup_pairs(
-        ds.map_batches(synth, batch_format="pyarrow"), max_hamming=6)
+        _media_fixture(sf_dir, "audio", synth), max_hamming=6,
+        block_cap=_MEDIA_BLOCK_CAP)
 
     def tidy(t: pa.Table) -> pa.Table:
         return pa.table({"id_a": t["id_a"].cast(pa.int64()),
@@ -4497,8 +4551,6 @@ def video_near_dups_planted(sf_dir: str):
     from merge_machine_ray.functions.codecs import encode_rawvideo
     from merge_machine_ray.stages.multimodal import video_near_dup_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
     def _frames(doc_id: int) -> np.ndarray:
         r = np.random.default_rng(400009 + doc_id)
         K = np.fft.fft2(np.full((5, 5), 1 / 25.0), s=(48, 64))
@@ -4513,7 +4565,9 @@ def video_near_dups_planted(sf_dir: str):
 
     def synth(t: pa.Table) -> pa.Table:
         mids, payloads = [], []
-        for d in t["doc_id"].to_pylist():
+        doc_ids = t["doc_id"].to_pylist()
+        _assert_media_ids(doc_ids)
+        for d in doc_ids:
             fr = _frames(d)
             mids.append(d)
             payloads.append(encode_rawvideo(fr))
@@ -4526,7 +4580,8 @@ def video_near_dups_planted(sf_dir: str):
                          "payload": pa.array(payloads, pa.binary())})
 
     pairs = video_near_dup_pairs(
-        ds.map_batches(synth, batch_format="pyarrow"), max_hamming=4)
+        _media_fixture(sf_dir, "video", synth), max_hamming=4,
+        block_cap=_MEDIA_BLOCK_CAP)
 
     def tidy(t: pa.Table) -> pa.Table:
         return pa.table({"id_a": t["id_a"].cast(pa.int64()),

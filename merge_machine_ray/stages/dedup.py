@@ -543,14 +543,20 @@ def ngram_jaccard_pairs(ds, col: str = "text", id_col: str = "doc_id",
 class SimHashFeatures:
     """map_batches: ONE row per doc — (id, simhash, band_keys) — the
     64-bit SimHash split into ``bands`` keyed segments: docs within
-    hamming distance k collide on ≥1 segment when bands > k."""
+    hamming distance k collide on ≥1 segment when bands > k.
+    ``emit_band_keys=False`` skips the band-key column for callers
+    (``simhash_near_dup_pairs``) that hand the hash to
+    :func:`hamming_near_dup_pairs`, which derives identical keys
+    itself — avoids computing and shipping them twice."""
 
     def __init__(self, col: str, id_col: str, bands: int = 4,
-                 analyzer: str = "standard"):
+                 analyzer: str = "standard",
+                 emit_band_keys: bool = True):
         self.col = col
         self.id_col = id_col
         self.bands = bands
         self.analyzer = analyzer
+        self.emit_band_keys = emit_band_keys
         self.tokenize = ANALYZERS[analyzer]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -586,22 +592,25 @@ class SimHashFeatures:
             sh = np.fromiter(
                 (simhash64(self.tokenize(t or "")) for t in texts),
                 np.uint64, count=n)
-        bands_mat = np.empty((n, self.bands), np.int64)
-        for b in range(self.bands):
-            bands_mat[:, b] = (
-                (np.uint64(b) << np.uint64(60))
-                | ((sh >> np.uint64(b * width)) & mask)).astype(np.int64)
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        return pa.table({
+        cols = {
             "id": ids.cast(pa.int64()),
             "simhash": pa.array(sh.astype(np.int64)),
-            "band_keys": pa.ListArray.from_arrays(
+        }
+        if self.emit_band_keys:
+            bands_mat = np.empty((n, self.bands), np.int64)
+            for b in range(self.bands):
+                bands_mat[:, b] = (
+                    (np.uint64(b) << np.uint64(60))
+                    | ((sh >> np.uint64(b * width)) & mask)
+                ).astype(np.int64)
+            cols["band_keys"] = pa.ListArray.from_arrays(
                 pa.array(np.arange(n + 1, dtype=np.int64) * self.bands,
                          pa.int32()),
-                pa.array(bands_mat.ravel())),
-        })
+                pa.array(bands_mat.ravel()))
+        return pa.table(cols)
 
 
 #: 16-bit popcount table (64 KiB, built once) — vectorized hamming for
@@ -640,7 +649,21 @@ def hamming_near_dup_pairs(feats_ds, hash_col: str, id_col: str = "id",
     index rides the key's top 4 bits; 8 × 8-bit segments already
     covers max_hamming 7). ``max_hamming`` ≥ ``bands`` is allowed as
     best-effort blocking (recall of far pairs approximate, candidates
-    still verified exactly) — the simhash queries use it."""
+    still verified exactly) — the simhash queries use it.
+
+    Scale ceiling: each band segment is ``64 // bands`` bits, so a
+    band has at most ``2**(64//bands)`` distinct keys; with random-ish
+    hashes the average band block is ``n / 2**(64//bands)`` rows. The
+    pigeonhole recall guarantee holds only while blocks fit under
+    ``block_cap`` (oversize blocks are truncated keeping the smallest
+    ids — see ``stages/pairs.block_pairs``), i.e. while
+    ``n ≲ block_cap × 2**(64//bands)``. At bands=8 (8-bit segments)
+    that is ~256 × block_cap rows — fine for the per-host / per-shard
+    media partitions this is meant for, NOT for a whole 100 TB corpus
+    in one join; above it, either partition the input first (the
+    planted queries run per-corpus at test scale), use fewer/wider
+    bands with best-effort recall, or move to a wider fingerprint
+    (e.g. 256-bit pHash → 8 × 32-bit segments) before banding."""
     import ray.data as rd
 
     from merge_machine_ray.stages.blocking import attach_features
@@ -718,14 +741,12 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                            block_cap: int = 256, analyzer: str = "standard",
                            num_buckets: int | None = None):
     """SimHash near-dup pairs: SimHash featurization + the generic
-    banded-Hamming self-join (:func:`hamming_near_dup_pairs` — same
-    band-key arithmetic `SimHashFeatures` emits, same verify).
-    Returns (id_a, id_b, hamming)."""
-    feats = ds.map_batches(
-        SimHashFeatures(col, id_col, bands, analyzer),
-        batch_format="pyarrow")
-    sig = feats.map_batches(
-        lambda t: pa.table({"id": t["id"], "simhash": t["simhash"]}),
+    banded-Hamming self-join (:func:`hamming_near_dup_pairs`, which
+    derives the band keys from the hash itself — so the featurizer
+    skips its own band_keys column). Returns (id_a, id_b, hamming)."""
+    sig = ds.map_batches(
+        SimHashFeatures(col, id_col, bands, analyzer,
+                        emit_band_keys=False),
         batch_format="pyarrow")
     return hamming_near_dup_pairs(sig, hash_col="simhash", id_col="id",
                                   bands=bands, max_hamming=max_hamming,

@@ -22,6 +22,8 @@ worker heap (e.g. 1 MiB images → batch_size ≤ 64 per 1 GiB heap actor).
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
@@ -269,9 +271,18 @@ class VideoPHash:
         hashes = []
         for payload in batch["payload"].to_pylist():
             if self.decoder == "rawvideo":
-                n, _w, _h = rawvideo_info(payload)
+                # Zero-frame / malformed payloads hash to 0 (the same
+                # empty-input convention as audio_fp64) instead of
+                # killing the whole actor-pool stage on one bad row.
+                try:
+                    n, _w, _h = rawvideo_info(payload)
+                except (ValueError, TypeError, struct.error):
+                    n = 0
+                if n <= 0:
+                    hashes.append(0)
+                    continue
                 counts = np.zeros(64, np.int64)
-                k = min(self.k, max(1, n))
+                k = min(self.k, n)
                 for i in range(k):
                     fi = min(n - 1, (n * (2 * i + 1)) // (2 * k))
                     fh = np.uint64(phash64(
@@ -318,9 +329,10 @@ def video_near_dup_pairs(ds, decoder: str = "rawvideo",
 
 class AudioFPrint:
     """Actor-pool stage: audio binary → 64-bit perceptual fingerprint
-    (``functions/audiofp.py``, Haitsma–Kalker sign-delta majority).
-    Decodable WAV hashes real samples; the stub tier hashes payload
-    bytes (crc64) — exact-duplicate detection only."""
+    (``functions/audiofp.py``: 8×8 log-spectrogram energy grid,
+    double-centered per row and column, sign bits). Decodable WAV
+    hashes real samples; the stub tier hashes payload bytes (crc64)
+    — exact-duplicate detection only."""
 
     def __init__(self, decoder: str = "wav"):
         if decoder == "librosa":

@@ -863,3 +863,26 @@ def test_video_near_dup_pairs_plants(ray_session):
            for r in out.itertuples()}
     assert got == {(0, 100), (1, 101)}
     assert (out["hamming"] <= 6).all()
+
+
+def test_video_phash_degenerate_payloads():
+    """Zero-frame / malformed / empty video payloads hash to 0 (the
+    audio_fp64 empty-input convention) instead of raising inside the
+    actor-pool stage and killing the whole job on one bad row
+    (r4 ADVICE, stages/multimodal.py VideoPHash)."""
+    from merge_machine_ray.functions.codecs import encode_rawvideo
+    from merge_machine_ray.stages.multimodal import VideoPHash
+
+    zero_frames = encode_rawvideo(np.zeros((0, 4, 4, 3), np.uint8))
+    good = encode_rawvideo(
+        np.random.default_rng(7).integers(
+            0, 256, size=(2, 8, 8, 3)).astype(np.uint8))
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array(
+            [zero_frames, b"not a video", b"", good], pa.binary())})
+    out = VideoPHash()(t)
+    hashes = out["vphash"].to_pylist()
+    assert hashes[:3] == [0, 0, 0]
+    assert hashes[3] != 0
+    assert out["media_id"].to_pylist() == [1, 2, 3, 4]
