@@ -5558,83 +5558,23 @@ FROM st GROUP BY status
 
 
 def build_queries() -> dict:
-    # ORDER MATTERS: the driver samples a prefix when it caps the run,
-    # so the flagship pipeline + the strongest / newest end-to-end
-    # checks come first; the TPC-H-style relational tail comes last
-    # (r3 VERDICT #6). er_pages_fixture was retired from the declared
-    # set: er_pages_planted hash-checks the same full pipeline with a
-    # provable planted-twin oracle (the function remains importable).
+    # ORDER MATTERS: the driver samples a prefix when it caps the run.
+    # ROUND-5 ROTATION (r4 VERDICT next#1): r4 recorded the first 50
+    # rows green, so this round the prefix leads with the flagship
+    # trio (continuity across rounds) followed by the 47 strongest
+    # DuckDB-twinned queries the r4 driver never sampled — so that
+    # across rounds every declared query accumulates at least one
+    # driver-green CORRECTNESS row. The 50 rows r4 already recorded
+    # green follow, and the rows-only trio stays last.
     return {
-        # flagship + ER family
+        # flagship (kept in every round's prefix)
         "er_pages_planted": er_pages_planted,
         "er_pages_incremental": er_pages_incremental,
         "er_documents": er_documents,
-        "link_suppliers_to_nations": link_suppliers_to_nations,
-        "cluster_exact_jaccard": cluster_exact_jaccard,
-        "cluster_agreement": cluster_agreement,
-        "blocking_quality": blocking_quality,
-        "snm_candidate_pairs": snm_candidate_pairs,
-        "fellegi_sunter_weights": fellegi_sunter_weights,
-        "fs_pair_scores": fs_pair_scores,
-        "metablocking_wep": metablocking_wep,
-        "blocking_key_stats": blocking_key_stats,
-        "er_threshold_sweep": er_threshold_sweep,
-        "prefix_edit_pairs": prefix_edit_pairs,
-        "canopy_assign": canopy_assign,
-        "golden_records": golden_records,
-        "cluster_density": cluster_density,
-        "ann_topk": ann_topk,
-        "lang_id_pred": lang_id_pred,
-        # dedup / near-dup family
-        "minhash_near_dups": minhash_near_dups,
-        "weighted_jaccard_dups": weighted_jaccard_dups,
-        "simhash_near_dups": simhash_near_dups,
-        "embedding_near_dups": embedding_near_dups,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "exact_dedup_docs": exact_dedup_docs,
-        "dedup_reinflate": dedup_reinflate,
-        "incremental_dedup": incremental_dedup_docs,
-        # web-corpus organization (newest)
-        "image_near_dups_planted": image_near_dups_planted,
-        "audio_near_dups_planted": audio_near_dups_planted,
-        "video_near_dups_planted": video_near_dups_planted,
-        "table_profile": table_profile,
-        "fk_integrity_audit": fk_integrity_audit,
-        "event_rate_anomalies": event_rate_anomalies,
-        "snapshot_diff_docs": snapshot_diff_docs,
-        "repeated_span_docs": repeated_span_docs,
-        "doc_lm_score": doc_lm_score,
-        "mirror_hosts": mirror_hosts_q,
-        "doc_novelty": doc_novelty,
-        "bm25_msearch": bm25_msearch_q,
-        # training-data pipeline ops
-        "bpe_pair_counts": bpe_pair_counts,
-        "nb_doc_classifier": nb_doc_classifier,
-        "decontaminated_docs": decontaminated_docs,
-        # r3's one red row (oracle HUGEINT bug, CAST-fixed this round)
-        # and the latent int32 twin fix: keep both in the driver's
-        # 50-row sample until a CORRECTNESS run records them green
-        "customer_running_spend": customer_running_spend,
-        "price_quartiles": price_quartiles,
-        "packed_sequences": packed_sequences_q,
-        "distinct_users_kmv": distinct_users_kmv,
-        "link_pagerank": link_pagerank,
-        "link_graph_components": link_graph_components,
-        "link_triangles": link_triangles,
-        "views_before_purchase": views_before_purchase,
-        "lang_length_outliers": lang_length_outliers,
-        "token_quota_mix": token_quota_mix,
-        # demoted below the 50-row driver sample: machinery already
-        # hash-checked by prefixed rows (gamma chain by
-        # fellegi_sunter_weights/fs_pair_scores, dedup shuffle by
-        # exact_dedup_docs, exact-Jaccard clusters by
-        # cluster_exact_jaccard/golden_records, BPE apply kernel by
-        # the train-state==apply pytest invariant, BM25 single-query
-        # scoring by bm25_msearch, BPE merge loop by bpe_pair_counts +
-        # the same pytest invariant, url-host kernel by mirror_hosts,
-        # the funnel's individual gates by their own rows)
+        # --- never sampled by the r4 driver: ER metrics + web-corpus
         "bm25_search": bm25_search,
-        "bpe_merges": bpe_merges_q,
+        "fs_score_sweep": fs_score_sweep,
+        "bcubed_per_doc": bcubed_per_doc,
         "pages_host_stats": pages_host_stats,
         "filter_funnel": filter_funnel,
         "bigram_pmi": bigram_pmi_q,
@@ -5642,14 +5582,10 @@ def build_queries() -> dict:
         "doc_keywords": doc_keywords_q,
         "doc_fingerprints": doc_fingerprints,
         "line_dedup_docs": line_dedup_docs,
-        "bcubed_per_doc": bcubed_per_doc,
         "host_quota_docs": host_quota_docs,
         "latest_page_snapshot": latest_page_snapshot,
-        "fs_em_params": fs_em_params,
-        "fs_score_sweep": fs_score_sweep,
         "source_overlap": source_overlap_q,
         "cluster_representatives": cluster_representatives,
-        "bpe_token_counts": bpe_token_counts_q,
         "pii_redacted": pii_redacted,
         "doc_repetition": doc_repetition,
         "doc_rarity": doc_rarity,
@@ -5665,7 +5601,9 @@ def build_queries() -> dict:
         "idf_table": idf_table,
         "filter_must_not": filter_must_not,
         "label_centroids": label_centroids_q,
-        # windows / joins / relational tail
+        "lang_length_outliers": lang_length_outliers,
+        "token_quota_mix": token_quota_mix,
+        # --- never sampled by the r4 driver: windows / joins / tail
         "soundex_part_words": soundex_part_words,
         "doc_chunks": doc_chunks,
         "customer_360_merge": customer_360_merge,
@@ -5682,22 +5620,72 @@ def build_queries() -> dict:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "revenue_by_segment": revenue_by_segment,
+        # ^ position 50. Never-r4-sampled spillover (the weakest
+        # variants land right below the expected sample boundary):
         "revenue_rollup": revenue_rollup,
         "qty_variance_by_flag": qty_variance_by_flag,
         "nation_region_counts": nation_region_counts,
         "top10_orders": top10_orders,
         "topk_per_priority": topk_per_priority,
         "parts_by_brand": parts_by_brand,
-        # weaker variants of rows above (clean_corpus_full covers the
-        # sql_subset stages; lang_distribution covers unique_langs;
-        # stratified_docs_sample covers the plain hash sample) — kept
-        # last so the driver's 50-row prefix spends its budget on the
-        # strongest end-to-end checks
         "clean_corpus_sql_subset": clean_corpus_sql_subset,
         "unique_langs": unique_langs,
         "sample_docs_10pct": sample_docs_10pct,
         "cluster_size_hist": cluster_size_hist,
         "shuffled_doc_head": shuffled_doc_head,
+        # --- recorded green in CORRECTNESS_r04 (driver rows on file)
+        "link_suppliers_to_nations": link_suppliers_to_nations,
+        "cluster_exact_jaccard": cluster_exact_jaccard,
+        "cluster_agreement": cluster_agreement,
+        "blocking_quality": blocking_quality,
+        "snm_candidate_pairs": snm_candidate_pairs,
+        "fellegi_sunter_weights": fellegi_sunter_weights,
+        "fs_pair_scores": fs_pair_scores,
+        "metablocking_wep": metablocking_wep,
+        "blocking_key_stats": blocking_key_stats,
+        "er_threshold_sweep": er_threshold_sweep,
+        "prefix_edit_pairs": prefix_edit_pairs,
+        "canopy_assign": canopy_assign,
+        "golden_records": golden_records,
+        "cluster_density": cluster_density,
+        "ann_topk": ann_topk,
+        "lang_id_pred": lang_id_pred,
+        "minhash_near_dups": minhash_near_dups,
+        "weighted_jaccard_dups": weighted_jaccard_dups,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_near_dups": embedding_near_dups,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "exact_dedup_docs": exact_dedup_docs,
+        "dedup_reinflate": dedup_reinflate,
+        "incremental_dedup": incremental_dedup_docs,
+        "image_near_dups_planted": image_near_dups_planted,
+        "audio_near_dups_planted": audio_near_dups_planted,
+        "video_near_dups_planted": video_near_dups_planted,
+        "table_profile": table_profile,
+        "fk_integrity_audit": fk_integrity_audit,
+        "event_rate_anomalies": event_rate_anomalies,
+        "snapshot_diff_docs": snapshot_diff_docs,
+        "repeated_span_docs": repeated_span_docs,
+        "doc_lm_score": doc_lm_score,
+        "mirror_hosts": mirror_hosts_q,
+        "doc_novelty": doc_novelty,
+        "bm25_msearch": bm25_msearch_q,
+        "bpe_pair_counts": bpe_pair_counts,
+        "nb_doc_classifier": nb_doc_classifier,
+        "decontaminated_docs": decontaminated_docs,
+        "customer_running_spend": customer_running_spend,
+        "price_quartiles": price_quartiles,
+        "packed_sequences": packed_sequences_q,
+        "distinct_users_kmv": distinct_users_kmv,
+        "link_pagerank": link_pagerank,
+        "link_graph_components": link_graph_components,
+        "link_triangles": link_triangles,
+        "views_before_purchase": views_before_purchase,
+        # rows-only (no DuckDB twin by documented design; pytest-pinned
+        # by sequential-reference parity / train==apply invariants)
+        "bpe_merges": bpe_merges_q,
+        "fs_em_params": fs_em_params,
+        "bpe_token_counts": bpe_token_counts_q,
     }
 
 

@@ -232,8 +232,18 @@ def corpus_word_counts(ds, text_col: str = "text", min_count: int = 1):
     return wc
 
 
+#: Hard cap on the distinct-word rows `learn_bpe` will collect to the
+#: driver — the same bounded-collect contract as
+#: ``stages/idf.DRIVER_FOLD_LIMIT``. A min_count-pruned web-scale
+#: vocabulary (typos, URLs, hashes) can still run to billions of rows;
+#: above the cap the collect fails LOUDLY with the escalation knob
+#: named instead of silently OOMing the driver.
+DRIVER_VOCAB_LIMIT = 20_000_000
+
+
 def learn_bpe(ds, text_col: str = "text", num_merges: int = 40,
-              min_count: int = 1, min_pair_count: int = 2) -> pa.Table:
+              min_count: int = 1, min_pair_count: int = 2,
+              driver_vocab_limit: int = DRIVER_VOCAB_LIMIT) -> pa.Table:
     """Corpus → BPE merge table (rank, left, right, merged, pair_n).
 
     The word dictionary is folded distributed and collected once
@@ -241,10 +251,27 @@ def learn_bpe(ds, text_col: str = "text", num_merges: int = 40,
     contract); learning is the vectorized driver loop. Word order is
     canonicalized by sorting before learning so the merge table is a
     pure function of the corpus, independent of partitioning.
+
+    The collect is gated at ``driver_vocab_limit`` distinct words
+    (default ``DRIVER_VOCAB_LIMIT``): a 100 TB corpus' distinct-word
+    set does not fit a driver, so past the cap this raises with the
+    fix (raise ``min_count``) rather than collecting on.
     """
-    wc = corpus_word_counts(ds, text_col, min_count).take_all()
-    words = [r["word"] for r in wc]
-    counts = [r["wn"] for r in wc]
+    words: list = []
+    counts: list = []
+    wc_ds = corpus_word_counts(ds, text_col, min_count)
+    for b in wc_ds.iter_batches(batch_size=1 << 18,
+                                batch_format="pyarrow"):
+        words.extend(b["word"].to_pylist())
+        counts.extend(b["wn"].to_pylist())
+        if len(words) > driver_vocab_limit:
+            raise ValueError(
+                f"learn_bpe: distinct-word count exceeds "
+                f"driver_vocab_limit={driver_vocab_limit} at "
+                f"min_count={min_count}; raise min_count (each step "
+                "prunes the long typo/URL tail) or the limit — the "
+                "word dictionary must stay driver-resident for the "
+                "merge loop")
     if words:
         order = np.argsort(np.asarray(words, dtype=object), kind="stable")
         words = [words[i] for i in order]

@@ -102,20 +102,50 @@ def partial_label_token_counts(t: pa.Table, text_col: str,
     })
 
 
-def nb_train(ds, text_col: str = "text", label_col: str = "lang"):
+#: Hard cap on the (label × token) count rows `nb_train` collects to
+#: the driver — the model matrix must be broadcastable, and a web-scale
+#: token vocabulary is not. Same bounded-collect contract as
+#: ``stages/idf.DRIVER_FOLD_LIMIT``; past the cap the collect fails
+#: LOUDLY naming the pruning knob (``min_df``).
+DRIVER_VOCAB_LIMIT = 20_000_000
+
+
+def nb_train(ds, text_col: str = "text", label_col: str = "lang",
+             min_df: int = 1,
+             driver_vocab_limit: int = DRIVER_VOCAB_LIMIT):
     """Distributed NB fit → broadcastable model dict.
 
     Returns ``{"labels", "vocab", "lp_micro" (L×V int64),
     "default_micro" (L), "prior_micro" (L)}`` — all vocabulary- or
-    label-bounded (the IDF broadcast contract)."""
+    label-bounded (the IDF broadcast contract). ``min_df`` prunes
+    (label, token) cells whose count falls below it DISTRIBUTED,
+    before the driver collect; the collect itself is gated at
+    ``driver_vocab_limit`` rows and raises (naming ``min_df``) rather
+    than materializing an unbroadcastable model."""
     from ray.data.aggregate import Count, Sum
 
     cnt_ds = ds.map_batches(
         lambda t: partial_label_token_counts(t, text_col, label_col),
         batch_format="pyarrow") \
         .groupby(["label", "tok"]).aggregate(Sum("pc_", alias_name="c"))
-    parts = [b for b in cnt_ds.iter_batches(batch_size=1 << 16,
-                                            batch_format="pyarrow")]
+    if min_df > 1:
+        cnt_ds = cnt_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["c"].cast(pa.int64()), min_df)),
+            batch_format="pyarrow")
+    parts = []
+    collected = 0
+    for b in cnt_ds.iter_batches(batch_size=1 << 16,
+                                 batch_format="pyarrow"):
+        parts.append(b)
+        collected += b.num_rows
+        if collected > driver_vocab_limit:
+            raise ValueError(
+                f"nb_train: (label × token) count rows exceed "
+                f"driver_vocab_limit={driver_vocab_limit} at "
+                f"min_df={min_df}; raise min_df (prunes the rare-token "
+                "tail distributed, before the collect) or the limit — "
+                "the model matrix must stay broadcastable")
     cnt = (pa.concat_tables(parts) if parts else
            pa.table({"label": pa.array([], pa.string()),
                      "tok": pa.array([], pa.string()),

@@ -193,3 +193,21 @@ def test_partial_word_counts_empty_and_null():
     t = pa.table({"text": pa.array([None, "", "  ,, "])})
     out = partial_word_counts(t)
     assert out.num_rows == 0
+
+
+def test_learn_bpe_driver_vocab_limit_raises(ray_session):
+    """The driver word-dictionary collect is gated (r4 VERDICT #2, the
+    stages/idf.DRIVER_FOLD_LIMIT contract): an over-limit distinct
+    vocabulary fails LOUDLY naming the min_count escalation knob
+    instead of collecting a corpus-sized fold onto the driver."""
+    import ray.data as rd
+    import pytest
+
+    docs = [" ".join(f"w{i}x{j}" for j in range(50))
+            for i in range(20)]  # 1000 distinct words
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    with pytest.raises(ValueError, match="min_count"):
+        learn_bpe(ds, num_merges=2, driver_vocab_limit=100)
+    # at/under the limit the same corpus learns fine
+    out = learn_bpe(ds, num_merges=2, driver_vocab_limit=10_000)
+    assert out.num_rows >= 1

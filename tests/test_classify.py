@@ -116,3 +116,26 @@ def test_partial_counts_shape():
                                       out["pc_"].to_pylist())}
     assert d == {("x", "a"): 2, ("x", "b"): 1,
                  ("y", "b"): 1, ("y", "c"): 1}
+
+
+def test_nb_train_driver_vocab_limit_raises(ray_session):
+    """The (label × token) driver collect is gated (r4 VERDICT #2):
+    an over-limit count table fails LOUDLY naming min_df instead of
+    materializing an unbroadcastable model; min_df prunes the tail
+    distributed so the same corpus fits again."""
+    import ray.data as rd
+    import pytest
+
+    docs = [" ".join(f"w{i}x{j}" for j in range(40)) + " common"
+            for i in range(20)]
+    t = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "text": pa.array(docs),
+                  "lang": pa.array(["en"] * 10 + ["fr"] * 10)})
+    with pytest.raises(ValueError, match="min_df"):
+        nb_train(rd.from_arrow(t), driver_vocab_limit=50)
+    # distributed min_df pruning drops the singleton tail -> fits
+    model = nb_train(rd.from_arrow(t), min_df=5,
+                     driver_vocab_limit=50)
+    assert "common" in set(
+        model["vocab"].to_pylist()
+        if hasattr(model["vocab"], "to_pylist") else model["vocab"])

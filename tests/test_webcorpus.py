@@ -314,3 +314,36 @@ def test_gram_novelty_bucket_invariance(ray_session):
         assert row.n_grams == len(grams)
         assert row.n_novel == len(novel)
         assert row.novelty_micro == len(novel) * 1_000_000 // len(grams)
+
+
+def test_gram_novelty_fingerprint_carrier_matches_string(ray_session):
+    """The 100 TB exchange carrier (16-byte blake2b fingerprints, two
+    int64 columns) produces IDENTICAL per-doc novelty to the string
+    carrier, on both partition-invariance axes (input blocks × bucket
+    count) — r4 VERDICT #3."""
+    import numpy as np
+    import ray.data as rd
+
+    from merge_machine_ray.stages.webcorpus import gram_novelty
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 25)))
+             for _ in range(80)]
+    docs = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                     "text": pa.array(texts)})
+
+    base = gram_novelty(rd.from_arrow(docs), n=3, num_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fp1 = gram_novelty(rd.from_arrow(docs), n=3, num_buckets=4,
+                       carrier="fingerprint") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fp2 = gram_novelty(rd.from_arrow(docs).repartition(7), n=3,
+                       num_buckets=13, carrier="fingerprint") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert base.equals(fp1)
+    assert base.equals(fp2)
+
+    import pytest
+    with pytest.raises(ValueError, match="carrier"):
+        gram_novelty(rd.from_arrow(docs), carrier="zstd")
