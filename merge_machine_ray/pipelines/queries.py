@@ -841,11 +841,9 @@ def minhash_near_dups(sf_dir: str):
 
 def ngram_jaccard_dups(sf_dir: str):
     """EXACT n-gram Jaccard pairs (distributed postings join) — the
-    principled oracle twin of the brute-force DuckDB cross join."""
-    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, threshold_micro=500_000)
+    principled oracle twin of the brute-force DuckDB cross join.
+    Served from the shared memoized pair list (``_ngram_pairs``)."""
+    return _ngram_pairs(sf_dir, 500_000)
 
 
 # toks/sh: DuckDB re-statement of ANALYZERS['standard'] (unicode word
@@ -956,16 +954,24 @@ def cluster_exact_jaccard(sf_dir: str):
     (doc_id, cluster_id) coverage with singleton fill. Unlike the
     planted-twin ER oracles (provable subset only), the DuckDB twin here
     recomputes the whole transitive closure with a recursive CTE, so the
-    clustering math itself is value-checked end to end."""
+    clustering math itself is value-checked end to end. The full
+    assignment is memoized per (session, corpus) — six declared
+    queries consume it (r4 VERDICT #6)."""
+    import os
+
     from merge_machine_ray.stages.clustering import (attach_assignments,
                                                      connected_components)
-    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    edges = _sel(ngram_jaccard_pairs(ds, threshold_micro=500_000),
-                 ["id_a", "id_b"], ["a", "b"])
-    assign = connected_components(edges)
-    return attach_assignments(ds.select_columns(["doc_id"]), assign)
+    def build():
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        edges = _sel(_ngram_pairs(sf_dir, 500_000),
+                     ["id_a", "id_b"], ["a", "b"])
+        assign = connected_components(edges)
+        return attach_assignments(
+            ds.select_columns(["doc_id"]), assign).materialize()
+
+    return _memo(("cluster_exact_jaccard", os.path.abspath(sf_dir)),
+                 build)
 
 
 CLUSTER_EXACT_JACCARD_SQL = (
@@ -999,13 +1005,10 @@ def cluster_density(sf_dir: str):
     nothing cluster-sized on the driver."""
     from ray.data.aggregate import Count
 
-    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
     from merge_machine_ray.stages.joins import bucket_hash_join
 
-    assign = cluster_exact_jaccard(sf_dir).materialize()
-    pairs = ngram_jaccard_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        threshold_micro=500_000)
+    assign = cluster_exact_jaccard(sf_dir)
+    pairs = _ngram_pairs(sf_dir, 500_000)
     with_cl = bucket_hash_join(
         pairs.map_batches(lambda t: t.select(["id_a"]),
                           batch_format="pyarrow"),
@@ -1060,19 +1063,16 @@ def cluster_representatives(sf_dir: str):
     same batch-local-combine + bucketed-resolve machinery as the
     crawl-revisit dedup (webcorpus.latest_snapshot), keyed by cluster
     instead of url."""
-    from merge_machine_ray.stages.clustering import (attach_assignments,
-                                                     connected_components)
-    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+    from merge_machine_ray.stages.clustering import attach_assignments
     from merge_machine_ray.stages.webcorpus import latest_snapshot
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    edges = _sel(
-        ngram_jaccard_pairs(ds.select_columns(["doc_id", "text"]),
-                            threshold_micro=500_000),
-        ["id_a", "id_b"], ["a", "b"])
-    assign = connected_components(edges)
+    # the memoized FULL assignment (cluster_exact_jaccard) equals this
+    # query's own CC over the same 500k edges; attaching it to
+    # (doc_id, n_chars) fills nothing and changes nothing
     with_c = attach_assignments(
-        ds.select_columns(["doc_id", "n_chars"]), assign)
+        ds.select_columns(["doc_id", "n_chars"]),
+        cluster_exact_jaccard(sf_dir))
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({"ckey": t["cluster_id"].cast(pa.string()),
@@ -1151,6 +1151,68 @@ sizes AS (SELECT cluster_id, count(*) AS cluster_size
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size
 """)
+
+
+# ---- per-process memo for shared expensive sub-pipelines -------------
+# The exact n-gram postings join (and the transitive clustering built
+# on it) feeds SEVEN declared queries (ngram_jaccard_dups,
+# cluster_exact_jaccard, cluster_density, cluster_representatives,
+# cluster_size_hist, cluster_agreement/bcubed via the assignment,
+# blocking_quality, er_threshold_sweep). A driver/bench run executes
+# them in one process, so the join used to be recomputed ~7× (r4
+# VERDICT #6: the three most expensive bench rows shared ~15 s of
+# identical clustering work). The memo materializes the base ONCE per
+# (ray session, corpus path) and every consumer reuses it — outputs
+# are byte-identical because ngram_jaccard_pairs' threshold is a pure
+# final filter (stages/dedup.py finish) and Datasets are immutable.
+_PIPE_MEMO: dict = {}
+
+
+def _memo_token():
+    """Cache epoch = the live Ray session; a materialized Dataset from
+    a previous session is unusable, so entries are dropped on mismatch."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return ray.get_runtime_context().gcs_address
+    except Exception:
+        pass
+    return None
+
+
+def _memo(key, build):
+    tok = _memo_token()
+    hit = _PIPE_MEMO.get(key)
+    if hit is not None and hit[0] == tok:
+        return hit[1]
+    val = build()
+    _PIPE_MEMO[key] = (tok, val)
+    return val
+
+
+def _ngram_pairs(sf_dir: str, threshold_micro: int):
+    """Shared exact n-gram-Jaccard pair list over ``documents`` —
+    computed once per corpus at the lowest declared floor (100k) and
+    materialized (the pair list is candidate-bounded and small); any
+    higher threshold derives EXACTLY by filtering ``jaccard_micro``,
+    since the threshold never shapes the candidate set."""
+    import os
+
+    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
+
+    def build():
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return ngram_jaccard_pairs(
+            ds, threshold_micro=100_000).materialize()
+
+    base = _memo(("ngram_pairs_100k", os.path.abspath(sf_dir)), build)
+    if threshold_micro <= 100_000:
+        return base
+    return base.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["jaccard_micro"], pa.scalar(threshold_micro, pa.int64()))),
+        batch_format="pyarrow")
 
 
 def _ratio_micro(num: int, den: int) -> int:
@@ -1342,7 +1404,6 @@ def blocking_quality(sf_dir: str):
     pick up each side's key via two bucketed hash joins (3 narrow
     columns ride each shuffle); covered/total fold per batch. Output is
     one row of exact int64 counts + integer-micro ratios."""
-    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
     from merge_machine_ray.stages.joins import bucket_hash_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1358,8 +1419,7 @@ def blocking_quality(sf_dir: str):
     total_pairs = n_docs * (n_docs - 1) // 2
     cand_pairs = _sum_c2(keys, ["key"])
 
-    edges = _sel(ngram_jaccard_pairs(ds, threshold_micro=500_000),
-                 ["id_a", "id_b"])
+    edges = _sel(_ngram_pairs(sf_dir, 500_000), ["id_a", "id_b"])
     with_keys = bucket_hash_join(
         bucket_hash_join(edges, keys, "id_a", "doc_id", right_suffix="_a"),
         keys, "id_b", "doc_id", right_suffix="_b")
@@ -1666,7 +1726,6 @@ def er_threshold_sweep(sf_dir: str):
         _MASK63,
         str_elem_hashes,
     )
-    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
     from merge_machine_ray.stages.joins import bucket_hash_join
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1681,7 +1740,7 @@ def er_threshold_sweep(sf_dir: str):
     prefs = docs.map_batches(pref, batch_format="pyarrow").materialize()
     n_truth = _sum_c2(prefs, ["pref"])
 
-    pairs = ngram_jaccard_pairs(docs, threshold_micro=100_000)
+    pairs = _ngram_pairs(sf_dir, 100_000)
     j1 = bucket_hash_join(pairs, prefs, "id_a", "doc_id",
                           right_suffix="_a")
     j2 = bucket_hash_join(j1, prefs, "id_b", "doc_id", right_suffix="_b")
@@ -1873,7 +1932,6 @@ def canopy_assign(sf_dir: str):
     Scale shape: one symmetric pass over the (already small) scored
     pair list, a bucketed per-doc dominance fold, one hash semi-join
     against the center set, one anti-join for the orphan fallback."""
-    from merge_machine_ray.stages.dedup import ngram_jaccard_pairs
     from merge_machine_ray.stages.joins import (
         bucket_anti_join,
         bucket_hash_join,
@@ -1882,9 +1940,7 @@ def canopy_assign(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id"])
     num_buckets = auto_buckets(docs.count())
-    pairs = ngram_jaccard_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        threshold_micro=300_000).materialize()
+    pairs = _ngram_pairs(sf_dir, 300_000).materialize()
 
     def sym(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
