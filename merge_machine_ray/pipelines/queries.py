@@ -5222,18 +5222,77 @@ def bpe_merges_q(sf_dir: str):
                      num_merges=40, min_count=2)
 
 
-def bpe_token_counts_q(sf_dir: str):
-    """Corpus-wide application of the learned merge table: per-doc
-    post-BPE token counts via the broadcast-merges actor stage
-    (`stages/bpe.BpeCounter` — merges ship once via ray.put, each batch
-    tokenizes its DISTINCT words only). Depends on the learned merges,
-    so rows-only like `bpe_merges`; exactness is pinned by the
-    train-state == apply invariant test."""
-    from merge_machine_ray.stages.bpe import bpe_token_counts, learn_bpe
+# Pinned seed dictionary for the DRIVER-CHECKED BPE application row:
+# the merge table is a pure function of this constant (via the
+# pytest-pinned learn_merges kernel), so the DuckDB twin can replay
+# the SAME merges over the corpus — turning the apply stage
+# (BpeCounter, previously rows-only) into a hash-checked query
+# (r4 VERDICT #9). Corpus-learned merges remain covered by
+# bpe_merges (rows-only) + the train==apply invariant tests.
+_BPE_PINNED_VOCAB: list[tuple[str, int]] = [
+    ("the", 500), ("of", 320), ("and", 290), ("to", 260), ("in", 230),
+    ("that", 160), ("this", 140), ("with", 120), ("for", 110),
+    ("was", 100), ("his", 90), ("they", 80), ("there", 75),
+    ("their", 70), ("these", 60), ("then", 55), ("other", 50),
+    ("when", 45), ("which", 40), ("them", 35), ("than", 30),
+]
 
+
+def _bpe_pinned_merges():
+    from merge_machine_ray.stages.bpe import learn_merges
+
+    words = [w for w, _ in _BPE_PINNED_VOCAB]
+    counts = [c for _, c in _BPE_PINNED_VOCAB]
+    return learn_merges(words, counts, num_merges=24, min_pair_count=2)
+
+
+def bpe_token_counts_q(sf_dir: str):
+    """Corpus-wide application of a PINNED merge table: per-doc
+    post-BPE token counts via the broadcast-merges actor stage
+    (`stages/bpe.BpeCounter` — merges ship once via ray.put, each
+    batch tokenizes its DISTINCT words only). The merges derive from
+    the `_BPE_PINNED_VOCAB` constant through the pytest-pinned
+    learn_merges kernel, so the DuckDB twin replays the identical
+    merge chain with nested replace() over a `sym|`-terminated symbol
+    string (greedy left-to-right replace == the published BPE apply
+    rule, including even-offset self-overlap runs) — the application
+    stage is hash-checked end to end."""
+    from merge_machine_ray.stages.bpe import bpe_token_counts
+
+    merges = _bpe_pinned_merges()
+    tbl = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left_sym": pa.array([m[1] for m in merges], pa.string()),
+        "right_sym": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "pair_n": pa.array([m[4] for m in merges], pa.int64()),
+    })
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    merges = learn_bpe(ds, num_merges=40, min_count=2)
-    return bpe_token_counts(ds, merges)
+    return bpe_token_counts(ds, tbl)
+
+
+def _bpe_token_counts_sql() -> str:
+    """Twin: symbolize each word occurrence as `c|c|…|</w>|`, replay
+    the pinned merges in rank order as nested replace() calls, count
+    remaining `|` terminators, sum per doc (zero-token docs → 0)."""
+    expr = r"regexp_replace(word, '(.)', '\1|', 'g') || '</w>|'"
+    for _rank, left, right, merged, _n in _bpe_pinned_merges():
+        expr = f"replace({expr}, '{left}|{right}|', '{merged}|')"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                                      '[^a-z0-9]+')) AS word
+  FROM documents),
+tok AS (
+  SELECT doc_id, {expr} AS seq FROM w WHERE word <> ''),
+cnt AS (
+  SELECT doc_id,
+         sum(length(seq) - length(replace(seq, '|', ''))) AS n
+  FROM tok GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tok_bpe
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+"""
 
 
 def nb_doc_classifier(sf_dir: str):
@@ -5659,6 +5718,8 @@ def build_queries() -> dict:
         "label_centroids": label_centroids_q,
         "lang_length_outliers": lang_length_outliers,
         "token_quota_mix": token_quota_mix,
+        # newly twinned this round (was rows-only; r4 VERDICT #9)
+        "bpe_token_counts": bpe_token_counts_q,
         # --- never sampled by the r4 driver: windows / joins / tail
         "soundex_part_words": soundex_part_words,
         "doc_chunks": doc_chunks,
@@ -5738,16 +5799,16 @@ def build_queries() -> dict:
         "link_triangles": link_triangles,
         "views_before_purchase": views_before_purchase,
         # rows-only (no DuckDB twin by documented design; pytest-pinned
-        # by sequential-reference parity / train==apply invariants)
+        # by sequential-reference parity / EM arithmetic tests)
         "bpe_merges": bpe_merges_q,
         "fs_em_params": fs_em_params,
-        "bpe_token_counts": bpe_token_counts_q,
     }
 
 
 def build_oracle_sql() -> dict:
     return {
         "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "nb_doc_classifier": NB_DOC_CLASSIFIER_SQL,
         "table_profile": TABLE_PROFILE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,

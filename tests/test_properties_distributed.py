@@ -330,3 +330,64 @@ def test_unigram_lm_scores_matches_reference(ray_session):
         assert got == want
 
     check()
+
+
+def test_banded_hamming_recall_guarantee_random_sweep(ray_session):
+    """Generic pigeonhole-recall property of the banded-Hamming join
+    shared by ALL four fingerprint modalities (text SimHash, image
+    pHash, audio spectrogram hash, video frame-majority pHash — r4
+    VERDICT #7): for random 64-bit fingerprints, every (bands,
+    max_hamming) configuration with bands > max_hamming must return
+    EXACTLY the brute-force pair set — zero missed pairs (pigeonhole:
+    ≤ max_hamming differing bits cannot touch all bands) and zero
+    extras (candidates are popcount-verified). Fingerprints are drawn
+    in clustered families so pairs exist at every distance."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from merge_machine_ray.stages.dedup import (
+        _popcount64,
+        hamming_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(20260820)
+    # 12 seed hashes, each spawning variants at 0-9 flipped bits so
+    # the distance histogram is dense around every threshold
+    seeds = rng.integers(0, 1 << 63, size=12, dtype=np.int64)
+    hashes = []
+    for s in seeds:
+        hashes.append(int(s))
+        for flips in range(1, 10):
+            v = np.uint64(s)
+            for b in rng.choice(64, size=flips, replace=False):
+                v ^= np.uint64(1) << np.uint64(int(b))
+            hashes.append(int(v.astype(np.int64)))
+    n = len(hashes)
+    ids = np.arange(n, dtype=np.int64)
+    hu = np.array(hashes, np.int64).astype(np.uint64)
+
+    def brute(max_h):
+        iu, ju = np.triu_indices(n, k=1)
+        d = _popcount64(hu[iu] ^ hu[ju])
+        m = d <= max_h
+        return {(int(ids[i]), int(ids[j]))
+                for i, j in zip(iu[m], ju[m])}
+
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids), "h": pa.array(hashes, pa.int64())}))
+    for bands, max_h in [(2, 1), (3, 2), (4, 3), (5, 4), (6, 5),
+                         (7, 6), (8, 7), (8, 4), (8, 2)]:
+        assert bands > max_h
+        got = hamming_near_dup_pairs(
+            ds, hash_col="h", id_col="id", bands=bands,
+            max_hamming=max_h, block_cap=n + 1).to_pandas()
+        got_pairs = {(min(a, b), max(a, b))
+                     for a, b in zip(got["id_a"], got["id_b"])}
+        want = brute(max_h)
+        assert got_pairs == want, (
+            f"bands={bands} max_h={max_h}: "
+            f"missed={sorted(want - got_pairs)[:5]} "
+            f"extra={sorted(got_pairs - want)[:5]}")
