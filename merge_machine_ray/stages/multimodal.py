@@ -306,7 +306,7 @@ class VideoPHash:
 def video_near_dup_pairs(ds, decoder: str = "rawvideo",
                          max_hamming: int = 6, bands: int = 8,
                          frames_per_video: int = 4, block_cap: int = 256,
-                         batch_size: int = 16, concurrency=(1, 4),
+                         batch_size: int = 16, concurrency=(1, 16),
                          num_buckets: int | None = None):
     """Video near-duplicate pairs over MEDIA_SCHEMA rows: frame-majority
     pHash per clip in an actor pool (small batches — video payloads are
@@ -356,7 +356,7 @@ class AudioFPrint:
 
 def audio_near_dup_pairs(ds, decoder: str = "wav", max_hamming: int = 6,
                          bands: int = 8, block_cap: int = 256,
-                         batch_size: int = 64, concurrency=(1, 4),
+                         batch_size: int = 64, concurrency=(1, 16),
                          num_buckets: int | None = None):
     """Audio near-duplicate pairs over MEDIA_SCHEMA rows: fingerprint
     per clip in an actor pool, then the generic banded-Hamming
@@ -377,7 +377,7 @@ def audio_near_dup_pairs(ds, decoder: str = "wav", max_hamming: int = 6,
 
 def image_near_dup_pairs(ds, decoder: str = "ppm", max_hamming: int = 6,
                          bands: int = 8, block_cap: int = 256,
-                         batch_size: int = 64, concurrency=(1, 4),
+                         batch_size: int = 64, concurrency=(1, 16),
                          num_buckets: int | None = None):
     """Visual near-duplicate pairs over an image table (MEDIA_SCHEMA):
     pHash per image in an actor pool (small batches — binary payloads),
