@@ -5323,14 +5323,89 @@ ORDER BY pair_n DESC, left_sym, right_sym LIMIT 30
 def bpe_merges_q(sf_dir: str):
     """BPE tokenizer training (Sennrich et al. 2016): 40 greedy
     highest-count merges learned from the distributed word-frequency
-    fold (min_count=2 pruned BEFORE collection). Iterative algorithm —
-    no SQL twin by design; the sequential-reference parity tests in
-    tests/test_bpe.py pin every rank, symbol and count, and
-    `bpe_pair_counts` hash-checks the per-round statistics kernel."""
+    fold (min_count=2 pruned BEFORE collection). Hash-twinned since
+    round 5 (previously the last rows-only query): the DuckDB twin
+    (:func:`_bpe_merges_sql`) replays the full training loop as 40
+    unrolled CTE iterations over the word dictionary — positional
+    adjacent-pair counting via list unnest (every occurrence, so
+    self-overlap runs count correctly), argmax with the engine's
+    creation-ordered-code tie-break carried in an evolving symbol
+    table, and the greedy merge as one ``replace()`` over a
+    ``|sym|``-wrapped symbol string (the wrapping makes a pair
+    pattern ``|l||r|`` provably unambiguous — a maximal pipe-free run
+    IS a symbol — while left-to-right ``replace`` keeps the published
+    even-offset run semantics). The sequential-reference parity tests
+    in tests/test_bpe.py additionally pin every rank, symbol and
+    count, and `bpe_pair_counts` hash-checks the statistics kernel."""
     from merge_machine_ray.stages.bpe import learn_bpe
 
     return learn_bpe(_read(sf_dir, "documents", ["text"]),
                      num_merges=40, min_count=2)
+
+
+def _bpe_merges_sql(num_merges: int = 40, min_count: int = 2,
+                    min_pair: int = 2) -> str:
+    """Generate the unrolled-training DuckDB twin of
+    :func:`bpe_merges_q` (see its docstring).  State per iteration:
+    ``w{r}`` (wrapped symbol string + corpus count per distinct word),
+    ``sym{r}`` (symbol → creation-ordered code: initial characters by
+    codepoint, ``</w>``, then merged symbols by rank, REUSING the
+    existing code when two merges produce the same text — the
+    a+bc == ab+c collision rule), ``best{r}`` (the argmax pair; empty
+    once no pair reaches ``min_pair``, and emptiness is absorbing, so
+    early stop falls out of the UNION ALL).  CTEs are MATERIALIZED —
+    each state is referenced twice and inlining would re-evaluate the
+    whole chain exponentially."""
+    c = [r"""toks AS (
+  SELECT unnest(regexp_split_to_array(lower(coalesce(text,'')),
+                                      '[^a-z0-9]+')) AS word
+  FROM documents)""",
+         f"""wd AS MATERIALIZED (
+  SELECT word, count(*) AS wn FROM toks WHERE word <> ''
+  GROUP BY word HAVING count(*) >= {min_count})""",
+         r"""chars AS (
+  SELECT DISTINCT substring(word, i, 1) AS ch FROM (
+    SELECT word, unnest(range(1, length(word)+1)) AS i FROM wd))""",
+         r"""sym0 AS MATERIALIZED (
+  SELECT ch AS sym,
+         CAST(row_number() OVER (ORDER BY ch) - 1 AS BIGINT) AS code
+  FROM chars
+  UNION ALL SELECT '</w>', (SELECT count(*) FROM chars))""",
+         r"""w0 AS MATERIALIZED (
+  SELECT '|' || regexp_replace(word, '(.)', '\1||', 'g')
+         || '</w>|' AS seq, wn
+  FROM wd)"""]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        c.append(f"""pr{r} AS (
+  SELECT l, r, sum(wn) AS cnt FROM (
+    SELECT wn, L[i] AS l, L[i+1] AS r FROM (
+      SELECT wn, L, unnest(range(1, length(L))) AS i FROM (
+        SELECT wn, list_filter(string_split(seq, '|'),
+                               x -> x <> '') AS L FROM w{p})))
+  GROUP BY l, r)""")
+        c.append(f"""best{r} AS MATERIALIZED (
+  SELECT p.l, p.r, p.cnt, p.l || p.r AS merged
+  FROM pr{r} p JOIN sym{p} sl ON sl.sym = p.l
+               JOIN sym{p} sr ON sr.sym = p.r
+  WHERE p.cnt >= {min_pair}
+  ORDER BY p.cnt DESC, sl.code ASC, sr.code ASC LIMIT 1)""")
+        c.append(f"""sym{r} AS MATERIALIZED (
+  SELECT sym, code FROM sym{p}
+  UNION ALL
+  SELECT b.merged, (SELECT max(code) + 1 FROM sym{p}) FROM best{r} b
+  WHERE NOT EXISTS (SELECT 1 FROM sym{p} s WHERE s.sym = b.merged))""")
+        c.append(f"""w{r} AS MATERIALIZED (
+  SELECT CASE WHEN b.merged IS NULL THEN w.seq
+         ELSE replace(w.seq, '|' || b.l || '||' || b.r || '|',
+                      '|' || b.merged || '|') END AS seq, w.wn
+  FROM w{p} w LEFT JOIN best{r} b ON TRUE)""")
+    finals = [
+        f"SELECT CAST({r} AS BIGINT) AS rank, l AS left_sym,"
+        f" r AS right_sym, merged, CAST(cnt AS BIGINT) AS pair_n"
+        f" FROM best{r}"
+        for r in range(1, num_merges + 1)]
+    return "WITH " + ",\n".join(c) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 # Pinned seed dictionary for the DRIVER-CHECKED BPE application row:
@@ -5383,12 +5458,23 @@ def bpe_token_counts_q(sf_dir: str):
 
 
 def _bpe_token_counts_sql() -> str:
-    """Twin: symbolize each word occurrence as `c|c|…|</w>|`, replay
-    the pinned merges in rank order as nested replace() calls, count
-    remaining `|` terminators, sum per doc (zero-token docs → 0)."""
-    expr = r"regexp_replace(word, '(.)', '\1|', 'g') || '</w>|'"
+    """Twin: symbolize each word occurrence as the WRAPPED string
+    `|c||c||…||</w>|`, replay the pinned merges in rank order as
+    nested replace() calls on pattern `|l||r|` → `|m|`, count
+    remaining symbols (= pipes/2), sum per doc (zero-token docs → 0).
+
+    The wrapping makes pair patterns provably unambiguous — every
+    maximal pipe-free run is a complete symbol, so `|l||r|` can only
+    match the exact symbol pair (l, r); the earlier trailing-
+    terminator encoding (`l|r|`) could false-match when some symbol
+    ENDED with l's text (never hit by the pinned merges on this
+    corpus, but the wrapped form is safe for any merge table) — while
+    left-to-right replace keeps the published even-offset run
+    semantics (`|a||a||a||a|` → `|aa||aa|`)."""
+    expr = r"'|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|'"
     for _rank, left, right, merged, _n in _bpe_pinned_merges():
-        expr = f"replace({expr}, '{left}|{right}|', '{merged}|')"
+        expr = (f"replace({expr}, '|{left}||{right}|',"
+                f" '|{merged}|')")
     return f"""
 WITH w AS (
   SELECT doc_id,
@@ -5399,7 +5485,7 @@ tok AS (
   SELECT doc_id, {expr} AS seq FROM w WHERE word <> ''),
 cnt AS (
   SELECT doc_id,
-         sum(length(seq) - length(replace(seq, '|', ''))) AS n
+         sum((length(seq) - length(replace(seq, '|', ''))) // 2) AS n
   FROM tok GROUP BY doc_id)
 SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tok_bpe
 FROM documents d LEFT JOIN cnt c USING (doc_id)
@@ -5909,10 +5995,11 @@ def build_queries() -> dict:
         "link_graph_components": link_graph_components,
         "link_triangles": link_triangles,
         "views_before_purchase": views_before_purchase,
-        # fs_em_params: hash-twinned since round 5 (unrolled-EM CTE
-        # replay, _fs_em_sql); bpe_merges stays rows-only (corpus-
-        # learned iterative argmax; pytest-pinned by the sequential
-        # dict reference + train==apply invariant)
+        # both hash-twinned since round 5 (previously the rows-only
+        # tail): fs_em_params via the unrolled-EM CTE replay
+        # (_fs_em_sql), bpe_merges via the unrolled-training replay
+        # over |sym|-wrapped strings (_bpe_merges_sql) — every
+        # declared query now has a DuckDB twin
         "bpe_merges": bpe_merges_q,
         "fs_em_params": fs_em_params,
     }
@@ -5922,6 +6009,9 @@ def build_oracle_sql() -> dict:
     return {
         "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
         "bpe_token_counts": _bpe_token_counts_sql(),
+        # newly twinned this round (was the last rows-only query):
+        # full 40-iteration training replay
+        "bpe_merges": _bpe_merges_sql(),
         "nb_doc_classifier": NB_DOC_CLASSIFIER_SQL,
         "table_profile": TABLE_PROFILE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,
