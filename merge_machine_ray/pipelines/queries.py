@@ -11,6 +11,7 @@ never flip the hash.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -1223,11 +1224,72 @@ def _ratio_micro(num: int, den: int) -> int:
     return 0 if den == 0 else (num * 2_000_000 + den) // (2 * den)
 
 
+#: Row gate for the ER-evaluation driver fast paths below: an
+#: assignment/key table at or under this many rows (a few narrow
+#: columns per doc) is collected and folded on the driver with
+#: IDENTICAL integer arithmetic — at bench scale these tables are
+#: thousands of rows and each Ray groupby/join exchange costs ~1 s of
+#: pure per-stage overhead (measured: cluster_agreement 6.4 s → 1.3 s
+#: at sf0.1/32 CPUs with outputs byte-identical). Above the gate the
+#: distributed paths run unchanged — the 100 TB story — and
+#: ``tests/test_queries_oracle.py`` proves both paths equal by forcing
+#: the gate to 0.
+DRIVER_EVAL_LIMIT = int(os.environ.get("DRIVER_EVAL_LIMIT", "2000000"))
+
+
+def _collect_tbl(ds, cols: list[str]) -> pa.Table:
+    """Driver-side collect of a few NARROW columns (gated by callers
+    at ``DRIVER_EVAL_LIMIT`` rows)."""
+    batches = list(ds.select_columns(cols).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"))
+    if not batches:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    return pa.concat_tables(batches).combine_chunks()
+
+
+def _c2_of_sizes(n: np.ndarray) -> int:
+    n = n.astype(np.int64)
+    return int((n * (n - 1) // 2).sum())
+
+
+def _group_sizes_driver(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """Group sizes over ``keys`` on the driver: dictionary-encode each
+    key column (strings → codes), lexsort, run-length — exact."""
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64)
+    codes = []
+    for k in keys:
+        col = tbl[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            codes.append(col.to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        else:
+            codes.append(pc.dictionary_encode(col).indices
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+    order = np.lexsort(codes[::-1])
+    same = np.ones(tbl.num_rows, bool)
+    same[0] = False
+    for c in codes:
+        s = c[order]
+        same[1:] &= s[1:] == s[:-1]
+    starts = np.flatnonzero(~same)
+    return np.diff(np.concatenate((starts, [tbl.num_rows])))
+
+
 def _sum_c2(ds, keys: list[str]) -> int:
     """Σ C(n,2) over the group sizes of ``keys``: the number of
-    same-group pairs, WITHOUT enumerating any pair — one groupby-count
-    plus a per-batch partial fold over the (small) size table."""
+    same-group pairs, WITHOUT enumerating any pair. At or under
+    ``DRIVER_EVAL_LIMIT`` rows the key columns collect to the driver
+    (one lexsort — identical integers); above, one groupby-count plus
+    a per-batch partial fold over the (small) size table."""
     from ray.data.aggregate import Count
+
+    if ds.count() <= DRIVER_EVAL_LIMIT:
+        return _c2_of_sizes(_group_sizes_driver(
+            _collect_tbl(ds, keys), keys))
 
     sizes = ds.groupby(keys).aggregate(Count(alias_name="n"))
 
@@ -1238,6 +1300,19 @@ def _sum_c2(ds, keys: list[str]) -> int:
 
     out = sizes.map_batches(part, batch_format="pyarrow").sum("pairs")
     return int(out or 0)
+
+
+def _truth_prefix_ds(sf_dir: str):
+    """(doc_id, key) with key = first-120-chars prefix — the weak-truth
+    grouping key shared by the ER evaluation metrics."""
+    def prefix_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "key": pc.utf8_slice_codeunits(t["text"], 0, 120),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(prefix_key, batch_format="pyarrow")
 
 
 def _agreement_join(sf_dir: str):
@@ -1252,18 +1327,43 @@ def _agreement_join(sf_dir: str):
     from merge_machine_ray.stages.dedup import dedup_representatives
     from merge_machine_ray.stages.joins import bucket_hash_join
 
-    def prefix_key(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "key": pc.utf8_slice_codeunits(t["text"], 0, 120),
-        })
-
     pred = cluster_exact_jaccard(sf_dir)
-    truth = dedup_representatives(
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(prefix_key, batch_format="pyarrow"),
-        col="key")
+    truth = dedup_representatives(_truth_prefix_ds(sf_dir), col="key")
     return bucket_hash_join(pred, truth, "doc_id", "doc_id")
+
+
+def _agreement_arrays_driver(sf_dir: str):
+    """Driver fast path for the predicted-vs-truth alignment (gated by
+    callers at ``DRIVER_EVAL_LIMIT`` docs): collect the two narrow
+    per-doc tables, derive rep_id = min doc_id per prefix key (the
+    exact ``dedup_representatives`` rule), align by doc_id with one
+    argsort+searchsorted. Returns (cluster_id, rep_id) int64 arrays
+    in truth-table row order."""
+    pred = _collect_tbl(cluster_exact_jaccard(sf_dir),
+                        ["doc_id", "cluster_id"])
+    tt = _collect_tbl(_truth_prefix_ds(sf_dir), ["doc_id", "key"])
+    ids = tt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key_col = tt["key"]
+    if isinstance(key_col, pa.ChunkedArray):
+        key_col = key_col.combine_chunks()
+    codes = pc.dictionary_encode(key_col).indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    rep = np.empty(ids.size, np.int64)
+    if ids.size:
+        order = np.lexsort((ids, codes))
+        cs = codes[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1))
+        rep_per_code = np.empty(int(codes.max()) + 1, np.int64)
+        rep_per_code[cs[starts]] = ids[order[starts]]
+        rep = rep_per_code[codes]
+    p_ids = pred["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    p_cl = pred["cluster_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    po = np.argsort(p_ids, kind="stable")
+    cl = p_cl[po][np.searchsorted(p_ids[po], ids)]
+    return cl, rep
 
 
 def cluster_agreement(sf_dir: str):
@@ -1286,11 +1386,28 @@ def cluster_agreement(sf_dir: str):
     partial fold — no all-pairs enumeration anywhere. The joined
     assignment is materialized once (24 B/doc in the object store,
     spillable) because three aggregations consume it. Evaluation runs
-    typically score a labeled subset, not the full corpus."""
-    joined = _agreement_join(sf_dir).materialize()
-    tp = _sum_c2(joined, ["cluster_id", "rep_id"])
-    pred_pairs = _sum_c2(joined, ["cluster_id"])
-    truth_pairs = _sum_c2(joined, ["rep_id"])
+    typically score a labeled subset, not the full corpus. At or under
+    ``DRIVER_EVAL_LIMIT`` docs the per-doc tables collect to the
+    driver instead (identical integers, no exchanges — forced-gate
+    parity tested)."""
+    if _read(sf_dir, "documents", ["doc_id"]).count() \
+            <= DRIVER_EVAL_LIMIT:
+        cl, rep = _agreement_arrays_driver(sf_dir)
+
+        def c2(*arrs):
+            return _c2_of_sizes(_group_sizes_driver(
+                pa.table({f"k{i}": pa.array(a)
+                          for i, a in enumerate(arrs)}),
+                [f"k{i}" for i in range(len(arrs))]))
+
+        tp = c2(cl, rep)
+        pred_pairs = c2(cl)
+        truth_pairs = c2(rep)
+    else:
+        joined = _agreement_join(sf_dir).materialize()
+        tp = _sum_c2(joined, ["cluster_id", "rep_id"])
+        pred_pairs = _sum_c2(joined, ["cluster_id"])
+        truth_pairs = _sum_c2(joined, ["rep_id"])
     return pa.table({
         "tp_pairs": pa.array([tp], type=pa.int64()),
         "pred_pairs": pa.array([pred_pairs], type=pa.int64()),
@@ -1417,25 +1534,53 @@ def blocking_quality(sf_dir: str):
     keys = ds.map_batches(prefix_key, batch_format="pyarrow")
     n_docs = ds.count()
     total_pairs = n_docs * (n_docs - 1) // 2
-    cand_pairs = _sum_c2(keys, ["key"])
 
-    edges = _sel(_ngram_pairs(sf_dir, 500_000), ["id_a", "id_b"])
-    with_keys = bucket_hash_join(
-        bucket_hash_join(edges, keys, "id_a", "doc_id", right_suffix="_a"),
-        keys, "id_b", "doc_id", right_suffix="_b")
+    if n_docs <= DRIVER_EVAL_LIMIT:
+        # driver fast path (identical integers; forced-gate parity
+        # tested): the key table is one narrow row per doc and the
+        # truth pair list is candidate-bounded — two collects replace
+        # two bucketed joins + three exchanges
+        kt = _collect_tbl(keys, ["doc_id", "key"])
+        cand_pairs = _c2_of_sizes(_group_sizes_driver(kt, ["key"]))
+        ids = kt["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key_col = kt["key"]
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+        codes = pc.dictionary_encode(key_col).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        sid, scode = ids[o], codes[o]
+        et = _collect_tbl(_ngram_pairs(sf_dir, 500_000),
+                          ["id_a", "id_b"])
+        ka = scode[np.searchsorted(
+            sid, et["id_a"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))]
+        kb = scode[np.searchsorted(
+            sid, et["id_b"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))]
+        truth_pairs = int(et.num_rows)
+        covered = int((ka == kb).sum())
+    else:
+        cand_pairs = _sum_c2(keys, ["key"])
+        edges = _sel(_ngram_pairs(sf_dir, 500_000), ["id_a", "id_b"])
+        with_keys = bucket_hash_join(
+            bucket_hash_join(edges, keys, "id_a", "doc_id",
+                             right_suffix="_a"),
+            keys, "id_b", "doc_id", right_suffix="_b")
 
-    def fold(t: pa.Table) -> pa.Table:
-        eq = pc.equal(t["key_a"], t["key_b"])
-        return pa.table({
-            "truth_n": pa.array([t.num_rows], type=pa.int64()),
-            "covered_n": pa.array(
-                [int(pc.sum(eq).as_py() or 0)], type=pa.int64()),
-        })
+        def fold(t: pa.Table) -> pa.Table:
+            eq = pc.equal(t["key_a"], t["key_b"])
+            return pa.table({
+                "truth_n": pa.array([t.num_rows], type=pa.int64()),
+                "covered_n": pa.array(
+                    [int(pc.sum(eq).as_py() or 0)], type=pa.int64()),
+            })
 
-    folded = with_keys.map_batches(fold, batch_format="pyarrow") \
-        .materialize()
-    truth_pairs = int(folded.sum("truth_n") or 0)
-    covered = int(folded.sum("covered_n") or 0)
+        folded = with_keys.map_batches(fold, batch_format="pyarrow") \
+            .materialize()
+        truth_pairs = int(folded.sum("truth_n") or 0)
+        covered = int(folded.sum("covered_n") or 0)
     return pa.table({
         "n_docs": pa.array([n_docs], type=pa.int64()),
         "total_pairs": pa.array([total_pairs], type=pa.int64()),
@@ -1721,7 +1866,10 @@ def er_threshold_sweep(sf_dir: str):
     (already small) scored pair list; the sweep itself is an
     11-bucket histogram partial per batch + one tiny groupby — the
     pair list is scanned ONCE for all 9 thresholds; truth-pair total
-    is the Σ C(n,2) group-size fold (no pair enumeration)."""
+    is the Σ C(n,2) group-size fold (no pair enumeration). At or
+    under ``DRIVER_EVAL_LIMIT`` docs the narrow per-doc pref table
+    and pair list collect to the driver instead (identical
+    integers, no exchanges — forced-gate parity tested)."""
     from merge_machine_ray.functions.minhash import (
         _MASK63,
         str_elem_hashes,
@@ -1737,31 +1885,61 @@ def er_threshold_sweep(sf_dir: str):
         h = (str_elem_hashes(p) & _MASK63).astype(np.int64)
         return pa.table({"doc_id": t["doc_id"], "pref": pa.array(h)})
 
-    prefs = docs.map_batches(pref, batch_format="pyarrow").materialize()
-    n_truth = _sum_c2(prefs, ["pref"])
-
-    pairs = _ngram_pairs(sf_dir, 100_000)
-    j1 = bucket_hash_join(pairs, prefs, "id_a", "doc_id",
-                          right_suffix="_a")
-    j2 = bucket_hash_join(j1, prefs, "id_b", "doc_id", right_suffix="_b")
-
-    def hist(t: pa.Table) -> pa.Table:
-        jac = t["jaccard_micro"].to_numpy(zero_copy_only=False)
-        b = np.minimum(jac // 100_000, 10).astype(np.int64)
-        truth = (t["pref_a"].to_numpy(zero_copy_only=False)
-                 == t["pref_b"].to_numpy(zero_copy_only=False))
-        return pa.table({
-            "b": pa.array(np.arange(11, dtype=np.int64)),
-            "n": pa.array(np.bincount(b, minlength=11).astype(np.int64)),
-            "tp": pa.array(np.bincount(b[truth],
-                                       minlength=11).astype(np.int64))})
-
     n_arr = np.zeros(11, np.int64)
     tp_arr = np.zeros(11, np.int64)
-    for r in (j2.map_batches(hist, batch_format="pyarrow")
-              .groupby("b").sum(["n", "tp"]).take_all()):
-        n_arr[int(r["b"])] = int(r["sum(n)"])
-        tp_arr[int(r["b"])] = int(r["sum(tp)"])
+    if docs.count() <= DRIVER_EVAL_LIMIT:
+        # driver fast path (identical integers; forced-gate parity
+        # tested): one narrow pref row per doc + the candidate-bounded
+        # pair list collect; the histogram is the same bincount
+        pt = _collect_tbl(docs.map_batches(pref, batch_format="pyarrow"),
+                          ["doc_id", "pref"])
+        n_truth = _c2_of_sizes(_group_sizes_driver(pt, ["pref"]))
+        ids = pt["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pv = pt["pref"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        sid, spv = ids[o], pv[o]
+        et = _collect_tbl(_ngram_pairs(sf_dir, 100_000),
+                          ["id_a", "id_b", "jaccard_micro"])
+        jac = et["jaccard_micro"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = np.minimum(jac // 100_000, 10).astype(np.int64)
+        pa_ = spv[np.searchsorted(
+            sid, et["id_a"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))]
+        pb_ = spv[np.searchsorted(
+            sid, et["id_b"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))]
+        truth = pa_ == pb_
+        n_arr = np.bincount(b, minlength=11).astype(np.int64)
+        tp_arr = np.bincount(b[truth], minlength=11).astype(np.int64)
+    else:
+        prefs = docs.map_batches(pref, batch_format="pyarrow") \
+            .materialize()
+        n_truth = _sum_c2(prefs, ["pref"])
+
+        pairs = _ngram_pairs(sf_dir, 100_000)
+        j1 = bucket_hash_join(pairs, prefs, "id_a", "doc_id",
+                              right_suffix="_a")
+        j2 = bucket_hash_join(j1, prefs, "id_b", "doc_id",
+                              right_suffix="_b")
+
+        def hist(t: pa.Table) -> pa.Table:
+            jac = t["jaccard_micro"].to_numpy(zero_copy_only=False)
+            b = np.minimum(jac // 100_000, 10).astype(np.int64)
+            truth = (t["pref_a"].to_numpy(zero_copy_only=False)
+                     == t["pref_b"].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "b": pa.array(np.arange(11, dtype=np.int64)),
+                "n": pa.array(np.bincount(b, minlength=11)
+                              .astype(np.int64)),
+                "tp": pa.array(np.bincount(b[truth], minlength=11)
+                               .astype(np.int64))})
+
+        for r in (j2.map_batches(hist, batch_format="pyarrow")
+                  .groupby("b").sum(["n", "tp"]).take_all()):
+            n_arr[int(r["b"])] = int(r["sum(n)"])
+            tp_arr[int(r["b"])] = int(r["sum(tp)"])
     cn = np.cumsum(n_arr[::-1])[::-1]
     ct = np.cumsum(tp_arr[::-1])[::-1]
     rows = []

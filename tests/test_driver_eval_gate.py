@@ -1,0 +1,47 @@
+"""DRIVER_EVAL_LIMIT gate parity: the ER-evaluation queries collect
+their doc-sized tables to the driver under the gate (at bench scale the
+distributed exchanges were pure per-stage overhead — ~5 s per query for
+5,000 rows) and run the bucketed-join/groupby path above it.  Both
+paths must produce byte-identical tables — integer arithmetic only, so
+any diff is a real bug, not float noise.
+"""
+
+import pytest
+
+from tests.test_queries_oracle import SF_DIR, _to_pandas
+
+GATED = ["cluster_agreement", "blocking_quality", "er_threshold_sweep"]
+
+
+@pytest.mark.parametrize("name", GATED)
+def test_gate_paths_identical(ray_session, name, monkeypatch):
+    from merge_machine_ray.pipelines import queries as Q
+
+    q = Q.build_queries()[name]
+    driver = _to_pandas(q(SF_DIR)).reset_index(drop=True)
+    monkeypatch.setattr(Q, "DRIVER_EVAL_LIMIT", -1)
+    dist = _to_pandas(q(SF_DIR)).reset_index(drop=True)
+    assert list(driver.columns) == list(dist.columns)
+    assert driver.equals(dist), (name, driver, dist)
+
+
+def test_sum_c2_gate_parity(ray_session, monkeypatch):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from merge_machine_ray.pipelines import queries as Q
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([1, 1, 1, 2, 2, 3, 4, 4, 4, 4], pa.int64()),
+        "k": pa.array(list("xxyxxzzzzw")),
+    }))
+    # a-groups: 3,2,1,4 → 3+1+0+6; k-groups: x=4,y=1,z=4,w=1 → 6+6;
+    # (a,k)-groups: (1,x)=2,(1,y)=1,(2,x)=2,(3,z)=1,(4,z)=3,(4,w)=1
+    cases = {("a",): 10, ("k",): 12, ("a", "k"): 5}
+    for keys, want in cases.items():
+        got_driver = Q._sum_c2(ds, list(keys))
+        monkeypatch.setattr(Q, "DRIVER_EVAL_LIMIT", -1)
+        got_dist = Q._sum_c2(ds, list(keys))
+        monkeypatch.setattr(Q, "DRIVER_EVAL_LIMIT", 2_000_000)
+        assert got_driver == got_dist == want, (keys, got_driver,
+                                                got_dist, want)
