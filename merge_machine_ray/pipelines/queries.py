@@ -1281,15 +1281,13 @@ def _group_sizes_driver(tbl: pa.Table, keys: list[str]) -> np.ndarray:
 
 def _sum_c2(ds, keys: list[str]) -> int:
     """Σ C(n,2) over the group sizes of ``keys``: the number of
-    same-group pairs, WITHOUT enumerating any pair. At or under
-    ``DRIVER_EVAL_LIMIT`` rows the key columns collect to the driver
-    (one lexsort — identical integers); above, one groupby-count plus
-    a per-batch partial fold over the (small) size table."""
+    same-group pairs, WITHOUT enumerating any pair — one groupby-count
+    plus a per-batch partial fold over the (small) size table. Always
+    distributed: the gated queries below use
+    ``_c2_of_sizes(_group_sizes_driver(...))`` directly on their
+    already-collected tables instead (a ``count()`` gate here would
+    cost an extra full execution pass on non-materialized inputs)."""
     from ray.data.aggregate import Count
-
-    if ds.count() <= DRIVER_EVAL_LIMIT:
-        return _c2_of_sizes(_group_sizes_driver(
-            _collect_tbl(ds, keys), keys))
 
     sizes = ds.groupby(keys).aggregate(Count(alias_name="n"))
 
@@ -2359,7 +2357,17 @@ def fellegi_sunter_weights(sf_dir: str):
 
 def _fs_gamma(sf_dir: str):
     """Shared blocked-sampled γ table for the FS estimation + scoring
-    queries (field prep + ``comparison_vectors``)."""
+    queries (field prep + ``comparison_vectors``). Memoized per (ray
+    session, corpus) like ``_ngram_pairs`` — FOUR declared queries
+    (fellegi_sunter_weights, fs_pair_scores, fs_score_sweep,
+    fs_em_params) consume the identical blocked pair sample, and the
+    γ table is cap-bounded (≤ C(64,2) pairs per block), so it
+    materializes once and every consumer reuses it byte-identically."""
+    return _memo(("fs_gamma", os.path.abspath(sf_dir)),
+                 lambda: _fs_gamma_build(sf_dir).materialize())
+
+
+def _fs_gamma_build(sf_dir: str):
     from merge_machine_ray.stages.fellegi import comparison_vectors
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
@@ -2379,7 +2387,7 @@ def _fs_gamma(sf_dir: str):
 
     return comparison_vectors(
         ds.map_batches(prep, batch_format="pyarrow"), "blk", _FS_FIELDS,
-        truth_col="truth", cap=64)
+        truth_col="truth", cap=64, n_rows=ds.count())
 
 
 def _fs_field_agg_sql(field: str, expr: str) -> str:

@@ -36,16 +36,29 @@ reaches the driver."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
 __all__ = ["comparison_vectors", "fs_weights", "fs_em"]
 
+#: Same knob as ``pipelines/queries.DRIVER_EVAL_LIMIT``: an input at
+#: or under this many rows builds its γ pairs on the driver with the
+#: IDENTICAL pair-emit kernel (the blocked sample is a few narrow
+#: columns per row, and at bench scale the window + bucketed-groupby
+#: exchanges were pure per-stage overhead — measured ~5 s → <1 s for
+#: 5,000 docs). Above it the two-exchange distributed path runs
+#: unchanged. Forced-gate parity tested.
+DRIVER_SAMPLE_LIMIT = int(os.environ.get("DRIVER_EVAL_LIMIT",
+                                         "2000000"))
+
 
 def comparison_vectors(ds, block_col: str, field_cols: list[str],
                        id_col: str = "doc_id",
                        truth_col: str | None = None, cap: int = 64,
-                       num_buckets: int = 64):
+                       num_buckets: int = 64,
+                       n_rows: int | None = None):
     """Dataset with (id, block key, comparison fields[, truth key]) →
     Dataset of candidate pairs ``(id_a, id_b, agree_<f>... [, is_match])``
     — all pairs within a block, after capping each block to its first
@@ -56,7 +69,14 @@ def comparison_vectors(ds, block_col: str, field_cols: list[str],
 
     One narrow exchange keyed by block-hash bucket; within a bucket,
     blocks are contiguous runs of one lexsort and pair emission is a
-    vectorized position-distance sweep (no per-block python)."""
+    vectorized position-distance sweep (no per-block python).
+
+    ``n_rows``: caller-supplied input row count (cheap for parquet-
+    backed callers). When given and ≤ ``DRIVER_SAMPLE_LIMIT``, the
+    narrow input collects to the driver and the SAME rank/cap rule and
+    the SAME ``emit`` kernel run locally — identical pairs, zero
+    exchanges (forced-gate parity tested). Opt-in so no caller pays a
+    hidden extra ``count()`` execution pass."""
     import pyarrow.compute as pc
 
     from merge_machine_ray.stages.sketch import _KNUTH, _MOD
@@ -138,6 +158,33 @@ def comparison_vectors(ds, block_col: str, field_cols: list[str],
             schema_cols[name] = pa.array(
                 np.concatenate(ag[c]) if ag[c] else np.empty(0, np.int8))
         return pa.table(schema_cols)
+
+    if n_rows is not None and n_rows <= DRIVER_SAMPLE_LIMIT:
+        import ray.data as rd
+
+        batches = list(ds.map_batches(add_hkey, batch_format="pyarrow")
+                       .iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))
+        if not batches:
+            return rd.from_arrow(emit(pa.table(
+                {c: pa.array([], pa.int64()) for c in cols})))
+        t = pa.concat_tables(batches).combine_chunks()
+        # rank within block by (hkey asc, id asc) — the WindowSpec
+        # order — then keep the first `cap` rows per block
+        blk = _codes(t[block_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = t["hkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids, hk, blk))
+        bs = blk[o]
+        change = np.ones(bs.size, bool)
+        change[1:] = bs[1:] != bs[:-1]
+        starts = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        rk = np.arange(bs.size, dtype=np.int64) - starts[run_id]
+        capped = t.select(cols).take(pa.array(o[rk < cap]))
+        # emit() lexsorts by (block, id) itself, so one call over the
+        # whole capped sample equals the union of per-bucket calls
+        return rd.from_arrow(emit(capped))
 
     return (sampled.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__bkt").map_groups(emit, batch_format="pyarrow"))

@@ -13,6 +13,28 @@ from tests.test_queries_oracle import SF_DIR, _to_pandas
 GATED = ["cluster_agreement", "blocking_quality", "er_threshold_sweep"]
 
 
+@pytest.mark.parametrize("name", ["fellegi_sunter_weights",
+                                  "fs_pair_scores", "fs_em_params"])
+def test_gamma_gate_paths_identical(ray_session, name, monkeypatch):
+    """comparison_vectors' driver pair build (DRIVER_SAMPLE_LIMIT) must
+    emit the exact pair set of the window + bucketed-groupby path."""
+    from merge_machine_ray.pipelines import queries as Q
+    from merge_machine_ray.stages import fellegi as F
+
+    q = Q.build_queries()[name]
+
+    def run():
+        Q._PIPE_MEMO.clear()  # γ is memoized per corpus — force rebuild
+        df = _to_pandas(q(SF_DIR))
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    driver = run()
+    monkeypatch.setattr(F, "DRIVER_SAMPLE_LIMIT", -1)
+    dist = run()
+    Q._PIPE_MEMO.clear()
+    assert driver.equals(dist), (name, driver, dist)
+
+
 @pytest.mark.parametrize("name", GATED)
 def test_gate_paths_identical(ray_session, name, monkeypatch):
     from merge_machine_ray.pipelines import queries as Q
@@ -39,9 +61,8 @@ def test_sum_c2_gate_parity(ray_session, monkeypatch):
     # (a,k)-groups: (1,x)=2,(1,y)=1,(2,x)=2,(3,z)=1,(4,z)=3,(4,w)=1
     cases = {("a",): 10, ("k",): 12, ("a", "k"): 5}
     for keys, want in cases.items():
-        got_driver = Q._sum_c2(ds, list(keys))
-        monkeypatch.setattr(Q, "DRIVER_EVAL_LIMIT", -1)
+        got_driver = Q._c2_of_sizes(Q._group_sizes_driver(
+            Q._collect_tbl(ds, list(keys)), list(keys)))
         got_dist = Q._sum_c2(ds, list(keys))
-        monkeypatch.setattr(Q, "DRIVER_EVAL_LIMIT", 2_000_000)
         assert got_driver == got_dist == want, (keys, got_driver,
                                                 got_dist, want)
