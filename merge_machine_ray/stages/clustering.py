@@ -70,6 +70,18 @@ def _driver_components(edges_ds) -> pa.Table:
                          "cluster_id": pa.array([], pa.int64())})
     a = np.concatenate(chunks_a)
     b = np.concatenate(chunks_b)
+    ids, roots = _components_arrays(a, b)
+    return pa.table({"doc_id": pa.array(ids),
+                     "cluster_id": pa.array(roots)})
+
+
+def _components_arrays(a: np.ndarray, b: np.ndarray):
+    """Vectorized CC over in-memory edge arrays: returns
+    ``(node_ids, root_ids)`` with root = component minimum id. The
+    kernel behind both the driver fast path and the per-block local
+    contraction of the distributed path."""
+    if a.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
     ids = np.unique(np.concatenate((a, b)))
     ai = np.searchsorted(ids, a)
     bi = np.searchsorted(ids, b)
@@ -95,8 +107,7 @@ def _driver_components(edges_ds) -> pa.Table:
             label = nl
         if np.array_equal(label, old):
             break
-    return pa.table({"doc_id": pa.array(ids),
-                     "cluster_id": pa.array(ids[label])})
+    return ids, ids[label]
 
 
 # ----------------------------------------------------------- distributed mode
@@ -196,11 +207,30 @@ def _dedupe_edges(ds, num_buckets: int):
         .groupby("bucket").map_groups(uniq, batch_format="pyarrow")
 
 
+def _local_contract(t: pa.Table) -> pa.Table:
+    """Per-block local contraction: replace a block's edges by the
+    star forest of their LOCAL components (root=min → member).
+    Connectivity-preserving, so the global result is unchanged (the
+    final label is the component min, invariant under any
+    connectivity-preserving rewrite); chains, triangles and duplicate
+    edges inside one block collapse before the first global round —
+    the standard pre-pass that cuts large/small-star input size."""
+    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids, roots = _components_arrays(a, b)
+    member = ids[roots != ids]
+    root = roots[roots != ids]
+    return pa.table({"a": pa.array(root), "b": pa.array(member)})
+
+
 def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset":
     from merge_machine_ray.stages.pairs import auto_buckets
 
     n_edges = edges_ds.count()
     num_buckets = auto_buckets(n_edges * 2)
+    edges_ds = edges_ds.map_batches(_local_contract,
+                                    batch_size=1 << 20,
+                                    batch_format="pyarrow")
     edges = _dedupe_edges(edges_ds, num_buckets).materialize()
     if edges.count() == 0:
         return edges.map_batches(
@@ -277,13 +307,21 @@ def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset
 
 
 def connected_components(edges_ds, mode: str = "auto",
-                         driver_edge_limit: int = 2_000_000):
+                         driver_edge_limit: int = 20_000_000):
     """edges (a,b) → Dataset[(doc_id, cluster_id=component min id)].
 
     Nodes not present in any edge are absent (join with the corpus and
     fill cluster_id=doc_id for singletons — see
     pipelines.entity_resolution.resolve_clusters).
-    """
+
+    ``driver_edge_limit``: the driver fast path collects the edge list
+    (16 B/edge → 320 MB at the 20M default, plus ~3× transient numpy
+    working set — comfortably driver-resident, and the vectorized
+    min-label kernel is ~0.1 µs/edge·pass) — raised from 2M after the
+    flagship measured a 21 s cliff at 2.9M edges where the distributed
+    star rounds' per-exchange overhead dominated mid-size graphs. At
+    corpus scale (10^12 edges) the distributed path runs regardless,
+    now behind a per-block local-contraction pre-pass."""
     import ray.data as rd
 
     if mode == "auto":
