@@ -2561,9 +2561,26 @@ def _fs_em_sql(n_iter: int = 25) -> str:
     ``log1p(-m)`` has no DuckDB counterpart; ``ln(1.0 - m)`` differs
     by ulps, which the EM contraction keeps ~1e-15 relative at the
     fixed point — 8 orders of magnitude inside the micro/milli
-    rounding margins (validated over 120 random histograms)."""
+    rounding margins (validated over 120 random histograms).
+
+    Zero-pair guard: ``fs_em`` early-returns its INIT params when the
+    histogram is all zeros (no γ pairs); the finals below replicate
+    that with a ``CASE WHEN total = 0`` branch carrying the identical
+    init micros/millis (otherwise 0/0 NaNs would flow through
+    DuckDB's NaN-is-greatest LEAST/GREATEST clamp)."""
     k = len(_FS_FIELDS)
     npat = 1 << k
+    if npat != 16:
+        # tree16 below generates numpy's 16-element pairwise tree
+        # verbatim; a changed _FS_FIELDS must fail loudly, not emit
+        # silently wrong sums
+        raise NotImplementedError(
+            f"_fs_em_sql is generated for exactly 4 fields (16 "
+            f"patterns); _FS_FIELDS has {k}")
+    init_m_micro = int(round(0.9 * 1_000_000))
+    init_u_micro = int(round(0.1 * 1_000_000))
+    init_w_milli = int(round(math.log2(0.9 / 0.1) * 1000))
+    init_p_micro = int(round(0.5 * 1_000_000))
 
     def seq(terms):
         e = terms[0]
@@ -2625,16 +2642,21 @@ def _fs_em_sql(n_iter: int = 25) -> str:
                         f" 1.0 - 1e-9), 1e-9) AS u{f}")
         ctes.append(f"it{it} AS (SELECT " + ", ".join(cols)
                     + f", ({sm}) / tot AS pp FROM ({sub}))")
+    zero = "(SELECT total FROM h) = 0.0"
     finals = [
         (f"SELECT '{f}' AS field,"
-         f" CAST(round(m{i}*1000000.0) AS BIGINT) AS m_micro,"
-         f" CAST(round(u{i}*1000000.0) AS BIGINT) AS u_micro,"
-         f" CAST(round(log2(m{i}/u{i})*1000.0) AS BIGINT)"
+         f" CAST(CASE WHEN {zero} THEN {init_m_micro}"
+         f" ELSE round(m{i}*1000000.0) END AS BIGINT) AS m_micro,"
+         f" CAST(CASE WHEN {zero} THEN {init_u_micro}"
+         f" ELSE round(u{i}*1000000.0) END AS BIGINT) AS u_micro,"
+         f" CAST(CASE WHEN {zero} THEN {init_w_milli}"
+         f" ELSE round(log2(m{i}/u{i})*1000.0) END AS BIGINT)"
          f" AS weight_milli FROM it{n_iter}")
         for i, f in enumerate(_FS_FIELDS)]
     finals.append(
         f"SELECT '__match_prior__' AS field,"
-        f" CAST(round(pp*1000000.0) AS BIGINT) AS m_micro,"
+        f" CAST(CASE WHEN {zero} THEN {init_p_micro}"
+        f" ELSE round(pp*1000000.0) END AS BIGINT) AS m_micro,"
         f" CAST(0 AS BIGINT) AS u_micro,"
         f" CAST(0 AS BIGINT) AS weight_milli FROM it{n_iter}")
     return (_FS_BASE_CTE + ",\n" + ",\n".join(ctes) + "\n"

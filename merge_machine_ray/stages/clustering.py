@@ -226,12 +226,17 @@ def _local_contract(t: pa.Table) -> pa.Table:
 def _distributed_components(edges_ds, max_rounds: int = 30) -> "ray.data.Dataset":
     from merge_machine_ray.stages.pairs import auto_buckets
 
-    n_edges = edges_ds.count()
-    num_buckets = auto_buckets(n_edges * 2)
-    edges_ds = edges_ds.map_batches(_local_contract,
-                                    batch_size=1 << 20,
-                                    batch_format="pyarrow")
-    edges = _dedupe_edges(edges_ds, num_buckets).materialize()
+    # contract + materialize FIRST, then size the bucket count from
+    # the post-contraction edge count: the pre-pass can shrink the
+    # edge set by orders of magnitude (intra-block dups/chains), and
+    # buckets sized to the raw count would leave every star round
+    # paying per-bucket overhead on mostly-empty groups
+    contracted = edges_ds.map_batches(_local_contract,
+                                      batch_size=1 << 20,
+                                      batch_format="pyarrow") \
+        .materialize()
+    num_buckets = auto_buckets(contracted.count() * 2)
+    edges = _dedupe_edges(contracted, num_buckets).materialize()
     if edges.count() == 0:
         return edges.map_batches(
             lambda t: pa.table({"doc_id": t["a"], "cluster_id": t["a"]}),
@@ -315,13 +320,16 @@ def connected_components(edges_ds, mode: str = "auto",
     pipelines.entity_resolution.resolve_clusters).
 
     ``driver_edge_limit``: the driver fast path collects the edge list
-    (16 B/edge → 320 MB at the 20M default, plus ~3× transient numpy
-    working set — comfortably driver-resident, and the vectorized
-    min-label kernel is ~0.1 µs/edge·pass) — raised from 2M after the
-    flagship measured a 21 s cliff at 2.9M edges where the distributed
-    star rounds' per-exchange overhead dominated mid-size graphs. At
-    corpus scale (10^12 edges) the distributed path runs regardless,
-    now behind a per-block local-contraction pre-pass."""
+    (16 B/edge → 320 MB at the 20M default; peak RESIDENT working set
+    is ~8–10× the edge bytes — concat+unique, the doubled scatter
+    index with its argsort, and per-pass gather/label temporaries —
+    so ~3 GB at the cap, sized for a driver with tens of GB of heap;
+    the vectorized min-label kernel is ~0.1 µs/edge·pass). Raised
+    from 2M after the flagship measured a 21 s cliff at 2.9M edges
+    where the distributed star rounds' per-exchange overhead dominated
+    mid-size graphs. At corpus scale (10^12 edges) the distributed
+    path runs regardless, now behind a per-block local-contraction
+    pre-pass."""
     import ray.data as rd
 
     if mode == "auto":

@@ -46,12 +46,21 @@ __all__ = ["comparison_vectors", "fs_weights", "fs_em"]
 #: Same knob as ``pipelines/queries.DRIVER_EVAL_LIMIT``: an input at
 #: or under this many rows builds its γ pairs on the driver with the
 #: IDENTICAL pair-emit kernel (the blocked sample is a few narrow
-#: columns per row, and at bench scale the window + bucketed-groupby
-#: exchanges were pure per-stage overhead — measured ~5 s → <1 s for
+#: columns per row — plus the truth string, so order hundreds of MB
+#: at the 2M cap — and at bench scale the window + bucketed-groupby
+#: exchanges were pure per-stage overhead: measured ~5 s → <1 s for
 #: 5,000 docs). Above it the two-exchange distributed path runs
 #: unchanged. Forced-gate parity tested.
 DRIVER_SAMPLE_LIMIT = int(os.environ.get("DRIVER_EVAL_LIMIT",
                                          "2000000"))
+
+#: The row gate alone does not bound the OUTPUT: Σ C(min(block, cap),
+#: 2) pairs can reach ~cap/2 × the input rows (63M pairs from 2M rows
+#: of dense cap-64 blocks). The driver path additionally computes the
+#: EXACT capped pair count from the run lengths (free — the runs are
+#: already ranked) and falls back to the distributed emit above this.
+DRIVER_PAIR_LIMIT = int(os.environ.get("DRIVER_PAIR_LIMIT",
+                                       "10000000"))
 
 
 def comparison_vectors(ds, block_col: str, field_cols: list[str],
@@ -181,10 +190,18 @@ def comparison_vectors(ds, block_col: str, field_cols: list[str],
         starts = np.flatnonzero(change)
         run_id = np.cumsum(change) - 1
         rk = np.arange(bs.size, dtype=np.int64) - starts[run_id]
-        capped = t.select(cols).take(pa.array(o[rk < cap]))
-        # emit() lexsorts by (block, id) itself, so one call over the
-        # whole capped sample equals the union of per-bucket calls
-        return rd.from_arrow(emit(capped))
+        # the gate bounds INPUT rows but the OUTPUT is Σ C(run,2) —
+        # up to ~cap/2 × larger; fall back to the distributed emit
+        # when the exact pair count would not be driver-comfortable
+        capped_runs = np.minimum(
+            np.diff(np.concatenate((starts, [bs.size]))), cap)
+        n_pairs = int((capped_runs * (capped_runs - 1) // 2).sum())
+        if n_pairs <= DRIVER_PAIR_LIMIT:
+            capped = t.select(cols).take(pa.array(o[rk < cap]))
+            # emit() lexsorts by (block, id) itself, so one call over
+            # the whole capped sample equals the union of per-bucket
+            # calls
+            return rd.from_arrow(emit(capped))
 
     return (sampled.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__bkt").map_groups(emit, batch_format="pyarrow"))

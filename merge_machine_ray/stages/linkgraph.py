@@ -37,14 +37,15 @@ __all__ = ["degree_table", "pagerank", "pagerank_sql_ctes",
 #: Edge count below which PageRank runs its driver fast path (same
 #: exact integer arithmetic, numpy bincount-style folds per round).
 #: The same bounded-driver contract as the clustering module's driver
-#: CC: a 20M-edge int64 edge list is ~320 MB of driver heap (plus a
-#: ~3× transient numpy working set); above it the distributed loop
-#: (one bucketed join + groupby-sum + left join per round) takes
-#: over. Raised from 2M together with clustering's gate after the
-#: flagship measured the distributed rounds' per-exchange overhead
-#: dominating mid-size graphs (a 21 s cliff at 2.9M edges for plain
-#: CC; the iterative PageRank loop pays several exchanges PER ROUND,
-#: so its cliff is steeper).
+#: CC: a 20M-edge int64 edge list is ~320 MB of driver heap, with a
+#: peak resident working set ~8–10× that (~3 GB — concat/unique/
+#: argsort/per-pass temporaries), sized for a driver with tens of GB;
+#: above it the distributed loop (one bucketed join + groupby-sum +
+#: left join per round) takes over. Raised from 2M together with
+#: clustering's gate after the flagship measured the distributed
+#: rounds' per-exchange overhead dominating mid-size graphs (a 21 s
+#: cliff at 2.9M edges for plain CC; the iterative PageRank loop pays
+#: several exchanges PER ROUND, so its cliff is steeper).
 DRIVER_EDGE_LIMIT = 20_000_000
 
 

@@ -47,6 +47,49 @@ def test_gate_paths_identical(ray_session, name, monkeypatch):
     assert driver.equals(dist), (name, driver, dist)
 
 
+def test_gamma_pair_limit_falls_back_to_distributed(ray_session,
+                                                    monkeypatch):
+    """The driver pair build must bound its OUTPUT too: with
+    DRIVER_PAIR_LIMIT forced to 0 every emit falls back to the
+    distributed path, and the pair set is unchanged."""
+    from merge_machine_ray.pipelines import queries as Q
+    from merge_machine_ray.stages import fellegi as F
+
+    def run():
+        Q._PIPE_MEMO.clear()
+        df = _to_pandas(Q.build_queries()["fs_pair_scores"](SF_DIR))
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    normal = run()
+    monkeypatch.setattr(F, "DRIVER_PAIR_LIMIT", 0)
+    fallback = run()
+    Q._PIPE_MEMO.clear()
+    assert normal.equals(fallback)
+
+
+def test_fs_em_twin_zero_pair_corpus(ray_session, tmp_path):
+    """fs_em early-returns its init params on an empty γ histogram;
+    the unrolled-CTE twin must replicate that (its CASE WHEN total=0
+    guard) instead of flowing 0/0 NaNs through the clamp."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from merge_machine_ray.pipelines import queries as Q
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(src.slice(0, 0), str(tmp_path / "documents.parquet"))
+    eng = Q.fs_em_params(str(tmp_path)).to_pandas() \
+        .sort_values("field").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    twin = con.execute(Q._fs_em_sql()).fetchdf() \
+        .sort_values("field").reset_index(drop=True)
+    assert eng["m_micro"].tolist() == twin["m_micro"].tolist() == \
+        [500000, 900000, 900000, 900000, 900000]
+    assert eng["weight_milli"].tolist() == twin["weight_milli"].tolist()
+
+
 def test_sum_c2_gate_parity(ray_session, monkeypatch):
     import pyarrow as pa
     import ray.data as rd
